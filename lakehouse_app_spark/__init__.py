@@ -1,0 +1,42 @@
+"""lakehouse_app_spark — a PySpark-native analytics engine.
+
+A from-scratch, Spark-first re-expression of the data-processing
+capabilities of the reference app (`jtisbell4/lakehouse-app`): top-k
+vector similarity retrieval, document post-processing (projection,
+dedup, truncation, concatenation), session-keyed state over ordered
+streams, and REST-JSON-to-table ingestion — widened to a full
+relational + text + vector + streaming operator surface designed for
+100 TB scale (see SURVEY.md §2.2).
+
+Everything is built on the public Apache Spark DataFrame / SQL /
+Structured Streaming APIs; logical plans are declared and Catalyst +
+Tungsten pick the physical strategy.
+"""
+
+from lakehouse_app_spark.session import get_spark, ensure_runtime_confs
+from lakehouse_app_spark.sources.tables import load_tables, TABLE_NAMES
+from lakehouse_app_spark.registry import QUERIES, ORACLES, query
+
+__all__ = [
+    "get_spark",
+    "ensure_runtime_confs",
+    "load_tables",
+    "TABLE_NAMES",
+    "QUERIES",
+    "ORACLES",
+    "query",
+]
+
+
+def load_all_queries() -> None:
+    """Import every query-defining module so the registry is populated."""
+    import lakehouse_app_spark.operators.relational  # noqa: F401
+    import lakehouse_app_spark.operators.joins  # noqa: F401
+    import lakehouse_app_spark.operators.aggregates  # noqa: F401
+    import lakehouse_app_spark.operators.windows  # noqa: F401
+    import lakehouse_app_spark.operators.setops  # noqa: F401
+    import lakehouse_app_spark.operators.vectors  # noqa: F401
+    import lakehouse_app_spark.operators.text  # noqa: F401
+    import lakehouse_app_spark.operators.dedup  # noqa: F401
+    import lakehouse_app_spark.functions.batteries  # noqa: F401
+    import lakehouse_app_spark.streaming.stream_queries  # noqa: F401

@@ -1,0 +1,184 @@
+"""Aggregation operators: hash group-by, distinct, approx sketches,
+ROLLUP/CUBE/GROUPING SETS, ordered collect, exact dedup.
+
+Generalizes reference ops R7 (``format_docs`` concatenation,
+`app/app.py:71-72`) and R8 (source dedup via set(), `app/app.py:
+111-124`). Spark's hash aggregate does map-side partial aggregation
+automatically, so every groupBy here ships only per-group partials
+through the shuffle — the 100 TB-safe default.
+
+Determinism: double SUMs go through exact decimal casts; collected
+lists are explicitly ordered (SURVEY.md §5.3 rules 1 and 5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_app_spark.functions.compat import DEC, dsum
+from lakehouse_app_spark.registry import query
+from lakehouse_app_spark.sources.tables import load_tables
+
+
+@query(
+    "q_agg_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+         AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(25,6))) AS DOUBLE)
+         AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS avg_disc,
+       count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: multi-aggregate hash group-by."""
+    t = load_tables(spark, sf_dir)
+    li = t.lineitem.where(
+        F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp_ntz")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_base_price"),
+        dsum(disc_price, "sum_disc_price"),
+        dsum(charge, "sum_charge"),
+        (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / n).alias("avg_qty"),
+        (F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / n).alias("avg_price"),
+        (F.sum(F.col("l_discount").cast(DEC)).cast("double") / n).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+@query(
+    "q_agg_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS n_cust,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT): Spark expands to a two-phase aggregate
+    (distinct keys partial-dedup'd map-side before the shuffle)."""
+    t = load_tables(spark, sf_dir)
+    return t.orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query("q_agg_approx")  # rows-only: HLL sketches differ from DuckDB's
+def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the 100 TB cardinality
+    path — fixed-size sketch per group instead of a distinct shuffle."""
+    t = load_tables(spark, sf_dir)
+    return t.events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "q_agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t.lineitem.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity", "sum_qty")
+    )
+
+
+@query(
+    "q_agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t.orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "total")
+    )
+
+
+@query(
+    "q_agg_gsets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_agg_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL entry point (shares Catalyst with the
+    DataFrame path after parsing)."""
+    load_tables(spark, sf_dir)  # registers temp views
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "q_format_docs",
+    oracle="""
+    SELECT source, string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS docs_concat
+    FROM documents GROUP BY source
+    """,
+)
+def q_format_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ``format_docs`` (`app/app.py:71-72`):
+    '\\n\\n'.join(doc texts) — expressed as an ordered collect_list so
+    the concatenation order is deterministic (§5.3 rule 5)."""
+    t = load_tables(spark, sf_dir)
+    ordered_texts = F.transform(
+        F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+        lambda s: s["text"],
+    )
+    return t.documents.groupBy("source").agg(
+        F.array_join(ordered_texts, "\n\n").alias("docs_concat")
+    )
+
+
+@query(
+    "q_dedup_sources",
+    oracle="""
+    SELECT DISTINCT source,
+           substr(replace(text, chr(10), ''), 1, 50) || '...' AS snippet
+    FROM documents
+    """,
+)
+def q_dedup_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's citation dedup (R8, `app/app.py:111-124`):
+    distinct (url, truncated snippet) pairs. dropDuplicates is a
+    hash aggregate — map-side partial dedup before the shuffle."""
+    t = load_tables(spark, sf_dir)
+    snippet = F.concat(
+        F.substring(F.expr("replace(text, '\n', '')"), 1, 50), F.lit("...")
+    ).alias("snippet")
+    return t.documents.select("source", snippet).dropDuplicates()

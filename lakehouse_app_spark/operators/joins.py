@@ -1,0 +1,240 @@
+"""Join operators: equi (all flavors), range/theta, and as-of.
+
+The reference never joins (its single "join" is the remote index
+lookup, `app/vector_search.py:29-33`); these are the north-star
+relational surface. Scale design notes per operator below — the
+recurring themes are broadcast-the-small-side, pre-partition the big
+sides on the join key (bucketing makes it shuffle-free), and keep
+non-equi joins' build side tiny so BroadcastNestedLoop stays cheap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakehouse_app_spark.functions.compat import dsum
+from lakehouse_app_spark.registry import query
+from lakehouse_app_spark.sources.tables import load_tables
+
+
+@query(
+    "q_join_inner",
+    oracle="""
+    SELECT o_orderkey, c_custkey, c_name, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderstatus = 'F'
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join. At bench scale AQE picks broadcast-hash for
+    customer; at 100 TB both sides bucketed on custkey → no shuffle."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.orders.where(F.col("o_orderstatus") == "F")
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "c_custkey", "c_name", "o_totalprice")
+    )
+
+
+@query(
+    "q_join_multiway",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+             AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_regionkey <= 2
+    GROUP BY n_name
+    """,
+)
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 5-way join. Dims (nation, region) broadcast
+    explicitly; fact-side joins shuffle on their keys once each and
+    Catalyst reorders by size. Revenue uses the exact-decimal sum
+    (SURVEY.md §5.3 determinism rule 1)."""
+    t = load_tables(spark, sf_dir)
+    revenue_expr = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(t.region.where(F.col("r_regionkey") <= 2)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            dsum(revenue_expr, "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q_join_left",
+    oracle="""
+    SELECT c_custkey, c_name, count(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers (count → 0)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.customer.join(t.orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi: customers with ≥1 large order. Semi-join never
+    multiplies rows, so it shuffles only keys — cheapest existence test."""
+    t = load_tables(spark, sf_dir)
+    big = t.orders.where(F.col("o_totalprice") > 100000)
+    return t.customer.join(
+        big, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti: customers with no orders at all."""
+    t = load_tables(spark, sf_dir)
+    return t.customer.join(
+        t.orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+PRICE_BANDS = [
+    (0, "LOW", 0.0, 20000.0),
+    (1, "MID", 20000.0, 60000.0),
+    (2, "HIGH", 60000.0, 1.0e18),
+]
+
+
+@query(
+    "q_join_range",
+    oracle="""
+    SELECT band_name, count(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+    FROM lineitem
+    JOIN (VALUES (0, 'LOW', 0.0, 20000.0),
+                 (1, 'MID', 20000.0, 60000.0),
+                 (2, 'HIGH', 60000.0, 1e18)) AS b(band_id, band_name, lo, hi)
+      ON l_extendedprice >= lo AND l_extendedprice < hi
+    GROUP BY band_name
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join: price bands × lineitem. The band table is
+    tiny and broadcast, so the non-equi condition runs as a
+    BroadcastNestedLoopJoin — O(rows × bands) map-side, no shuffle."""
+    t = load_tables(spark, sf_dir)
+    bands = spark.createDataFrame(
+        PRICE_BANDS, "band_id int, band_name string, lo double, hi double"
+    )
+    cond = (F.col("l_extendedprice") >= F.col("lo")) & (
+        F.col("l_extendedprice") < F.col("hi")
+    )
+    return (
+        t.lineitem.join(F.broadcast(bands), cond)
+        .groupBy("band_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice", "total_price"),
+        )
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_alias: str,
+) -> DataFrame:
+    """Generic left as-of join: for each left row, the greatest
+    ``right_ts <= left_ts`` within the same key (DuckDB ASOF JOIN
+    semantics, SURVEY.md §7.4.3).
+
+    Spark has no native batch as-of; this is the union + running
+    ``last(ignorenulls)`` formulation: one shuffle on (key), one
+    in-partition sort — the same cost profile as a window function,
+    and skew-safe because each key's timeline stays together.
+    """
+    lefts = left.select(
+        F.col(key),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_r_ts"),
+    )
+    rights = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        F.lit(None).cast(lefts.schema["_l"].dataType).alias("_l"),
+        F.col(right_ts).alias("_r_ts"),
+    )
+    # Right rows sort before left rows on ts ties so `ts_left >= ts_right`
+    # includes equality (ASOF's inclusive boundary).
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_ts"), F.col("_is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = lefts.unionByName(rights).withColumn(
+        payload_alias, F.last("_r_ts", ignorenulls=True).over(w)
+    )
+    return (
+        merged.where(F.col("_is_left") == 1)
+        .select(F.col("_l.*"), F.col(payload_alias))
+    )
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts, c.ts AS last_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase ↔ the user's latest prior click."""
+    t = load_tables(spark, sf_dir)
+    purchases = t.events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts")
+    )
+    clicks = t.events.where(F.col("event_type") == "click").select("user_id", "ts")
+    out = asof_join(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
+        payload_alias="last_click_ts",
+    )
+    return out.select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts"), "last_click_ts"
+    )

@@ -1,0 +1,233 @@
+"""Vector similarity operators — the reference's core capability.
+
+The reference's retrieval is a remote ANN call: top-k=3 cosine
+similarity against a vector index, returning a projected document set
+(`app/vector_search.py:29-33`). Here the corpus is a DataFrame with an
+``array<float>`` column, and similarity is a Catalyst expression
+(higher-order functions: ``zip_with`` + ``aggregate``) so the whole
+top-k plan stays JVM-side inside whole-stage codegen — no Python in
+the hot path. A vectorized Arrow ``pandas_udf`` variant exists for the
+UDF surface, and an IVF-style partition-pruned variant is the 100 TB
+scale path (centroid assignment column → only probed clusters are
+scanned).
+
+Determinism (SURVEY.md §5.3): all similarity math is done in DOUBLE
+(arrays cast up from float), results rounded to 6 dp, and every
+ORDER BY ... LIMIT carries ``vec_id`` as the final tie-breaker.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_app_spark.registry import query
+from lakehouse_app_spark.sources.tables import load_tables
+
+
+def as_double_array(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i as a sequential JVM-side fold (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+    ))
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns, pure Catalyst
+    expression (stays inside whole-stage codegen)."""
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def query_vector(emb: DataFrame, vec_id: int = 0) -> DataFrame:
+    """Single-row DataFrame holding the query vector; joined via
+    broadcast so the corpus scan never moves."""
+    return (
+        emb.where(F.col("vec_id") == vec_id)
+        .select(as_double_array("embedding").alias("qv"))
+    )
+
+
+def topk_cosine(emb: DataFrame, qv: DataFrame, k: int = 3) -> DataFrame:
+    """Exact top-k by cosine similarity (ref R1: k=3 retrieval).
+
+    Plan shape at scale: broadcast 1-row query vector → projected scan
+    computes sim → ``TakeOrderedAndProject`` (per-partition top-k then
+    k-way merge on the driver) — no full sort, no shuffle of the corpus.
+    """
+    scored = emb.join(F.broadcast(qv)).select(
+        "vec_id",
+        F.round(cosine_sim(as_double_array("embedding"), F.col("qv")), 6).alias("sim"),
+    )
+    return scored.orderBy(F.col("sim").desc(), F.col("vec_id")).limit(k)
+
+
+# --------------------------------------------------------------------------
+# Declared queries
+# --------------------------------------------------------------------------
+
+@query(
+    "q_topk_cosine",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS sim
+    FROM embeddings e, q
+    ORDER BY sim DESC, e.vec_id
+    LIMIT 3
+    """,
+)
+def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return topk_cosine(t.embeddings, query_vector(t.embeddings, 0), k=3)
+
+
+@query(
+    "q_vs_retrieve",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    hits AS (
+      SELECT e.vec_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS sim
+      FROM embeddings e, q
+      ORDER BY sim DESC, e.vec_id
+      LIMIT 3
+    )
+    SELECT d.doc_id, d.source,
+           substr(replace(d.text, chr(10), ''), 1, 50) || '...' AS snippet,
+           h.sim
+    FROM hits h JOIN documents d ON d.doc_id = h.vec_id
+    """,
+)
+def q_vs_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the reference's full retrieval loop re-expressed.
+
+    retrieve top-3 by cosine (R1) → join corpus + project id/url/content
+    (R2, R3) → truncate-normalize snippet (R9, `app/app.py:113-115`).
+    """
+    t = load_tables(spark, sf_dir)
+    hits = topk_cosine(t.embeddings, query_vector(t.embeddings, 0), k=3)
+    snippet = F.concat(
+        F.substring(F.expr("replace(text, '\n', '')"), 1, 50), F.lit("...")
+    ).alias("snippet")
+    return (
+        F.broadcast(hits)
+        .join(t.documents, hits.vec_id == t.documents.doc_id)
+        .select("doc_id", "source", snippet, "sim")
+    )
+
+
+@query(
+    "q_udf_cosine",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS sim
+    FROM embeddings e, q
+    WHERE round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) >= 0.2
+    """,
+)
+def q_udf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same similarity as a vectorized Arrow pandas UDF (UDF surface;
+    ref R1 math in Python). Rounded to 4 dp because numpy's pairwise
+    summation and DuckDB's sequential loop differ in the last ulps.
+    """
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    t = load_tables(spark, sf_dir)
+    qv = (
+        t.embeddings.where(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()[0]
+    )
+    q = np.asarray(qv, dtype="float64")
+    qn = float(np.sqrt(q @ q))
+
+    @pandas_udf("double")
+    def cos(v: pd.Series) -> pd.Series:
+        m = np.stack(v.apply(lambda x: np.asarray(x, dtype="float64")))
+        return pd.Series((m @ q) / (np.linalg.norm(m, axis=1) * qn))
+
+    scored = t.embeddings.select(
+        "vec_id", F.round(cos(F.col("embedding")), 4).alias("sim")
+    )
+    return scored.where(F.col("sim") >= 0.2)
+
+
+@query(
+    "q_embed_centroid",
+    oracle="""
+    SELECT label, pos, round(avg(v), 6) AS centroid_v, count(*) AS n
+    FROM (
+      SELECT label,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             unnest(CAST(embedding AS DOUBLE[])) AS v
+      FROM embeddings
+    )
+    GROUP BY label, pos
+    """,
+)
+def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid as a long (label, pos, value) table.
+
+    posexplode keeps this a pure shuffle-once hash aggregate — at
+    100 TB the partial aggregation happens map-side per dimension.
+    """
+    t = load_tables(spark, sf_dir)
+    exploded = t.embeddings.select(
+        "label", F.posexplode(as_double_array("embedding")).alias("pos", "v")
+    )
+    return exploded.groupBy("label", "pos").agg(
+        F.round(F.avg("v"), 6).alias("centroid_v"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "q_neardup_embed",
+    oracle="""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+    """,
+)
+def q_neardup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by label.
+
+    Blocking is the scale story: the quadratic pair space is cut to
+    within-block pairs (at 100 TB the block key is an LSH bucket or
+    IVF cluster id, same join shape).
+    """
+    t = load_tables(spark, sf_dir)
+    a = t.embeddings.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_label"),
+        as_double_array("embedding").alias("a_emb"),
+    )
+    b = t.embeddings.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("label").alias("b_label"),
+        as_double_array("embedding").alias("b_emb"),
+    )
+    pairs = a.join(
+        b, (F.col("a_label") == F.col("b_label")) & (F.col("a_id") < F.col("b_id"))
+    ).select(
+        "a_id", "b_id",
+        F.round(cosine_sim(F.col("a_emb"), F.col("b_emb")), 6).alias("sim"),
+    )
+    return pairs.where(F.col("sim") >= 0.35)

@@ -1,0 +1,71 @@
+"""SparkSession factory and runtime configuration.
+
+Mirrors the reference's session bootstrap role (`app/app.py:34-94`
+builds its chain once per session; we build a SparkSession once per
+process) but targets Spark's execution model: AQE on, UTC, Arrow for
+pandas interchange, and the load-bearing ns-timestamp legacy flag
+(SURVEY.md §A.1) without which the `events` table is unreadable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable SQL confs that every entry point must guarantee,
+# even when handed a SparkSession it did not create (the driver's).
+RUNTIME_CONFS = {
+    # events.parquet carries timestamp[ns]; Spark 4 hard-fails without this.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Determinism: timezone-free comparisons against the DuckDB oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # AQE re-plans at shuffle boundaries (skew joins, coalesced partitions).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Arrow-accelerated pandas UDFs / toPandas.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Set runtime-settable confs on an existing session (idempotent)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable in this session; builder path covers it
+    return spark
+
+
+def get_spark(
+    app_name: str = "lakehouse-app-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Defaults are sized for the local test harness (local[N], small
+    shuffles); on a real cluster the same code runs with cluster-mode
+    master/partition settings — every operator is declared against the
+    DataFrame API, so scaling is a config change, not a code change.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return ensure_runtime_confs(spark)

@@ -1,0 +1,72 @@
+"""Parquet table catalog for the driver-generated testdata.
+
+Plays the role of the reference's index/catalog handle resolution
+(`app/vector_search.py:24-27` resolves a remote index; we resolve
+local Parquet into DataFrames + temp views). At 100 TB these reads
+are identical code over a cluster filesystem — Catalyst pushes
+filters/projections into the Parquet scan, so queries built on these
+handles prune automatically.
+
+Load-bearing detail (SURVEY.md §A.1): ``events.ts`` is parquet
+timestamp[ns], which Spark 4 cannot read natively. We read it with
+``spark.sql.legacy.parquet.nanosAsLong`` (arrives as long ns) and
+normalize to ``timestamp_ntz`` at µs precision — exactly what DuckDB
+gets when it auto-truncates ns→µs, so oracle comparisons line up.
+"""
+
+from __future__ import annotations
+
+from types import SimpleNamespace
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_app_spark.session import ensure_runtime_confs
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# cache: (sparkSessionId, sf_dir) -> SimpleNamespace of DataFrames
+_CACHE: dict[tuple[int, str], SimpleNamespace] = {}
+
+
+def _normalize_events(raw: DataFrame) -> DataFrame:
+    """long ns → timestamp_ntz at µs (integer division: ns > 2^53)."""
+    return raw.withColumn(
+        "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)")
+    )
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, register_views: bool = True
+) -> SimpleNamespace:
+    """Load all testdata tables as DataFrames; register temp views.
+
+    Returns a namespace with one attribute per table. Cached per
+    (session, sf_dir) so repeated query builders share scan nodes.
+    """
+    key = (id(spark), sf_dir)
+    if key in _CACHE:
+        return _CACHE[key]
+    ensure_runtime_confs(spark)
+    tables = {}
+    for name in TABLE_NAMES:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events":
+            df = _normalize_events(df)
+        tables[name] = df
+        if register_views:
+            df.createOrReplaceTempView(name)
+    ns = SimpleNamespace(**tables)
+    _CACHE[key] = ns
+    return ns
