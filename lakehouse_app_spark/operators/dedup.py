@@ -1,1 +1,316 @@
-"""(filled in a later milestone)"""
+"""Deduplication suite for LLM-training-data pipelines.
+
+The reference's dedup is an in-memory ``set()`` of (url, snippet)
+pairs (`app/app.py:111-124` — covered by ``q_dedup_sources``); this
+module is the scale-out generalization: exact fingerprint dedup,
+n-gram Jaccard verification, custom MinHash banding, SimHash with
+hamming-ball candidate search, and an MLlib MinHashLSH variant.
+
+Scale design: every method here is "signature → band/bucket →
+equi-join", which is the only shape that survives 100 TB — the
+quadratic pair space is never materialized; candidates come from
+hash-bucket collisions (equi-join ⇒ shuffle on the bucket key), and
+only candidates get the expensive verification.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_app_spark.registry import query
+from lakehouse_app_spark.sources.tables import load_tables
+
+# ---------------------------------------------------------------- helpers
+
+
+def distinct_tokens(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, token) with per-doc distinct tokens."""
+    return (
+        df.select(id_col, F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .dropDuplicates([id_col, "token"])
+    )
+
+
+def word_shingles(n: int = 3) -> Column:
+    """Distinct word n-grams of ``text`` as an array column (Catalyst
+    higher-order fns; 1-based element_at)."""
+    tk = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(1), F.size(tk) - (n - 1))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(tk, i + j) for j in range(n)]
+    )
+    return F.when(F.size(tk) >= n, F.array_distinct(F.transform(idx, gram))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+# ---------------------------------------------------------------- exact
+
+
+@query(
+    "q_neardup_exact",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')
+               AS fp
+      FROM documents
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    """,
+)
+def q_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup: identical sorted distinct-token-set fingerprint.
+    One deterministic signature per doc + an equi-self-join — the
+    cheapest dedup tier (pure hash shuffle on the fingerprint)."""
+    t = load_tables(spark, sf_dir)
+    f = t.documents.select(
+        "doc_id",
+        F.array_join(F.array_sort(F.array_distinct(F.split(F.col("text"), " "))), " ")
+        .alias("fp"),
+    )
+    a = f.select(F.col("doc_id").alias("a_id"), F.col("fp").alias("a_fp"))
+    b = f.select(F.col("doc_id").alias("b_id"), F.col("fp").alias("b_fp"))
+    return a.join(
+        b, (F.col("a_fp") == F.col("b_fp")) & (F.col("a_id") < F.col("b_id"))
+    ).select("a_id", "b_id")
+
+
+# ---------------------------------------------------------------- jaccard
+
+
+@query(
+    "q_ngram_jaccard",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(tk) - 1),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+      FROM toks WHERE len(tk) >= 3
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a_id, b_id, round(i / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = a_id
+    JOIN sz sb ON sb.doc_id = b_id
+    WHERE i / (sa.n + sb.n - i) >= 0.05
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-trigram Jaccard near-dup pairs (threshold 0.05).
+
+    Candidate pairs come from the shared-shingle equi-join (pairs with
+    zero overlap are never formed), then one hash aggregate computes
+    intersections — inverted-index join, not a cross join.
+    """
+    t = load_tables(spark, sf_dir)
+    sh = (
+        t.documents.select("doc_id", F.explode(word_shingles(3)).alias("s"))
+    )
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("a_id"), "s")
+    b = sh.select(F.col("doc_id").alias("b_id"), "s")
+    inter = (
+        a.join(b, ["s"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sza = sz.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    szb = sz.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sza, "a_id")
+        .join(szb, "b_id")
+        .where(jac >= 0.05)
+        .select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------- minhash
+
+N_HASHES = 16
+BAND_SIZE = 4
+
+
+@query("q_dedup_minhash")  # rows-only: xxhash64 signatures aren't in DuckDB
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup detection, from scratch.
+
+    token→16 seeded xxhash64 minima (one grouped pass, no 16×
+    explode) → 4 bands of 4 → band-bucket equi-join → verified
+    token-Jaccard ≥ 0.2. Deterministic given the fixed seeds.
+    At 100 TB: signatures are 16 longs/doc; the bucket join shuffles
+    only (band, hash) keys, never document text.
+    """
+    t = load_tables(spark, sf_dir)
+    toks = distinct_tokens(t.documents)
+    sig = toks.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("token"))).alias(f"h{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+    bands = [
+        sig.select(
+            "doc_id",
+            F.lit(j).alias("band"),
+            F.xxhash64(
+                *[F.col(f"h{j * BAND_SIZE + k}") for k in range(BAND_SIZE)]
+            ).alias("bucket"),
+        )
+        for j in range(N_HASHES // BAND_SIZE)
+    ]
+    buckets = reduce(DataFrame.unionAll, bands)
+    a = buckets.select(F.col("doc_id").alias("a_id"), "band", "bucket")
+    b = buckets.select(F.col("doc_id").alias("b_id"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .dropDuplicates()
+    )
+    # verification: true token-set Jaccard on candidates only
+    ta = toks.select(F.col("doc_id").alias("a_id"), "token")
+    tb = toks.select(F.col("doc_id").alias("b_id"), "token")
+    inter = (
+        cand.join(ta, "a_id").join(tb, ["b_id", "token"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sz = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sza = sz.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    szb = sz.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sza, "a_id").join(szb, "b_id")
+        .where(jac >= 0.5)
+        .select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+SIMHASH_BITS = 63  # keep the sign bit clear
+CHUNK_BITS = 16
+HAMMING_MAX = 8
+
+
+def simhash(df: DataFrame) -> DataFrame:
+    """63-bit SimHash per doc from token-frequency-weighted hash bits,
+    entirely in Catalyst expressions (explode bits → signed sums →
+    bit reassembly)."""
+    tok_cnt = (
+        df.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("th", F.xxhash64("token"))
+    )
+    bit_votes = (
+        tok_cnt.select(
+            "doc_id",
+            "cnt",
+            "th",
+            F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
+        )
+        .select(
+            "doc_id",
+            "b",
+            F.when(
+                F.expr("shiftright(th, b)").bitwiseAND(F.lit(1)) == 1,
+                F.col("cnt"),
+            )
+            .otherwise(-F.col("cnt"))
+            .alias("vote"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return bit_votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)"))
+            .otherwise(F.lit(0).cast("long"))
+        ).alias("sh")
+    )
+
+
+@query("q_dedup_simhash")  # rows-only: hash-seeded signatures
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: hamming distance ≤ 8 of 63 bits.
+
+    Candidates via the chunk trick (pigeonhole: distance ≤ 8 over 4
+    chunks ⇒ some 16-bit chunk collides exactly) — bucket equi-join
+    on (chunk_id, chunk_value), then exact hamming via bit_count(xor).
+    """
+    t = load_tables(spark, sf_dir)
+    sh = simhash(t.documents)
+    chunks = reduce(
+        DataFrame.unionAll,
+        [
+            sh.select(
+                "doc_id",
+                "sh",
+                F.lit(j).alias("chunk"),
+                F.shiftright(F.col("sh"), j * CHUNK_BITS)
+                .bitwiseAND(F.lit((1 << CHUNK_BITS) - 1))
+                .alias("cval"),
+            )
+            for j in range(4)
+        ],
+    )
+    a = chunks.select(
+        F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"), "chunk", "cval"
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"), "chunk", "cval"
+    )
+    cand = (
+        a.join(b, ["chunk", "cval"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_sh", "b_sh")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    hamming = F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh")))
+    return (
+        cand.select("a_id", "b_id", hamming.alias("hamming"))
+        .where(F.col("hamming") <= HAMMING_MAX)
+    )
+
+
+# ---------------------------------------------------------------- MLlib LSH
+
+
+@query("q_neardup_lsh")  # rows-only: MLlib model internals
+def q_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib MinHashLSH variant (seed-pinned): HashingTF binary token
+    vectors → approxSimilarityJoin at Jaccard distance ≤ 0.4."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+
+    t = load_tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text")
+    tokenized = Tokenizer(inputCol="text", outputCol="words").transform(docs)
+    tf = HashingTF(
+        inputCol="words", outputCol="features", numFeatures=1 << 14, binary=True
+    ).transform(tokenized)
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=8, seed=42
+    ).fit(tf)
+    joined = model.approxSimilarityJoin(tf, tf, 0.4, distCol="jaccard_dist")
+    return (
+        joined.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("a_id"),
+            F.col("datasetB.doc_id").alias("b_id"),
+            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        )
+    )

@@ -25,6 +25,10 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     # Arrow-accelerated pandas UDFs / toPandas.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Right-size shuffles for the bench/correctness scale; AQE coalesces
+    # further. (Also applied to driver-owned sessions: 200 state-store
+    # partitions make local streaming queries pointlessly slow.)
+    "spark.sql.shuffle.partitions": "32",
 }
 
 

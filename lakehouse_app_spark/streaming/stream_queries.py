@@ -1,1 +1,237 @@
-"""(filled in a later milestone)"""
+"""Structured Streaming operators over the events stream.
+
+The reference's streaming surface is token-stream consumption with
+session-keyed history state (`app/app.py:132-141`, `85-94`); here the
+same shapes run as real event-time stream processing: tumbling /
+sliding / session windows and custom per-key state
+(``applyInPandasWithState``).
+
+Determinism (SURVEY.md §5.4.3): sources replay the bounded events
+parquet with ``trigger(availableNow=True)`` into a memory sink, so
+stream results are batch-comparable — the DuckDB oracles below are
+the *batch* equivalents, which is exactly the stream/table duality
+check. No wall-clock triggers anywhere.
+
+Scale: all window aggregations key their state by (window, group) and
+run incrementally with watermark-bounded state; at 100 TB the same
+code reads Kafka/file streams — only the source line changes.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_app_spark.registry import query
+from lakehouse_app_spark.session import ensure_runtime_confs
+from lakehouse_app_spark.sources.tables import load_tables
+
+_counter = itertools.count()
+
+# file-stream sources must be directories; stage the single events
+# parquet into one (hardlink when possible), cached per sf_dir
+_STREAM_DIRS: dict[str, str] = {}
+
+
+def _staged_events_dir(sf_dir: str) -> str:
+    if sf_dir not in _STREAM_DIRS:
+        d = tempfile.mkdtemp(prefix="events_stream_")
+        src = f"{sf_dir}/events.parquet"
+        dst = f"{d}/events.parquet"
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copyfile(src, dst)
+        _STREAM_DIRS[sf_dir] = d
+    return _STREAM_DIRS[sf_dir]
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as a bounded file stream (ns→µs normalization
+    identical to the batch path)."""
+    ensure_runtime_confs(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = spark.readStream.schema(raw_schema).parquet(_staged_events_dir(sf_dir))
+    return raw.withColumn(
+        "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)")
+    )
+
+
+def run_to_memory(
+    df: DataFrame, name_prefix: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion (availableNow) into
+    a memory sink; return the result table."""
+    name = f"{name_prefix}_{next(_counter)}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def _flatten_window(df: DataFrame, win_col: str = "window") -> DataFrame:
+    return df.select(
+        F.col(f"{win_col}.start").cast("timestamp_ntz").alias("window_start"),
+        F.col(f"{win_col}.end").cast("timestamp_ntz").alias("window_end"),
+        *[c for c in df.columns if c != win_col],
+    )
+
+
+@query(
+    "q_stream_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+           event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows × event_type (stream == batch check)."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+    )
+    return _flatten_window(run_to_memory(agg, "tumbling"))
+
+
+@query(
+    "q_stream_sliding",
+    oracle="""
+    WITH expanded AS (
+      SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+               AS window_start,
+             event_type, value
+      FROM events
+    )
+    SELECT window_start,
+           window_start + INTERVAL '1 hour' AS window_end,
+           event_type,
+           count(*) AS n
+    FROM expanded
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour windows every 30 minutes (each event lands in
+    exactly two windows; oracle expands the two bucket starts)."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return _flatten_window(run_to_memory(agg, "sliding"))
+
+
+@query(
+    "q_stream_session",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL '30 minutes' AS session_end,
+           count(*) AS n
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute gap (Spark semantics: a new
+    session starts when the gap is ≥ the timeout; window end is
+    last-event + gap — the oracle's gaps-and-islands uses the same
+    inclusive boundary, SURVEY.md §7.4.4)."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = run_to_memory(agg, "session")
+    return out.select(
+        "user_id",
+        F.col("session_window.start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_window.end").cast("timestamp_ntz").alias("session_end"),
+        "n",
+    )
+
+
+@query(
+    "q_stream_user_state",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           round(SUM(value), 4) AS total_value,
+           max(ts) AS last_seen
+    FROM events GROUP BY user_id
+    """,
+)
+def q_stream_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom per-key streaming state via applyInPandasWithState — the
+    engine analog of the reference's per-session chat history
+    (`app/app.py:85-94`): each user's running counters live in the
+    state store and update per micro-batch."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total, last = state.get if state.exists else (0, 0.0, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            # exact decimal-style accumulation: per-batch fsum is stable
+            import math
+
+            total += math.fsum(pdf["value"])
+            mx = pdf["ts"].max()
+            last = mx if last is None or mx > last else last
+        state.update((n, float(total), last))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 4)],
+                "last_seen": [last],
+            }
+        )
+
+    stream = events_stream(spark, sf_dir)
+    stateful = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double, "
+        "last_seen timestamp_ntz",
+        stateStructType="n long, total double, last timestamp_ntz",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(stateful, "user_state", output_mode="update")

@@ -1,0 +1,111 @@
+"""Streaming semantics unit tests: watermark late-data drop and
+checkpoint recovery, with hand-crafted micro-batches (FIXTURES.md
+'Derived fixtures'). Two sequential availableNow runs against one
+checkpoint: run 1 advances the watermark, run 2 delivers a too-late
+row that must be dropped from the append-mode output."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, "event_id long, ts timestamp, v double").coalesce(
+        1
+    ).write.mode("append").parquet(path)
+
+
+def _run_windowed(spark, src, ckpt, out_dir):
+    """Parquet sink (memory sinks can't recover from checkpoints)."""
+    raw = (
+        spark.readStream.schema("event_id long, ts timestamp, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    agg = (
+        raw.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .option("path", out_dir)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    import datetime as dt
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    os.makedirs(src, exist_ok=True)
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+
+    # run 1: events at 9:00-9:20 then 11:00 → watermark advances to 10:50;
+    # the 9:00-9:30 window (end 9:30 < 10:50) is finalized and emitted.
+    _write_batch(
+        spark,
+        src,
+        [
+            (1, t0, 1.0),
+            (2, t0 + dt.timedelta(minutes=20), 1.0),
+            (3, t0 + dt.timedelta(hours=2), 1.0),
+        ],
+    )
+    out1 = _run_windowed(spark, src, ckpt, out)
+    emitted1 = {(r["window"]["start"].hour, r["window"]["start"].minute, r["n"])
+                for r in out1.collect()}
+    assert (9, 0, 2) in emitted1, f"9:00 window should emit with 2 rows: {emitted1}"
+
+    # run 2 (same checkpoint → watermark restored): a late row at 9:05
+    # is behind the watermark and must be dropped — the 9:00 window
+    # must not re-emit or change count.
+    _write_batch(spark, src, [(4, t0 + dt.timedelta(minutes=5), 99.0)])
+    out2 = _run_windowed(spark, src, ckpt, out)
+    nine_oclock = [
+        r for r in out2.collect()
+        if r["window"]["start"].hour == 9 and r["window"]["start"].minute == 0
+    ]
+    assert len(nine_oclock) == 1 and nine_oclock[0]["n"] == 2, (
+        f"late row resurrected finalized window: {nine_oclock}"
+    )
+
+
+def test_stream_equals_batch_tumbling(spark, sf_dir, check_parity):
+    """Stream/table duality: the streaming tumbling result equals the
+    batch groupBy over the same data (driver-style check already does
+    DuckDB; this asserts against batch Spark too)."""
+    from lakehouse_app_spark import QUERIES
+    from lakehouse_app_spark.sources.tables import load_tables
+
+    stream_out = QUERIES["q_stream_tumbling"](spark, sf_dir).toPandas()
+    t = load_tables(spark, sf_dir)
+    batch = (
+        t.events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("window.end").cast("timestamp_ntz").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .toPandas()
+    )
+    key = ["window_start", "event_type"]
+    a = stream_out.sort_values(key).reset_index(drop=True)
+    b = batch.sort_values(key).reset_index(drop=True)
+    assert a.equals(b[a.columns])
