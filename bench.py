@@ -1,0 +1,102 @@
+"""Benchmark harness: wall-clock per declared query.
+
+Runs every registered query at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS], 2 iterations each (min recorded — steady
+state), executing via the noop sink so timings measure computation,
+not result transfer. Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Also times the DuckDB oracle per query (same machine, same data) when
+one exists — BASELINE.md's comparator — under "duckdb_queries".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import lakehouse_app_spark as eng
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+ITERATIONS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
+RUN_DUCKDB = os.environ.get("SPARK_GRAFT_BENCH_DUCKDB", "1") == "1"
+
+
+def _sf_from_dir(d: str) -> float:
+    m = re.search(r"sf([0-9.]+)", d)
+    return float(m.group(1)) if m else -1.0
+
+
+def time_spark_query(spark, name: str, fn) -> float:
+    best = float("inf")
+    for _ in range(ITERATIONS):
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        df.write.mode("overwrite").format("noop").save()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
+def time_duckdb(con, sql: str) -> float:
+    best = float("inf")
+    for _ in range(ITERATIONS):
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
+def main() -> None:
+    eng.load_all_queries()
+    spark = eng.get_spark(app_name="lakehouse-app-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM / codegen paths once
+    eng.load_tables(spark, SF_DIR)
+    spark.sql("SELECT count(*) FROM lineitem").collect()
+
+    per_query: dict[str, float] = {}
+    for name in sorted(eng.QUERIES):
+        try:
+            per_query[name] = time_spark_query(spark, name, eng.QUERIES[name])
+        except Exception as ex:  # a broken query must not sink the bench
+            print(f"bench: {name} failed: {ex}", file=sys.stderr)
+            per_query[name] = -1.0
+
+    result = {
+        "metric": "sum_query_wall_sec",
+        "value": round(sum(v for v in per_query.values() if v > 0), 4),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": _sf_from_dir(SF_DIR),
+    }
+
+    if RUN_DUCKDB:
+        import duckdb
+
+        con = duckdb.connect()
+        for t in eng.TABLE_NAMES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/{t}.parquet')"
+            )
+        duck: dict[str, float] = {}
+        for name, sql in sorted(eng.ORACLES.items()):
+            try:
+                duck[name] = time_duckdb(con, sql)
+            except Exception as ex:
+                print(f"bench(duckdb): {name} failed: {ex}", file=sys.stderr)
+                duck[name] = -1.0
+        result["duckdb_queries"] = duck
+        result["duckdb_total"] = round(sum(v for v in duck.values() if v > 0), 4)
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -39,5 +39,7 @@ def load_all_queries() -> None:
     import lakehouse_app_spark.operators.text  # noqa: F401
     import lakehouse_app_spark.operators.dedup  # noqa: F401
     import lakehouse_app_spark.operators.udfs  # noqa: F401
+    import lakehouse_app_spark.operators.ann  # noqa: F401
+    import lakehouse_app_spark.operators.multimodal  # noqa: F401
     import lakehouse_app_spark.functions.batteries  # noqa: F401
     import lakehouse_app_spark.streaming.stream_queries  # noqa: F401

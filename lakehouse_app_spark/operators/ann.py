@@ -1,0 +1,120 @@
+"""Approximate nearest neighbor: IVF-style partition-pruned search.
+
+The 100 TB scale path for the reference's ANN retrieval
+(`app/vector_search.py:24-33` delegates to a server-side index; here
+the index is a *layout*): vectors carry a cluster-id column
+(assignment to fixed centroids), the corpus is partitioned by it, and
+a query probes only the nearest few clusters — partition pruning does
+the rest. Brute-force exact top-k (operators/vectors.py) is the
+recall baseline; this trades recall for a ~n_clusters/n_probe scan
+reduction.
+
+Determinism: centroids are pinned (vec_id < 8), assignment and probe
+order use rounded similarity + id tie-breaks, so the DuckDB oracle
+replicates the *same algorithm* exactly (SURVEY.md §4.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakehouse_app_spark.operators.vectors import as_double_array, cosine_sim
+from lakehouse_app_spark.registry import query
+from lakehouse_app_spark.sources.tables import load_tables
+
+N_CENTROIDS = 8
+N_PROBE = 2
+TOP_K = 5
+
+
+def assign_clusters(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """argmax-cosine cluster assignment (broadcast centroids — the
+    corpus never shuffles; at scale this becomes the partition/Z-order
+    column written at ingest)."""
+    scored = emb.join(F.broadcast(centroids)).select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.col("cid"),
+        F.round(cosine_sim(as_double_array("embedding"), F.col("cvec")), 6).alias(
+            "csim"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+
+
+@query(
+    "q_ann_ivf",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings WHERE vec_id < {N_CENTROIDS}
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cid
+      FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 6)
+                 AS csim,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY round(list_cosine_similarity(
+                                    CAST(e.embedding AS DOUBLE[]), c.cvec), 6) DESC,
+                                  c.cid) AS rn
+        FROM embeddings e, cents c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    probed AS (
+      SELECT c.cid
+      FROM cents c, q
+      ORDER BY round(list_cosine_similarity(c.cvec, q.qv), 6) DESC, c.cid
+      LIMIT {N_PROBE}
+    )
+    SELECT a.vec_id,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), q.qv), 6) AS sim
+    FROM assign a JOIN probed p ON a.cid = p.cid, q
+    ORDER BY sim DESC, a.vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe: assign → probe top-{N_PROBE} of {N_CENTROIDS}
+    clusters → exact rank within probed clusters only."""
+    t = load_tables(spark, sf_dir)
+    centroids = (
+        t.embeddings.where(F.col("vec_id") < N_CENTROIDS)
+        .select(
+            F.col("vec_id").alias("cid"),
+            as_double_array("embedding").alias("cvec"),
+        )
+    )
+    assigned = assign_clusters(t.embeddings, centroids)
+    qv = (
+        t.embeddings.where(F.col("vec_id") == 0)
+        .select(as_double_array("embedding").alias("qv"))
+    )
+    probed = (
+        centroids.join(F.broadcast(qv))
+        .select("cid", F.round(cosine_sim(F.col("cvec"), F.col("qv")), 6).alias("psim"))
+        .orderBy(F.col("psim").desc(), F.col("cid"))
+        .limit(N_PROBE)
+        .select("cid")
+    )
+    return (
+        assigned.join(F.broadcast(probed), "cid")
+        .join(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(cosine_sim(as_double_array("embedding"), F.col("qv")), 6).alias(
+                "sim"
+            ),
+        )
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )

@@ -1,0 +1,51 @@
+"""Multimodal plumbing unit tests (codec-free environment: the Spark
+side — schema, Arrow batching, frame sampling — is real; the codec is
+stubbed per SURVEY.md)."""
+
+import pytest
+
+from lakehouse_app_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    attach_media_columns,
+    byte_features,
+    decode_image,
+    sample_frames,
+)
+from lakehouse_app_spark.sources.tables import load_tables
+
+
+def test_media_schema_shape(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    media = attach_media_columns(t.documents)
+    assert media.schema.simpleString() == (
+        "struct<media_id:bigint,payload:binary,media_type:string,"
+        "meta:struct<width:int,height:int,format:string>>"
+    )
+    row = media.first()
+    assert isinstance(row["payload"], (bytes, bytearray))
+    assert row["meta"]["format"] == "raw"
+
+
+def test_byte_features_roundtrip(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    feats = byte_features(attach_media_columns(t.documents.limit(20))).collect()
+    docs = {r["doc_id"]: r["text"] for r in t.documents.limit(20).collect()}
+    assert len(feats) == 20
+    for r in feats:
+        text = docs[r["media_id"]]
+        assert r["n_bytes"] == len(text.encode())
+        assert r["first_byte"] == ord(text[0])
+
+
+def test_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG...")
+
+
+def test_frame_sampling_deterministic():
+    payload = bytes(range(256)) * 4
+    frames = sample_frames(payload, n_frames=5, frame_size=16)
+    assert len(frames) == 5
+    assert all(len(f) == 16 for f in frames)
+    assert frames == sample_frames(payload, n_frames=5, frame_size=16)
+    assert sample_frames(b"tiny", n_frames=3, frame_size=100) == []
