@@ -64,8 +64,9 @@ def main() -> None:
     for name in sorted(eng.QUERIES):
         try:
             per_query[name] = time_spark_query(spark, name, eng.QUERIES[name])
+            print(f"bench: {name} {per_query[name]}s", file=sys.stderr, flush=True)
         except Exception as ex:  # a broken query must not sink the bench
-            print(f"bench: {name} failed: {ex}", file=sys.stderr)
+            print(f"bench: {name} failed: {ex}", file=sys.stderr, flush=True)
             per_query[name] = -1.0
 
     result = {

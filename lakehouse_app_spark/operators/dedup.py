@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakehouse_app_spark.registry import query
@@ -31,6 +31,29 @@ def distinct_tokens(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return (
         df.select(id_col, F.explode(F.split(F.col("text"), " ")).alias("token"))
         .dropDuplicates([id_col, "token"])
+    )
+
+
+def rep_docs(docs: DataFrame) -> DataFrame:
+    """Exact-dedup tier: one representative (min doc_id) per distinct
+    token-set fingerprint.
+
+    Load-bearing at scale: near-dup candidate generation is quadratic
+    in *bucket* size, and exact duplicates all land in the same
+    buckets — a 1000-doc duplicate clique alone is ~500k candidate
+    pairs per band. Collapsing exact dups first (the cheap hash
+    aggregate) keeps every downstream LSH/SimHash bucket clique-free;
+    this is the standard first tier of production dedup pipelines.
+    """
+    fp = F.array_join(
+        F.array_sort(F.array_distinct(F.split(F.col("text"), " "))), " "
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        docs.select("doc_id", "text", fp.alias("fp"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "text")
     )
 
 
@@ -87,11 +110,15 @@ def q_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_ngram_jaccard",
     oracle="""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-    sh AS (
+    sh_all AS (
       SELECT doc_id,
              unnest(list_distinct(list_transform(range(1, len(tk) - 1),
                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
       FROM toks WHERE len(tk) >= 3
+    ),
+    sh AS (
+      SELECT doc_id, s FROM sh_all
+      WHERE s IN (SELECT s FROM sh_all GROUP BY s HAVING count(*) <= 20)
     ),
     sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
@@ -107,16 +134,27 @@ def q_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-trigram Jaccard near-dup pairs (threshold 0.05).
+    """Word-trigram Jaccard near-dup pairs (threshold 0.05) over
+    discriminative shingles (document frequency ≤ 20).
 
     Candidate pairs come from the shared-shingle equi-join (pairs with
     zero overlap are never formed), then one hash aggregate computes
-    intersections — inverted-index join, not a cross join.
+    intersections — inverted-index join, not a cross join. The DF cap
+    is the inverted-index stop-word rule: a shingle present in half
+    the corpus contributes O(corpus²) candidate pairs and no
+    discriminative signal; dropping it bounds each posting list, so
+    join cost is ≤ cap² per shingle. Jaccard is computed over retained
+    shingles on both engines (identical semantics).
     """
     t = load_tables(spark, sf_dir)
-    sh = (
-        t.documents.select("doc_id", F.explode(word_shingles(3)).alias("s"))
+    sh_all = t.documents.select("doc_id", F.explode(word_shingles(3)).alias("s"))
+    rare = (
+        sh_all.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= 20)
+        .select("s")
     )
+    sh = sh_all.join(F.broadcast(rare), "s")
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("a_id"), "s")
     b = sh.select(F.col("doc_id").alias("b_id"), "s")
@@ -147,14 +185,21 @@ BAND_SIZE = 4
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding near-dup detection, from scratch.
 
-    token→16 seeded xxhash64 minima (one grouped pass, no 16×
+    Two-tier: exact-dedup representatives (rep_docs) → word-trigram
+    shingles → 16 seeded xxhash64 minima (one grouped pass, no 16×
     explode) → 4 bands of 4 → band-bucket equi-join → verified
-    token-Jaccard ≥ 0.2. Deterministic given the fixed seeds.
-    At 100 TB: signatures are 16 longs/doc; the bucket join shuffles
-    only (band, hash) keys, never document text.
+    shingle-Jaccard ≥ 0.5. Shingles, not unigram token sets: on a
+    small vocabulary every token set overlaps every other (~0.8
+    Jaccard between unrelated docs), so unigram MinHash buckets
+    degenerate into near-cliques; trigram sets are near-unique per
+    doc. Deterministic given the fixed seeds. At 100 TB: signatures
+    are 16 longs/doc; the bucket join shuffles only (band, hash)
+    keys, never document text.
     """
     t = load_tables(spark, sf_dir)
-    toks = distinct_tokens(t.documents)
+    toks = rep_docs(t.documents).select(
+        "doc_id", F.explode(word_shingles(3)).alias("token")
+    )
     sig = toks.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64(F.lit(i), F.col("token"))).alias(f"h{i}")
@@ -207,11 +252,11 @@ HAMMING_MAX = 8
 
 
 def simhash(df: DataFrame) -> DataFrame:
-    """63-bit SimHash per doc from token-frequency-weighted hash bits,
+    """63-bit SimHash per doc from shingle-frequency-weighted hash bits,
     entirely in Catalyst expressions (explode bits → signed sums →
     bit reassembly)."""
     tok_cnt = (
-        df.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+        df.select("doc_id", F.explode(word_shingles(3)).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("th", F.xxhash64("token"))
@@ -253,7 +298,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     on (chunk_id, chunk_value), then exact hamming via bit_count(xor).
     """
     t = load_tables(spark, sf_dir)
-    sh = simhash(t.documents)
+    sh = simhash(rep_docs(t.documents))
     chunks = reduce(
         DataFrame.unionAll,
         [
@@ -292,16 +337,19 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_neardup_lsh")  # rows-only: MLlib model internals
 def q_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MLlib MinHashLSH variant (seed-pinned): HashingTF binary token
-    vectors → approxSimilarityJoin at Jaccard distance ≤ 0.4."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+    """MLlib MinHashLSH variant (seed-pinned): trigram NGram →
+    binary HashingTF → approxSimilarityJoin at Jaccard distance
+    ≤ 0.4 (shingle features for the same bucket-degeneracy reason
+    as q_dedup_minhash)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, Tokenizer
 
     t = load_tables(spark, sf_dir)
-    docs = t.documents.select("doc_id", "text")
+    docs = rep_docs(t.documents)
     tokenized = Tokenizer(inputCol="text", outputCol="words").transform(docs)
+    grams = NGram(n=3, inputCol="words", outputCol="grams").transform(tokenized)
     tf = HashingTF(
-        inputCol="words", outputCol="features", numFeatures=1 << 14, binary=True
-    ).transform(tokenized)
+        inputCol="grams", outputCol="features", numFeatures=1 << 17, binary=True
+    ).transform(grams)
     model = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=8, seed=42
     ).fit(tf)

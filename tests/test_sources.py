@@ -1,0 +1,108 @@
+"""Source/sink tests: REST-JSON ingestion shapes (ref R18/R19/R27)
+and parquet sink round-trips (partitioned + bucketed writers)."""
+
+from pyspark.sql import functions as F
+
+from lakehouse_app_spark.sources.json_source import (
+    dict_to_kv_df,
+    extract_status_fields,
+    records_to_df,
+)
+from lakehouse_app_spark.sources.sinks import read_table, write_table
+from lakehouse_app_spark.sources.tables import load_tables
+
+APPS_PAYLOAD = [
+    {
+        "name": "rag-app",
+        "status": {"state": "RUNNING", "message": "ok"},
+        "create_time": "2024-06-01T10:00:00Z",
+        "url": "https://host/apps/rag-app",
+    },
+    {
+        "name": "etl-app",
+        "status": {"state": "ERROR", "message": "boom"},
+        "create_time": "2024-06-02T10:00:00Z",
+        "url": "",
+    },
+]
+
+
+def test_records_to_df_nested_struct(spark):
+    """`json["apps"]` → table with queryable nested status struct
+    (ref `lakehouse_app_helpers.py:28-33`)."""
+    df = records_to_df(spark, APPS_PAYLOAD)
+    assert df.count() == 2
+    states = {r["state"] for r in df.select(F.col("status.state").alias("state")).collect()}
+    assert states == {"RUNNING", "ERROR"}
+
+
+def test_extract_status_fields_drops_and_flattens(spark):
+    df = extract_status_fields(records_to_df(spark, APPS_PAYLOAD))
+    assert "status" not in df.columns
+    assert {"state", "status_message"} <= set(df.columns)
+    row = df.where(F.col("name") == "etl-app").first()
+    assert row["state"] == "ERROR" and row["status_message"] == "boom"
+
+
+def test_derived_logz_column_matches_reference_semantics(spark):
+    """R22: logz = '' if url == '' else url + '/logz'."""
+    df = extract_status_fields(records_to_df(spark, APPS_PAYLOAD)).withColumn(
+        "logz",
+        F.when(F.col("url") == "", "").otherwise(
+            F.concat(F.col("url"), F.lit("/logz"))
+        ),
+    )
+    got = {r["name"]: r["logz"] for r in df.collect()}
+    assert got == {"rag-app": "https://host/apps/rag-app/logz", "etl-app": ""}
+
+
+def test_dict_to_kv_transpose(spark):
+    """R27: orient='index' transpose → one row per key."""
+    df = dict_to_kv_df(spark, {"name": "rag-app", "status": {"state": "OK"}})
+    rows = {r["key"]: r["value"] for r in df.collect()}
+    assert rows["name"] == "rag-app"
+    assert '"state"' in rows["status"]
+
+
+def test_parquet_sink_roundtrip_partitioned(spark, sf_dir, tmp_path):
+    t = load_tables(spark, sf_dir)
+    out = str(tmp_path / "orders_by_status")
+    write_table(t.orders, out, partition_by=["o_orderstatus"])
+    back = read_table(spark, out)
+    assert back.count() == t.orders.count()
+    # partition pruning: scanning one partition reads one directory
+    one = back.where(F.col("o_orderstatus") == "F")
+    plan = one._sc._jvm.PythonSQLUtils.explainString(
+        one._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+
+
+def test_bucketed_write_enables_shuffle_free_join(spark, sf_dir, tmp_path):
+    """Bucketed tables on the join key: the co-located join plan has
+    no Exchange on the bucketed side (the 100 TB lineitem⋈orders
+    strategy, SURVEY.md §7.6)."""
+    from lakehouse_app_spark.sources.sinks import write_bucketed_table
+
+    t = load_tables(spark, sf_dir)
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    write_bucketed_table(t.orders, "b_orders", "o_orderkey", n_buckets=8)
+    write_bucketed_table(
+        t.lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem",
+        "o_orderkey",
+        n_buckets=8,
+    )
+    joined = spark.table("b_lineitem").join(spark.table("b_orders"), "o_orderkey")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024)
+        )
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, f"bucketed join must not shuffle:\n{plan}"
