@@ -154,7 +154,9 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("df") <= 20)
         .select("s")
     )
-    sh = sh_all.join(F.broadcast(rare), "s")
+    # the capped posting list feeds three consumers (sizes + both join
+    # sides); persist so the explode+cap runs once, not three times
+    sh = sh_all.join(F.broadcast(rare), "s").persist()
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("a_id"), "s")
     b = sh.select(F.col("doc_id").alias("b_id"), "s")

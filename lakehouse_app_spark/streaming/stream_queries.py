@@ -66,18 +66,30 @@ def run_to_memory(
     df: DataFrame, name_prefix: str, output_mode: str = "complete"
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow) into
-    a memory sink; return the result table."""
+    a memory sink; return the result table.
+
+    State-store partition count is pinned per checkpoint at first
+    start; size it to the bounded replay volume (8) rather than the
+    batch shuffle default — at deployment scale this is a per-stream
+    capacity decision, not a global conf.
+    """
+    spark = df.sparkSession
     name = f"{name_prefix}_{next(_counter)}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
-        .start()
-    )
-    q.awaitTermination()
-    return df.sparkSession.table(name)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)
 
 
 def _flatten_window(df: DataFrame, win_col: str = "window") -> DataFrame:
