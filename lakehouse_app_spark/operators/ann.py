@@ -49,6 +49,37 @@ def assign_clusters(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+@query("q_ann_brp_lsh")  # rows-only: MLlib hash-table internals
+def q_ann_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN via MLlib BucketedRandomProjectionLSH
+    (seed-pinned): cosine ≈ Euclidean distance on L2-normalized
+    vectors, so nearest-by-Euclidean on the unit sphere is
+    nearest-by-cosine. The bucketed variant of the IVF scale path:
+    random-projection buckets replace cluster assignment when no
+    write-side layout exists.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    t = load_tables(spark, sf_dir)
+    vecs = t.embeddings.select(
+        "vec_id",
+        array_to_vector(as_double_array("embedding")).alias("raw"),
+    )
+    unit = Normalizer(inputCol="raw", outputCol="features", p=2.0).transform(vecs)
+    model = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=0.5,
+        numHashTables=4, seed=42,
+    ).fit(unit)
+    key = unit.where(F.col("vec_id") == 0).first()["features"]
+    hits = model.approxNearestNeighbors(unit, key, 5, distCol="euclid_dist")
+    # euclid² = 2 - 2·cos on unit vectors → recover cosine similarity
+    return hits.select(
+        "vec_id",
+        F.round(1 - (F.col("euclid_dist") ** 2) / 2, 6).alias("sim"),
+    )
+
+
 @query(
     "q_ann_ivf",
     oracle=f"""
