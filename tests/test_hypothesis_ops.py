@@ -1,0 +1,76 @@
+"""Randomized (hypothesis) cross-checks for the hand-built operators
+most prone to boundary bugs: as-of join and gap sessionization. Each
+compares the Spark implementation against an independent pure-Python
+reference over generated event sets (including ties and empty sides).
+"""
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from lakehouse_app_spark.operators.joins import asof_join
+from lakehouse_app_spark.operators.windows import sessionize
+
+TS = st.integers(min_value=0, max_value=50)
+KEY = st.integers(min_value=1, max_value=3)
+
+hyp_settings = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    lefts=st.lists(st.tuples(KEY, TS), min_size=0, max_size=12, unique=True),
+    rights=st.lists(st.tuples(KEY, TS), min_size=0, max_size=12, unique=True),
+)
+@hyp_settings
+def test_asof_matches_python_reference(spark, lefts, rights):
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lefts)] or [(99, -1, -1)],
+        "k long, ts long, lid long",
+    )
+    right = spark.createDataFrame(
+        [(k, t) for k, t in rights] or [(99, -1)], "k long, ts long"
+    )
+    out = asof_join(left, right, key="k", left_ts="ts", right_ts="ts",
+                    payload_alias="m")
+    got = {r["lid"]: r["m"] for r in out.collect()}
+    for i, (k, t) in enumerate(lefts):
+        cands = [rt for rk, rt in rights if rk == k and rt <= t]
+        expected = max(cands) if cands else None
+        assert got[i] == expected, (k, t, cands)
+
+
+@given(
+    events=st.lists(
+        st.tuples(KEY, st.integers(min_value=0, max_value=300)),
+        min_size=1, max_size=15, unique=True,
+    ),
+    gap_minutes=st.integers(min_value=1, max_value=5),
+)
+@hyp_settings
+def test_sessionize_matches_python_reference(spark, events, gap_minutes):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, k, base + dt.timedelta(minutes=m)) for i, (k, m) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp_ntz")
+    got = {
+        r["event_id"]: (r["user_id"], r["session_id"])
+        for r in sessionize(df, gap_minutes).collect()
+    }
+    # reference: per user, sorted by ts; new session when gap > threshold
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for i, (k, m) in enumerate(events):
+        by_user.setdefault(k, []).append((m, i))
+    for k, evs in by_user.items():
+        evs.sort()
+        sid, prev = 0, None
+        for m, i in evs:
+            if prev is None or (m - prev) > gap_minutes:
+                sid += 1
+            prev = m
+            assert got[i] == (k, sid), (k, evs)
