@@ -200,6 +200,98 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id,
+           p.ts AS purchase_ts,
+           c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL '30 minutes'
+     AND c.ts <= p.ts
+    """,
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same
+    user's clicks in the preceding 30 minutes.
+
+    Both sides carry watermarks (required for state cleanup in
+    stream-stream joins; TIMESTAMP not NTZ — Spark rejects NTZ event
+    time, §A gotcha) and the time-interval condition bounds the join
+    state. Oracle = the identical batch interval join (stream/table
+    duality).
+    """
+    src = events_stream(spark, sf_dir).withColumn(
+        "ts_l", F.col("ts").cast("timestamp")
+    )
+    purchases = (
+        src.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts_l").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        src.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts_l").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    out = run_to_memory(joined, "stream_join", output_mode="append")
+    return out.select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        F.col("p_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        F.col("c_ts").cast("timestamp_ntz").alias("click_ts"),
+    )
+
+
+@query("q_stream_foreach_sink")  # rows-only: filesystem side effect
+def q_stream_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink (ref R15's finalize-per-batch commit,
+    `app/app.py:141`): each micro-batch lands as an atomic parquet
+    append keyed by batch id; returns the read-back aggregate."""
+    out_dir = tempfile.mkdtemp(prefix="foreach_sink_")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.foreachBatch(write_batch)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_foreach_"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select("event_type", "n", "batch_id")
+
+
+@query(
     "q_stream_user_state",
     oracle="""
     SELECT user_id,
