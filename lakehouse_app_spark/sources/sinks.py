@@ -48,3 +48,32 @@ def write_bucketed_table(
 
 def read_table(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
     return spark.read.format(fmt).load(path)
+
+
+def compact_table(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_files: int,
+    sort_col: str | None = None,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Small-file compaction (the OSS stand-in for Delta OPTIMIZE,
+    SURVEY.md §7.6): rewrite a fragmented table into ``target_files``
+    outputs, optionally range-sorted on ``sort_col``.
+
+    Range sorting is the Z-order-lite lever: parquet min/max footer
+    stats on the sort column become disjoint across files, so
+    predicate pushdown skips whole files on that column. Streaming
+    ingest at 100 TB produces thousands of small files per partition;
+    this job is the scheduled maintenance pass that keeps scans fast.
+    Writes to ``dst`` (never in place — the swap is the caller's
+    atomic rename/metastore update).
+    """
+    df = spark.read.format(fmt).load(src)
+    if sort_col is not None:
+        df = df.repartitionByRange(target_files, sort_col)
+    else:
+        df = df.coalesce(target_files)
+    df.write.format(fmt).mode("overwrite").save(dst)
+    return spark.read.format(fmt).load(dst)

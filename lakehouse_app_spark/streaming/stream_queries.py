@@ -261,6 +261,35 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_stream_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type,
+           time_bucket(INTERVAL '1 minute', ts) AS minute
+    FROM events
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: first event per (user, type, minute)
+    via ``dropDuplicatesWithinWatermark`` — the dedup-at-ingest tier
+    of the pipeline (exactly-once semantics per key within the
+    watermark horizon; state auto-expires, so unlike plain
+    dropDuplicates the state store is bounded). Batch-duality oracle:
+    DISTINCT over the same keys."""
+    src = events_stream(spark, sf_dir)
+    keyed = (
+        src.withColumn("ts_l", F.col("ts").cast("timestamp"))
+        .withWatermark("ts_l", "1 hour")
+        .withColumn("minute", F.date_trunc("minute", F.col("ts_l")))
+        .select("user_id", "event_type", "minute", "ts_l")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "minute"])
+    )
+    out = run_to_memory(keyed, "stream_dedup", output_mode="append")
+    return out.select(
+        "user_id", "event_type", F.col("minute").cast("timestamp_ntz").alias("minute")
+    )
+
+
 @query("q_stream_foreach_sink")  # rows-only: filesystem side effect
 def q_stream_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch sink (ref R15's finalize-per-batch commit,

@@ -106,3 +106,56 @@ def test_bucketed_write_enables_shuffle_free_join(spark, sf_dir, tmp_path):
         )
     assert "SortMergeJoin" in plan, plan
     assert "Exchange" not in plan, f"bucketed join must not shuffle:\n{plan}"
+
+
+def test_compaction_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
+    """North-star data-lake maintenance: many small files → few
+    range-sorted files, same data, disjoint min/max on the sort col."""
+    import os
+
+    from lakehouse_app_spark.sources.sinks import compact_table
+
+    t = load_tables(spark, sf_dir)
+    frag = str(tmp_path / "fragmented")
+    t.orders.repartition(64).write.parquet(frag)
+    n_small = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    assert n_small >= 32
+
+    compacted_dir = str(tmp_path / "compacted")
+    back = compact_table(spark, frag, compacted_dir, target_files=4,
+                         sort_col="o_orderkey")
+    n_big = len([f for f in os.listdir(compacted_dir) if f.endswith(".parquet")])
+    assert n_big <= 4
+    assert back.count() == t.orders.count()
+
+    # range layout: per-file key ranges must be disjoint (file-skipping)
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in sorted(os.listdir(compacted_dir)):
+        if f.endswith(".parquet"):
+            md = pq.read_metadata(os.path.join(compacted_dir, f))
+            cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            i = cols["o_orderkey"]
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(i).statistics
+                mins.append(st.min); maxs.append(st.max)
+            ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: {ranges}"
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Data-lake schema evolution: batches with differing columns read
+    back as one unified schema (mergeSchema)."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(p)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(p)
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r["score"] for r in merged.collect()}
+    assert rows[2] == 9.5 and rows[1] is None
