@@ -26,14 +26,6 @@ from lakehouse_app_spark.sources.tables import load_tables
 # ---------------------------------------------------------------- helpers
 
 
-def distinct_tokens(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, token) with per-doc distinct tokens."""
-    return (
-        df.select(id_col, F.explode(F.split(F.col("text"), " ")).alias("token"))
-        .dropDuplicates([id_col, "token"])
-    )
-
-
 def rep_docs(docs: DataFrame) -> DataFrame:
     """Exact-dedup tier: one representative (min doc_id) per distinct
     token-set fingerprint.

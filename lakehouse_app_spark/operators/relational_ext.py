@@ -50,6 +50,31 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_unpivot",
+    oracle="""
+    SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer
+    UNION ALL
+    SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long; the reference's dict→rows transpose, R27
+    `lakehouse_app_helpers.py:102-107`, generalized): zero-shuffle
+    row expansion via the melt/unpivot operator."""
+    t = load_tables(spark, sf_dir)
+    return t.customer.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    ).unpivot(
+        ids=["c_custkey"],
+        values=["acctbal", "nationkey"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+@query(
     "q_subquery_scalar",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice
