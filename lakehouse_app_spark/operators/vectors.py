@@ -257,6 +257,45 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_embed_quantize",
+    oracle="""
+    WITH m AS (
+      SELECT vec_id,
+             CAST(embedding AS DOUBLE[]) AS e,
+             list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)),
+                            'max') AS amax
+      FROM embeddings
+    )
+    SELECT vec_id,
+           round(amax, 6) AS amax,
+           CAST(round(e[1] * (127.0 / amax)) AS INTEGER) AS q_first,
+           round(list_aggregate(list_transform(e,
+                   x -> abs(x - round(x * (127.0 / amax)) * (amax / 127.0))),
+                 'max'), 6) AS max_abs_err
+    FROM m
+    """,
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization of embeddings (the storage-
+    compression step of a vector pipeline: 4× smaller than float32,
+    16× smaller than the double compute type) with per-vector absmax
+    scale and reconstruction-error audit. Pure higher-order
+    expressions; identical arithmetic tree on both engines."""
+    t = load_tables(spark, sf_dir)
+    e = as_double_array("embedding")
+    amax = F.array_max(F.transform(e, lambda x: F.abs(x)))
+    scale = F.lit(127.0) / amax
+    inv_scale = amax / F.lit(127.0)
+    err = F.transform(e, lambda x: F.abs(x - F.round(x * scale, 0) * inv_scale))
+    return t.embeddings.select(
+        "vec_id",
+        F.round(amax, 6).alias("amax"),
+        F.round(F.element_at(e, 1) * scale, 0).cast("int").alias("q_first"),
+        F.round(F.array_max(err), 6).alias("max_abs_err"),
+    )
+
+
+@query(
     "q_neardup_embed",
     oracle="""
     SELECT a.vec_id AS a_id, b.vec_id AS b_id,
