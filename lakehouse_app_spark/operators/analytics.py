@@ -1,0 +1,132 @@
+"""Statistical aggregates, window distribution functions, fuzzy
+string matching, and stream-static enrichment.
+
+Analytics completeness beyond the core batteries: sample statistics
+(stddev/variance/correlation/covariance/percentile), rank
+distributions (ntile/percent_rank/cume_dist), edit-distance fuzzy
+matching (the string-similarity tier of dedup), and the stream⋈static
+dimension join every streaming pipeline starts with.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakehouse_app_spark.registry import query
+from lakehouse_app_spark.sources.tables import load_tables
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n,
+           round(stddev_samp(o_totalprice), 4) AS sd,
+           round(var_samp(o_totalprice), 4) AS var,
+           round(corr(o_totalprice, o_custkey), 6) AS price_cust_corr,
+           round(covar_samp(o_totalprice, o_custkey), 4) AS cov,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS median_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-statistics battery (stddev/var/corr/covar/median).
+    Rounded to 4-6 dp: both engines use the same sample definitions
+    but accumulate doubles in different orders."""
+    t = load_tables(spark, sf_dir)
+    return t.orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("sd"),
+        F.round(F.var_samp("o_totalprice"), 4).alias("var"),
+        F.round(F.corr("o_totalprice", "o_custkey"), 6).alias("price_cust_corr"),
+        F.round(F.covar_samp("o_totalprice", "o_custkey"), 4).alias("cov"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+    )
+
+
+@query(
+    "q_window_dist",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           ntile(4)       OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-distribution window functions: ntile buckets, percent_rank
+    ((rank-1)/(N-1): exact ints → identical doubles), cume_dist."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return t.orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@query(
+    "q_fuzzy_match",
+    oracle="""
+    WITH s AS (SELECT DISTINCT source FROM documents)
+    SELECT a.source AS a_src, b.source AS b_src,
+           levenshtein(a.source, b.source) AS edit_dist
+    FROM s a JOIN s b ON a.source < b.source
+    WHERE levenshtein(a.source, b.source) <= 2
+    """,
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching over the (small, deduped) source
+    domain — the string-similarity tier of entity resolution. The
+    pair space is the distinct-value domain, not the corpus, so the
+    cross join is bounded by domain cardinality (broadcast)."""
+    t = load_tables(spark, sf_dir)
+    s = t.documents.select("source").distinct()
+    a = s.select(F.col("source").alias("a_src"))
+    b = s.select(F.col("source").alias("b_src"))
+    return (
+        a.join(F.broadcast(b), F.col("a_src") < F.col("b_src"))
+        .select(
+            "a_src", "b_src", F.levenshtein("a_src", "b_src").alias("edit_dist")
+        )
+        .where(F.col("edit_dist") <= 2)
+    )
+
+
+@query(
+    "q_stream_static_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_name AS user_name,
+           c.c_mktsegment AS segment, e.event_type, e.value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: enrich a live event stream with a static
+    dimension (no watermark needed — the static side is broadcast per
+    micro-batch; the canonical first stage of every streaming
+    pipeline). Oracle: identical batch join."""
+    from lakehouse_app_spark.streaming.stream_queries import (
+        events_stream,
+        run_to_memory,
+    )
+
+    t = load_tables(spark, sf_dir)
+    stream = events_stream(spark, sf_dir).where(F.col("event_type") == "purchase")
+    enriched = stream.join(
+        t.customer, stream["user_id"] == t.customer["c_custkey"]
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("c_name").alias("user_name"),
+        F.col("c_mktsegment").alias("segment"),
+        "event_type",
+        "value",
+    )
+    return run_to_memory(enriched, "stream_static", output_mode="append")
