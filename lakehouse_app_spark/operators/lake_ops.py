@@ -1,0 +1,198 @@
+"""Lakehouse table maintenance: MERGE-style upsert, table diff (CDC),
+and dedup-cluster assignment (connected components).
+
+Without delta-spark in this environment, MERGE INTO is expressed as
+the join-based rewrite Delta itself performs under the hood: full
+outer join on the key, coalesce per column, rewrite. The diff op is
+the change-data-feed analog. Cluster assignment turns near-dup PAIRS
+(operators/dedup.py) into canonical cluster ids — the step that
+actually drops duplicates from a training corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_app_spark.registry import query
+from lakehouse_app_spark.sources.tables import load_tables
+
+
+def merge_upsert(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """MERGE semantics: update matched rows, insert unmatched ones.
+
+    Full-outer join on the key + per-column coalesce(updates, base) —
+    the copy-on-write rewrite Delta/Iceberg MERGE compiles to. At
+    scale both sides bucketed on the key ⇒ shuffle-free; with a
+    transactional format the rewrite touches only matched files.
+    """
+    u = updates.select([F.col(c).alias(f"_u_{c}") for c in updates.columns])
+    joined = base.join(u, base[key] == u[f"_u_{key}"], "full_outer")
+    merged = [
+        F.coalesce(F.col(f"_u_{c}"), F.col(c)).alias(c) for c in base.columns
+    ]
+    return joined.select(merged)
+
+
+@query(
+    "q_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice + 1000.0 AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderstatus = 'P'
+      UNION ALL
+      SELECT -1, 0, 'N', 0.0, TIMESTAMP '2024-01-01', '0-NEW'
+    )
+    SELECT b.o_orderkey,
+           coalesce(u.o_custkey, b.o_custkey) AS o_custkey,
+           coalesce(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+           coalesce(u.o_totalprice, b.o_totalprice) AS o_totalprice,
+           coalesce(u.o_orderdate, b.o_orderdate) AS o_orderdate,
+           coalesce(u.o_orderpriority, b.o_orderpriority) AS o_orderpriority
+    FROM orders b LEFT JOIN updates u ON b.o_orderkey = u.o_orderkey
+    UNION ALL
+    SELECT u.o_orderkey, u.o_custkey, u.o_orderstatus, u.o_totalprice,
+           u.o_orderdate, u.o_orderpriority
+    FROM updates u WHERE u.o_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    """,
+)
+def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO analog: +1000 price for 'P' orders (updates — an
+    exact double add: a *1.1-style multiply lands on .xx5 halves where
+    the engines' rounding modes diverge) plus one
+    synthetic new order (insert), applied via the join-based rewrite."""
+    t = load_tables(spark, sf_dir)
+    updates = t.orders.where(F.col("o_orderstatus") == "P").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    ).unionByName(
+        spark.createDataFrame(
+            [(-1, 0, "N", 0.0, "2024-01-01 00:00:00", "0-NEW")],
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate string, o_orderpriority string",
+        ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp_ntz"))
+    )
+    return merge_upsert(t.orders, updates, "o_orderkey")
+
+
+@query(
+    "q_table_diff",
+    oracle="""
+    WITH v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderstatus = 'P' THEN o_totalprice + 1000.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 100 <> 0
+    ),
+    v1 AS (SELECT o_orderkey, o_totalprice FROM orders)
+    SELECT 'removed' AS change, v1.o_orderkey, v1.o_totalprice
+    FROM v1 WHERE v1.o_orderkey NOT IN (SELECT o_orderkey FROM v2)
+    UNION ALL
+    SELECT 'changed', v2.o_orderkey, v2.o_totalprice
+    FROM v2 JOIN v1 ON v1.o_orderkey = v2.o_orderkey
+    WHERE v1.o_totalprice <> v2.o_totalprice
+    """,
+)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed analog: diff two table versions into
+    (change, key, value) rows — deletes via anti-join, updates via
+    value-inequality join. The read side of incremental pipelines."""
+    t = load_tables(spark, sf_dir)
+    v1 = t.orders.select("o_orderkey", "o_totalprice")
+    v2 = t.orders.where(F.col("o_orderkey") % 100 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderstatus") == "P", F.col("o_totalprice") + 1000.0
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    removed = v1.join(v2, "o_orderkey", "left_anti").select(
+        F.lit("removed").alias("change"), "o_orderkey", "o_totalprice"
+    )
+    changed = (
+        v2.alias("n")
+        .join(v1.alias("o"), "o_orderkey")
+        .where(F.col("o.o_totalprice") != F.col("n.o_totalprice"))
+        .select(
+            F.lit("changed").alias("change"),
+            "o_orderkey",
+            F.col("n.o_totalprice").alias("o_totalprice"),
+        )
+    )
+    return removed.unionByName(changed)
+
+
+@query(
+    "q_dedup_clusters",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')
+               AS fp
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, fp,
+             min(doc_id) OVER (PARTITION BY fp) AS cluster_id,
+             count(*) OVER (PARTITION BY fp) AS sz
+      FROM f
+    )
+    SELECT doc_id, cluster_id FROM sized WHERE sz > 1
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → canonical clusters via iterative min-label
+    propagation (connected components) — the generic distributed
+    algorithm (alternating join/aggregate rounds; rounds bounded by
+    graph diameter, so dup-cliques converge in one; path-heavy graphs
+    would want the star-contraction variant), run on the exact-dup
+    pair graph.
+
+    On THIS graph components coincide with fingerprint-equality
+    classes, which is what makes an exact SQL oracle possible; the
+    Spark side never looks at fingerprints, only at the edge list.
+    """
+    from lakehouse_app_spark.operators.dedup import q_neardup_exact
+
+    edges = q_neardup_exact(spark, sf_dir)  # (a_id, b_id), a < b
+    # undirected edge list, both directions
+    fwd = edges.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    rev = edges.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+    adj = fwd.unionByName(rev).persist()
+    # labels start as own id, over nodes that appear in any edge
+    labels = adj.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(10):  # ≥ log2(max component size) rounds
+        # propagate: candidate label = min over neighbors' labels
+        neigh = (
+            adj.join(labels, adj["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["node"] == neigh["src"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.persist()
+        if changed == 0:
+            break
+    adj.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
