@@ -1,0 +1,125 @@
+"""Warehouse patterns: SCD Type-2 versioning, reproducible hash
+sampling, histogram binning, conditional aggregation.
+
+The remaining everyday shapes of a lakehouse workload: building
+slowly-changing dimensions from event history, drawing the *same*
+deterministic sample in any engine (hash sampling — the reproducible
+alternative to RNG TABLESAMPLE for training-data splits), binned
+distributions, and FILTER-style conditional aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakehouse_app_spark.registry import query
+from lakehouse_app_spark.sources.tables import load_tables
+
+
+@query(
+    "q_scd2",
+    oracle="""
+    SELECT o_custkey AS custkey,
+           o_orderstatus AS status,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS valid_to,
+           CASE WHEN lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                             ORDER BY o_orderdate, o_orderkey)
+                     IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM orders
+    """,
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build: each change event
+    becomes a version row with [valid_from, valid_to) derived via
+    lead(); the open-ended row is flagged current. One shuffle on the
+    dimension key — the standard merge-free SCD2 derivation."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    valid_to = F.lead("o_orderdate").over(w)
+    return t.orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        F.when(valid_to.isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
+@query(
+    "q_sample_hash",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'
+    """,
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~10% sample via md5 prefix on the key — unlike
+    RNG TABLESAMPLE, the same rows are selected by any engine, any
+    partitioning, any run (hex prefix < '1a' ≈ 26/256). This is how
+    training-data train/eval splits stay stable across a pipeline
+    rebuilt in different engines."""
+    t = load_tables(spark, sf_dir)
+    return t.orders.where(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2) < "1a"
+    ).select("o_orderkey", "o_totalprice")
+
+
+@query(
+    "q_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
+           count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (distribution profiling): integer binning
+    + per-bin extrema; one map-side-combined aggregate."""
+    t = load_tables(spark, sf_dir)
+    bin_ = F.floor(F.col("o_totalprice") / 50000.0).alias("bin")
+    return t.orders.groupBy(bin_).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
+@query(
+    "q_agg_conditional",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_f,
+           CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
+           bool_or(o_orderstatus = 'P') AS any_pending,
+           bool_and(o_totalprice > 0) AS all_positive,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                         THEN CAST(o_totalprice AS DECIMAL(25,6)) END) AS DOUBLE)
+             AS open_total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation battery: count_if / bool_or / bool_and
+    / filtered decimal sum (SQL FILTER-clause semantics)."""
+    t = load_tables(spark, sf_dir)
+    return t.orders.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_f"),
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.bool_or(F.col("o_orderstatus") == "P").alias("any_pending"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.sum(
+            F.when(
+                F.col("o_orderstatus") == "O",
+                F.col("o_totalprice").cast("decimal(25,6)"),
+            )
+        )
+        .cast("double")
+        .alias("open_total"),
+    )
