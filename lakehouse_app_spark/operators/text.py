@@ -231,6 +231,70 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_tfidf_top_terms",
+    oracle="""
+    WITH tf AS (
+      SELECT d.doc_id, d.lang, t.w AS term, count(*) AS tf
+      FROM documents d,
+           LATERAL (SELECT unnest(string_split(lower(d.text), ' ')) AS w) t
+      GROUP BY 1, 2, 3
+    ),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.lang, tf.term,
+             round(SUM(tf.tf * ln(n.n_docs / df.df)), 6) AS tfidf
+      FROM tf JOIN df USING (term), n
+      GROUP BY tf.lang, tf.term
+    )
+    SELECT lang, term, tfidf, CAST(rn AS INTEGER) AS rank
+    FROM (
+      SELECT lang, term, tfidf,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF scoring with top-3 terms per language: term frequency ×
+    ln(N/df), summed per (lang, term), ranked per group.
+
+    Two hash aggregates (tf, df) + a broadcast of the tiny df table —
+    the inverted-index statistics pass of corpus analytics. The log
+    argument is an exact integer ratio on both engines, so rounded
+    scores match; ranking orders by the rounded score (§5.3 rule 2).
+    """
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window
+
+    tf = (
+        t.documents.select(
+            "doc_id", "lang", F.explode(tokens()).alias("term")
+        )
+        .groupBy("doc_id", "lang", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = t.documents.count()
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .groupBy("lang", "term")
+        .agg(
+            F.round(
+                F.sum(F.col("tf") * F.log(F.lit(n_docs) / F.col("df"))), 6
+            ).alias("tfidf")
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("lang", "term", "tfidf", "rank")
+    )
+
+
+@query(
     "q_truncate_render",
     oracle="""
     SELECT doc_id,
