@@ -238,3 +238,72 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", F.col("ts").alias("purchase_ts"), "last_click_ts"
     )
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    skewed_key: str,
+    small_key: str,
+    n_salts: int = 8,
+    salt_src: Column | None = None,
+) -> DataFrame:
+    """Skew-safe equi-join: fan the hot keys of the probe side across
+    ``n_salts`` shuffle partitions.
+
+    The skewed side gets a deterministic salt in ``[0, n_salts)``
+    (hash of ``salt_src``, default the whole row's key column set);
+    the build side is exploded ×``n_salts`` so every (key, salt) pair
+    exists. The join then shuffles on (key, salt) — a single hot key
+    that would land 1/32 of 100 TB on one task is spread over
+    ``n_salts`` tasks. Same result set as the plain join; AQE's
+    skew-join split does this adaptively, this is the explicit form
+    for when the skew is known ahead of time.
+    """
+    if salt_src is None:
+        salt_src = F.col(skewed_key)
+    salted = skewed.withColumn("_salt", F.pmod(F.hash(salt_src), F.lit(n_salts)))
+    exploded = small.withColumn(
+        "_salt", F.explode(F.array([F.lit(i) for i in range(n_salts)]))
+    )
+    return salted.join(
+        exploded,
+        (F.col(skewed_key) == F.col(small_key)) & (salted["_salt"] == exploded["_salt"]),
+    ).drop("_salt")
+
+
+@query(
+    "q_join_salted",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+             AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact-to-dim join, aggregated per order priority.
+
+    The oracle is the PLAIN join — salting must be result-invariant;
+    this query proves the rewrite preserves semantics while the plan
+    shuffles on (l_orderkey, salt) instead of the raw key. Salt is
+    derived from (l_orderkey, l_linenumber) so it is deterministic
+    across retries (no rand(): a task retry must re-produce the same
+    partitioning or shuffle readers see phantom rows).
+    """
+    t = load_tables(spark, sf_dir)
+    joined = salted_join(
+        t.lineitem,
+        t.orders.select("o_orderkey", "o_orderpriority"),
+        skewed_key="l_orderkey",
+        small_key="o_orderkey",
+        n_salts=8,
+        salt_src=F.struct("l_orderkey", "l_linenumber"),
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum(revenue, "revenue"),
+    )

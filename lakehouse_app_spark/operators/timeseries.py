@@ -1,0 +1,121 @@
+"""Time-series warehouse patterns over the events table: multi-
+resolution rollups (the "hypertable continuous aggregate" shape) and
+dense date-spine gap filling.
+
+The reference's only time axis is `create_time` passed through REST
+payloads (`lakehouse_app_helpers.py:35`); these operators supply the
+time-series tier a production events pipeline needs. Both are
+single-scan shapes: the rollup reaggregates coarse tiers from fine
+tiers (never re-reading the fact table), the spine join builds the
+calendar from one aggregate row and explodes it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_app_spark.functions.compat import DEC
+from lakehouse_app_spark.registry import query
+from lakehouse_app_spark.sources.tables import load_tables
+
+
+@query(
+    "q_rollup_hypertable",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket_h,
+             count(*) AS n,
+             SUM(CAST(value AS DECIMAL(25,6))) AS v
+      FROM events GROUP BY 1
+    )
+    SELECT strftime(date_trunc('day', bucket_h), '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(SUM(v) AS DOUBLE) AS total_value,
+           round(CAST(SUM(v) AS DOUBLE) / SUM(n), 6) AS avg_value
+    FROM hourly GROUP BY 1
+    """,
+)
+def q_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-tier continuous-aggregate rollup: events → hourly buckets
+    → daily buckets computed FROM the hourly tier, never re-scanning
+    the raw facts — the TimescaleDB hypertable / Druid rollup
+    pattern. At 100 TB the hourly tier is a materialized incremental
+    table and the daily tier reads it (1/3600th the rows). Hourly
+    partial sums use exact decimal so re-aggregation order cannot
+    diverge between engines; the avg divides the same two exact
+    operands on both sides.
+    """
+    t = load_tables(spark, sf_dir)
+    hourly = t.events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket_h")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(DEC)).alias("v"),
+    )
+    return hourly.groupBy(
+        F.date_format(F.date_trunc("day", F.col("bucket_h")), "yyyy-MM-dd").alias(
+            "day"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("n").alias("n_events"),
+        F.sum("v").cast("double").alias("total_value"),
+        F.round(F.sum("v").cast("double") / F.sum("n"), 6).alias("avg_value"),
+    )
+
+
+@query(
+    "q_date_spine",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+      FROM events
+    ), spine AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      FROM bounds
+    ), daily AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+             CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                  AS BIGINT) AS purchases
+      FROM events GROUP BY 1
+    )
+    SELECT strftime(s.day, '%Y-%m-%d') AS day,
+           CAST(coalesce(d.n, 0) AS BIGINT) AS n_events,
+           coalesce(d.purchases, 0) AS purchases
+    FROM spine s LEFT JOIN daily d USING (day)
+    """,
+)
+def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense calendar spine with gap filling: every day between the
+    first and last event appears, zero-filled where no events landed
+    — the shape every reporting dashboard needs before charting.
+
+    The spine is built from a single min/max aggregate row via
+    ``sequence`` + ``explode`` (pure JVM generator, no driver loop),
+    then broadcast-joined to the daily aggregate: at any scale the
+    spine is |days| rows, so the join never shuffles the fact side
+    twice.
+    """
+    t = load_tables(spark, sf_dir)
+    spine = (
+        t.events.agg(
+            F.to_date(F.min("ts")).alias("d0"), F.to_date(F.max("ts")).alias("d1")
+        )
+        .select(
+            F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+        )
+    )
+    daily = t.events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
+    )
+    return (
+        spine.join(F.broadcast(daily), "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.coalesce("purchases", F.lit(0)).alias("purchases"),
+        )
+    )
