@@ -1,13 +1,19 @@
-"""TPC-H classic query shapes (Q3, Q5, Q10, Q18) on the testdata
-star schema.
+"""TPC-H classic query shapes (Q3, Q4, Q5, Q6, Q7, Q8, Q10, Q14,
+Q19, Q18, Q22) adapted to the testdata star schema (no partsupp; no
+l_commitdate/l_shipmode — Q2/Q9/Q11/Q12/Q15/Q16/Q20/Q21 need those
+columns and are out of reach of this dataset).
 
 These pin the composed plans a warehouse lives on: selective dim
-filter → fact joins → aggregate → top-k (Q3), a 6-way snowflake join
-with a cycle-closing equality (Q5), a returned-item customer ranking
-(Q10), and an IN-subquery over a grouped HAVING (Q18, which Catalyst
-turns into an aggregate + semi-join). Revenue/quantity sums use the
-exact-decimal contract so ORDER BY / HAVING boundaries are
-bit-identical across engines.
+filter → fact joins → aggregate → top-k (Q3), correlated EXISTS with
+a non-equi conjunct (Q4), a 6-way snowflake join with a
+cycle-closing equality (Q5), pure scan+filter+global agg (Q6),
+dual-aliased dimension with disjunctive cross-nation predicate (Q7),
+8-relation conditional-ratio market share (Q8), returned-item
+customer ranking (Q10), shuffle-free promo percentage (Q14),
+OR-of-conjunct-groups join predicate (Q19), grouped HAVING →
+semi-join (Q18), and scalar-subquery + anti-join (Q22). Revenue/
+quantity sums use the exact-decimal contract so ORDER BY / HAVING
+boundaries are bit-identical across engines.
 """
 
 from __future__ import annotations
@@ -187,4 +193,357 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
+    )
+
+
+@query(
+    "q_tpch_q6",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS DOUBLE)
+             AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 forecasting-revenue shape: pure scan + filter + global agg,
+    zero joins — the query that measures raw scan throughput. All
+    three predicates (date range, discount band, quantity cap) land
+    in the parquet PushedFilters, so at 100 TB the scan skips row
+    groups on l_shipdate min/max stats; no shuffle at all (partial
+    agg → single final row)."""
+    t = load_tables(spark, sf_dir)
+    li = t.lineitem.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "q_tpch_q7",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+             AS revenue
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 volume-shipping shape: two aliased copies of the nation dim
+    (supplier side and customer side) with a disjunctive cross-nation
+    predicate. Both nation joins broadcast; the OR over the two name
+    columns can only be applied after both joins, so Catalyst places
+    it as a post-broadcast-join filter — the canonical "predicate
+    spans two dimensions" plan. Year bucketing happens after the
+    joins on already-filtered rows."""
+    t = load_tables(spark, sf_dir)
+    n1 = t.nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t.nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t.supplier.join(t.lineitem, F.col("s_suppkey") == F.col("l_suppkey"))
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("l_year"))
+        .agg(dsum(revenue, "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q_tpch_q8",
+    oracle="""
+    SELECT l_year,
+           round(CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END
+                               AS DECIMAL(25,6))) AS DOUBLE)
+                 / CAST(SUM(CAST(volume AS DECIMAL(25,6))) AS DOUBLE), 6) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n1.n_name AS supp_nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      JOIN region   ON n2.n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'
+    ) nations
+    GROUP BY l_year
+    ORDER BY l_year
+    """,
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 national-market-share shape: the widest join tree in the
+    suite (part, lineitem, supplier, orders, customer, nation×2,
+    region = 8 relations) feeding a conditional-ratio aggregate.
+    part/supplier/nation/region broadcast; only orders⋈lineitem and
+    orders⋈customer shuffle. The share divides two exact-decimal
+    sums of the SAME volume expression, so both engines divide
+    bitwise-identical operands (round is cosmetic)."""
+    t = load_tables(spark, sf_dir)
+    n1 = t.nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t.nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
+    volume = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume")
+    base = (
+        F.broadcast(t.part.where(F.col("p_type") == "ECONOMY"))
+        .join(t.lineitem, F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(t.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            t.orders.where(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(t.region), F.col("n2_region") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "ASIA")
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("l_year"),
+            volume,
+            "supp_nation",
+        )
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_5", F.col("volume")).otherwise(0.0).cast(DEC)
+    ).cast("double")
+    den = F.sum(F.col("volume").cast(DEC)).cast("double")
+    return (
+        base.groupBy("l_year")
+        .agg(F.round(num / den, 6).alias("mkt_share"))
+        .orderBy("l_year")
+    )
+
+
+@query(
+    "q_tpch_q14",
+    oracle="""
+    SELECT round(
+             100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                                        THEN l_extendedprice * (1 - l_discount)
+                                        ELSE 0 END AS DECIMAL(25,6))) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE),
+             6) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 promotion-effect shape: month-scoped fact scan, broadcast
+    part join, single-row conditional-percentage aggregate. The
+    one-month shipdate band is the row-group pruning showcase — at
+    100 TB a shipdate-partitioned lineitem reads ~1/80th of its
+    files; the part side broadcasts so the whole plan is
+    shuffle-free (partial agg → 1 row)."""
+    t = load_tables(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        t.lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .join(F.broadcast(t.part.select("p_partkey", "p_type")),
+              F.col("l_partkey") == F.col("p_partkey"))
+    )
+    num = F.sum(
+        F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0).cast(DEC)
+    ).cast("double")
+    den = F.sum(rev.cast(DEC)).cast("double")
+    return joined.agg(F.round(F.lit(100.0) * num / den, 6).alias("promo_revenue_pct"))
+
+
+@query(
+    "q_tpch_q19",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+             AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 discounted-revenue shape: a disjunction of three conjunct
+    groups that each mix build-side (p_brand, p_size) and probe-side
+    (l_quantity) columns. Catalyst derives the single-side residuals
+    it CAN push (brand IN (...) to the part scan, quantity envelope
+    to the lineitem scan) and evaluates the full OR after the
+    broadcast join — the classic test that an engine doesn't fall
+    back to a cartesian plan on OR predicates."""
+    t = load_tables(spark, sf_dir)
+    g1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    )
+    g2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    )
+    g3 = (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        t.lineitem.join(
+            F.broadcast(t.part.select("p_partkey", "p_brand", "p_size")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .where(g1 | g2 | g3)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q22",
+    oracle="""
+    SELECT c_nationkey AS cntrycode,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_nationkey < 7
+      AND c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
+                              / count(*)
+                       FROM customer
+                       WHERE c_acctbal > 0.0 AND c_nationkey < 7)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1996-01-01'
+                        AND o_orderdate <  TIMESTAMP '1996-04-01')
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 global-sales-opportunity shape: scalar subquery (average
+    balance of positive-balance customers in-scope) feeding a filter,
+    then an anti-join against orders (scoped to 1996-Q1 — in this
+    dataset every customer has SOME order, so the classic "never
+    ordered" form is degenerately empty), then a grouped count/sum.
+    The scalar aggregate is one row — Spark plans it as a subquery
+    broadcast; the anti-join shuffles only customers that survive the
+    balance filter (a small fraction), with orders deduplicated to
+    its key column before the anti side at scale. The nationkey
+    stands in for TPC-H's phone country code."""
+    t = load_tables(spark, sf_dir)
+    in_scope = t.customer.where(F.col("c_nationkey") < 7)
+    avg_bal = (
+        in_scope.where(F.col("c_acctbal") > 0.0)
+        .agg((F.sum(F.col("c_acctbal").cast(DEC)).cast("double") / F.count(F.lit(1))).alias("a"))
+        .select("a")
+    )
+    rich = in_scope.join(F.broadcast(avg_bal)).where(F.col("c_acctbal") > F.col("a"))
+    q1_orders = t.orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    ).select("o_custkey")
+    no_orders = rich.join(
+        q1_orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti"
+    )
+    return (
+        no_orders.groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal", "totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+@query(
+    "q_tpch_q4",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 order-priority-checking shape (adapted: the testdata has no
+    l_commitdate/l_receiptdate, so the EXISTS predicate is "some line
+    shipped after the order date"). A correlated EXISTS with an extra
+    non-equi conjunct — Spark executes it as a left-semi join whose
+    condition carries both the key equality and the date inequality,
+    so the semi probe short-circuits on first match per order instead
+    of materializing the multiplicity."""
+    t = load_tables(spark, sf_dir)
+    scoped = t.orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    hit = scoped.join(
+        t.lineitem.select("l_orderkey", "l_shipdate"),
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return (
+        hit.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
     )
