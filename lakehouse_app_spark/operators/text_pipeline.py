@@ -1,0 +1,247 @@
+"""LLM-training-corpus pipeline operators: RAG chunking, n-gram
+language-model statistics, vocabulary coverage, and BM25 retrieval
+scoring over the documents table.
+
+Extends the reference's retrieval tier (`app/vector_search.py:24-33`
+retrieves whole documents; a production pipeline chunks first and
+ranks lexically as well as by embedding). Everything is built-in
+Catalyst expressions — sequence/explode generators and window
+aggregates, no Python in the hot path — so each operator is
+scan-local map work plus at most one hash-aggregate shuffle and
+scales linearly with corpus bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakehouse_app_spark.registry import query
+from lakehouse_app_spark.sources.tables import load_tables
+
+CHUNK = 120
+STRIDE = 90
+
+
+@query(
+    "q_chunk_documents",
+    oracle=f"""
+    SELECT doc_id,
+           i AS chunk_id,
+           substring(text, CAST(i * {STRIDE} + 1 AS INT), {CHUNK}) AS chunk,
+           CAST(length(substring(text, CAST(i * {STRIDE} + 1 AS INT), {CHUNK}))
+                AS BIGINT) AS chunk_len
+    FROM documents,
+         UNNEST(generate_series(0, CAST(greatest(0, (n_chars - 1) // {STRIDE})
+                                        AS BIGINT))) AS t(i)
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (120-char chunks, 90-char
+    stride = 25% overlap) — the pre-embedding step of every RAG
+    ingest. The chunk index is generated JVM-side with
+    ``sequence`` + ``explode`` (no Python, no driver loop); chunk
+    count derives from ``n_chars`` already in the row, so the
+    generator never re-measures the text. Embarrassingly parallel:
+    zero shuffles, output rows ≈ bytes/stride regardless of scale.
+    """
+    t = load_tables(spark, sf_dir)
+    last_idx = F.greatest(F.lit(0), F.floor((F.col("n_chars") - 1) / STRIDE)).cast(
+        "bigint"
+    )
+    return (
+        t.documents.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0).cast("bigint"), last_idx)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.expr(f"substring(text, CAST(chunk_id * {STRIDE} + 1 AS INT), {CHUNK})").alias(
+                "chunk"
+            ),
+        )
+        .withColumn("chunk_len", F.length("chunk").cast("bigint"))
+    )
+
+
+@query(
+    "q_bigram_lm",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents
+    ), pairs AS (
+      SELECT ts[i] AS w1, ts[i + 1] AS w2
+      FROM tok, UNNEST(generate_series(1, len(ts) - 1)) AS g(i)
+    )
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(count(*) AS DOUBLE)
+                 / CAST(SUM(count(*)) OVER (PARTITION BY w1) AS DOUBLE), 6)
+             AS cond_prob
+    FROM pairs GROUP BY w1, w2
+    """,
+)
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model table: corpus-wide (w1, w2) counts and
+    the conditional probability P(w2|w1) — the statistic behind
+    n-gram quality filters and perplexity screens. Adjacent pairs
+    are built with a JVM ``transform`` over token indices (one
+    higher-order expression, no self-join, no window over the
+    exploded tokens); the only shuffle is the final count
+    aggregation, whose cardinality is |vocab|² — tiny no matter the
+    corpus size. The normalizing sum is a window over that already-
+    aggregated table."""
+    t = load_tables(spark, sf_dir)
+    pairs = (
+        t.documents.select(F.split(F.lower(F.col("text")), " ").alias("ts"))
+        .where(F.size("ts") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ts) - 1),"
+                    " i -> struct(ts[i-1] AS w1, ts[i] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    counted = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("w1")
+    return counted.select(
+        "w1",
+        "w2",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w).cast("double"), 6
+        ).alias("cond_prob"),
+    )
+
+
+@query(
+    "q_vocab_coverage",
+    oracle="""
+    WITH counts AS (
+      SELECT w AS term, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+      GROUP BY w
+    )
+    SELECT term, n,
+           CAST(row_number() OVER (ORDER BY n DESC, term) AS BIGINT) AS rank,
+           round(CAST(SUM(n) OVER (ORDER BY n DESC, term
+                                   ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / CAST(SUM(n) OVER () AS DOUBLE), 6) AS cum_coverage
+    FROM counts
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary with cumulative corpus coverage —
+    the table a tokenizer-training run reads to pick a vocab size
+    ("top K terms cover X% of tokens"). Term counting is one
+    hash aggregate over exploded tokens (map-side partials make the
+    shuffle |vocab|-sized); the ranking windows then run on that
+    tiny aggregate, so the single-partition global window is safe at
+    any corpus scale."""
+    t = load_tables(spark, sf_dir)
+    counts = (
+        t.documents.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    order = Window.orderBy(F.col("n").desc(), F.col("term"))
+    return counts.select(
+        "term",
+        "n",
+        F.row_number().over(order).cast("bigint").alias("rank"),
+        F.round(
+            F.sum("n").over(order.rowsBetween(Window.unboundedPreceding, 0)).cast("double")
+            / F.sum("n").over(Window.partitionBy()).cast("double"),
+            6,
+        ).alias("cum_coverage"),
+    )
+
+
+BM25_TERMS = ("join", "scan")
+K1 = 1.2
+B = 0.75
+
+
+@query(
+    "q_bm25",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents
+    ), dl AS (
+      SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM tok
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ), tf AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(ts) AS w FROM tok)
+      WHERE w IN ('{BM25_TERMS[0]}', '{BM25_TERMS[1]}')
+      GROUP BY doc_id, w
+    ), df AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w
+    ), scored AS (
+      SELECT tf.doc_id,
+             ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+               * (tf * ({K1} + 1))
+               / (tf + {K1} * (1 - {B} + {B} * dl / avgdl)) AS s
+      FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN stats
+    )
+    SELECT doc_id, round(SUM(s), 6) AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical ranking for a 2-term query — the sparse-retrieval
+    complement to the engine's dense cosine top-k (`q_topk_cosine`);
+    a hybrid retriever unions both. Plan shape: one exploded-token
+    aggregate produces per-doc term frequencies for the query terms
+    ONLY (the IN filter prunes before the shuffle, and the doc
+    length rides through the explode so no N-row join comes back),
+    df and the corpus stats are one-row/tiny aggregates that
+    broadcast back,
+    and the final score is pure arithmetic + a top-20
+    TakeOrderedAndProject. The expression tree mirrors the oracle's
+    operand-for-operand so the doubles match bitwise."""
+    t = load_tables(spark, sf_dir)
+    tok = t.documents.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("ts")
+    )
+    dl = tok.select("doc_id", F.size("ts").cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        tok.select(
+            "doc_id",
+            F.size("ts").cast("bigint").alias("dl"),
+            F.explode("ts").alias("w"),
+        )
+        .where(F.col("w").isin(*BM25_TERMS))
+        .groupBy("doc_id", "dl", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    tf_norm = (F.col("tf") * (K1 + 1)) / (
+        F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "w")
+        .join(F.broadcast(stats))
+        .select("doc_id", (idf * tf_norm).alias("s"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
