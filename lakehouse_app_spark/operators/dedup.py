@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lakehouse_app_spark.registry import query
@@ -40,11 +40,13 @@ def rep_docs(docs: DataFrame) -> DataFrame:
     fp = F.array_join(
         F.array_sort(F.array_distinct(F.split(F.col("text"), " "))), " "
     )
-    w = Window.partitionBy("fp").orderBy("doc_id")
     return (
         docs.select("doc_id", "text", fp.alias("fp"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("text", "doc_id").alias("text"),
+        )
         .select("doc_id", "text")
     )
 
@@ -191,9 +193,11 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys, never document text.
     """
     t = load_tables(spark, sf_dir)
+    # shingles feed the signature pass AND three verification
+    # consumers (both join sides + sizes) — persist, don't re-explode
     toks = rep_docs(t.documents).select(
         "doc_id", F.explode(word_shingles(3)).alias("token")
-    )
+    ).persist()
     sig = toks.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64(F.lit(i), F.col("token"))).alias(f"h{i}")
@@ -210,7 +214,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for j in range(N_HASHES // BAND_SIZE)
     ]
-    buckets = reduce(DataFrame.unionAll, bands)
+    buckets = reduce(DataFrame.unionAll, bands).persist()
     a = buckets.select(F.col("doc_id").alias("a_id"), "band", "bucket")
     b = buckets.select(F.col("doc_id").alias("b_id"), "band", "bucket")
     cand = (
@@ -247,40 +251,32 @@ HAMMING_MAX = 8
 
 def simhash(df: DataFrame) -> DataFrame:
     """63-bit SimHash per doc from shingle-frequency-weighted hash bits,
-    entirely in Catalyst expressions (explode bits → signed sums →
-    bit reassembly)."""
-    tok_cnt = (
-        df.select("doc_id", F.explode(word_shingles(3)).alias("token"))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("th", F.xxhash64("token"))
+    entirely in Catalyst expressions (63 conditional-sum aggregate
+    columns in one pass → bit reassembly)."""
+    # word_shingles is array_distinct'd, so every (doc, shingle) is
+    # unique — votes are ±1 per shingle, no tf-weighting groupBy
+    # needed. One hash-aggregate pass with 63 conditional-sum columns
+    # beats exploding |shingles|×63 vote rows (40M+ at sf0.1) through
+    # two extra shuffles — the aggregate is map-side-combined per doc
+    tok_h = df.select(
+        "doc_id", F.explode(word_shingles(3)).alias("token")
+    ).select("doc_id", F.xxhash64("token").alias("th"))
+    votes = tok_h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1),
+                ).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(SIMHASH_BITS)
+        ]
     )
-    bit_votes = (
-        tok_cnt.select(
-            "doc_id",
-            "cnt",
-            "th",
-            F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
-        )
-        .select(
-            "doc_id",
-            "b",
-            F.when(
-                F.expr("shiftright(th, b)").bitwiseAND(F.lit(1)) == 1,
-                F.col("cnt"),
-            )
-            .otherwise(-F.col("cnt"))
-            .alias("vote"),
-        )
-        .groupBy("doc_id", "b")
-        .agg(F.sum("vote").alias("v"))
-    )
-    return bit_votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)"))
-            .otherwise(F.lit(0).cast("long"))
-        ).alias("sh")
-    )
+    bit = lambda b: F.when(  # noqa: E731
+        F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    sh = reduce(lambda x, y: x + y, [bit(b) for b in range(SIMHASH_BITS)])
+    return votes.select("doc_id", sh.alias("sh"))
 
 
 @query("q_dedup_simhash")  # rows-only: hash-seeded signatures
@@ -292,7 +288,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     on (chunk_id, chunk_value), then exact hamming via bit_count(xor).
     """
     t = load_tables(spark, sf_dir)
-    sh = simhash(rep_docs(t.documents))
+    # the signature table feeds both self-join sides — persist it or
+    # the whole shingle→vote pipeline executes twice
+    sh = simhash(rep_docs(t.documents)).persist()
     chunks = reduce(
         DataFrame.unionAll,
         [
@@ -343,7 +341,7 @@ def q_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = NGram(n=3, inputCol="words", outputCol="grams").transform(tokenized)
     tf = HashingTF(
         inputCol="grams", outputCol="features", numFeatures=1 << 17, binary=True
-    ).transform(grams)
+    ).transform(grams).persist()
     model = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=8, seed=42
     ).fit(tf)
