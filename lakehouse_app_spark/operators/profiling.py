@@ -1,0 +1,331 @@
+"""Dataset profiling, sampling, the SQL entry surface, and an
+iterative graph algorithm (PageRank).
+
+Profiling generalizes the reference's implicit "what's in this
+table" needs (its console `list()` path, `lakehouse_app_helpers.py:
+101-124`, only enumerates apps; an analytics engine profiles data).
+The SQL interface demonstrates that every registered table is a temp
+view, so users can bypass the DataFrame API entirely — the engine's
+`spark.sql` surface IS the product for SQL-first users.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_app_spark.registry import query
+from lakehouse_app_spark.sources.tables import load_tables
+
+# ---------------------------------------------------------------- profile
+
+
+@query(
+    "q_profile_table",
+    oracle="""
+    SELECT 'o_orderkey' AS col,
+           CAST(count(o_orderkey) AS BIGINT) AS n_nonnull,
+           CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_s,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_s
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(count(o_custkey) AS BIGINT),
+           CAST(count(*) - count(o_custkey) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT),
+           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(count(o_orderstatus) AS BIGINT),
+           CAST(count(*) - count(o_orderstatus) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(count(o_totalprice) AS BIGINT),
+           CAST(count(*) - count(o_totalprice) AS BIGINT),
+           CAST(count(DISTINCT o_totalprice) AS BIGINT),
+           CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+           CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', CAST(count(o_orderdate) AS BIGINT),
+           CAST(count(*) - count(o_orderdate) AS BIGINT),
+           CAST(count(DISTINCT o_orderdate) AS BIGINT),
+           strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+           strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(count(o_orderpriority) AS BIGINT),
+           CAST(count(*) - count(o_orderpriority) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    """,
+)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of `orders`: per-column non-null /
+    null / exact-distinct counts and min/max (rendered to strings
+    with type-stable formatting — DECIMAL(18,2) for doubles,
+    second-resolution timestamps — so cross-engine text is
+    identical). All six columns profile in ONE scan: a single
+    aggregate computes every stat (Catalyst plans the multiple
+    DISTINCTs via one Expand), then `stack` unpivots the 1×36 row to
+    6 rows. At 100 TB, swap exact distinct for HLL and this is the
+    standard table-health job."""
+    t = load_tables(spark, sf_dir)
+
+    def str_of(c: str, kind: str, agg) -> F.Column:
+        col = agg(c)
+        if kind == "num2":
+            return col.cast("decimal(18,2)").cast("string")
+        if kind == "ts":
+            return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+        return col.cast("string")
+
+    cols = [
+        ("o_orderkey", "int"),
+        ("o_custkey", "int"),
+        ("o_orderstatus", "str"),
+        ("o_totalprice", "num2"),
+        ("o_orderdate", "ts"),
+        ("o_orderpriority", "str"),
+    ]
+    aggs = []
+    for c, kind in cols:
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nu"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            str_of(c, kind, F.min).alias(f"{c}__mn"),
+            str_of(c, kind, F.max).alias(f"{c}__mx"),
+        ]
+    wide = t.orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nn, {c}__nu, {c}__nd, {c}__mn, {c}__mx" for c, _ in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS"
+            " (col, n_nonnull, n_null, n_distinct, min_s, max_s)"
+        )
+    )
+
+
+# ---------------------------------------------------------------- quantiles
+
+
+@query(
+    "q_quantiles",
+    oracle="""
+    WITH q AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice,
+                           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, CAST(d AS INT) AS decile, round(qs[d], 6) AS value
+    FROM q, UNNEST(generate_series(1, 9)) AS t(d)
+    """,
+)
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated deciles of order value per priority class —
+    the distribution table behind SLA dashboards and skew checks.
+    Spark's `percentile` evaluates all nine quantiles in one sort per
+    group (one aggregate, the array is computed once); `posexplode`
+    fans the array to rows. Both engines use the same linear
+    interpolation (type-7), so values match to 6 dp. At 100 TB you'd
+    swap in `approx_percentile` with a bounded error — same plan,
+    sketch instead of sort."""
+    t = load_tables(spark, sf_dir)
+    qs = F.expr(
+        "percentile(o_totalprice, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))"
+    )
+    return (
+        t.orders.groupBy("o_orderpriority")
+        .agg(qs.alias("qs"))
+        .select(
+            "o_orderpriority", F.posexplode("qs").alias("pos", "v")
+        )
+        .select(
+            "o_orderpriority",
+            (F.col("pos") + 1).cast("int").alias("decile"),
+            F.round("v", 6).alias("value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- sampling
+
+
+@query(
+    "q_sample_stratified",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2)
+          < CASE WHEN o_orderpriority = '1-URGENT' THEN '1a' ELSE '05' END
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified reproducible sampling: ~10% of urgent orders, ~2% of
+    everything else, selected by md5-prefix of the key rather than an
+    RNG — the same rows come back from any engine, any partitioning,
+    any run (the property a train/eval split must have). Pure
+    scan-local filter: no shuffle, no state, trivially parallel at
+    any scale; per-stratum rates are just a CASE over the hash
+    threshold."""
+    t = load_tables(spark, sf_dir)
+    threshold = F.when(F.col("o_orderpriority") == "1-URGENT", "1a").otherwise("05")
+    return t.orders.where(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2) < threshold
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice")
+
+
+# ---------------------------------------------------------------- SQL surface
+
+_SQL_NATION_SHARE = """
+    WITH rev AS (
+      SELECT n_name,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
+                  AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      GROUP BY n_name
+    )
+    SELECT n_name, revenue,
+           round(revenue
+                 / CAST(SUM(CAST(revenue AS DECIMAL(25,6))) OVER () AS DOUBLE),
+                 6) AS share
+    FROM rev
+"""
+
+
+@query("q_sql_interface", oracle=_SQL_NATION_SHARE)
+def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry surface: the IDENTICAL ANSI text runs on Spark
+    (via the temp views `load_tables` registers) and on DuckDB as its
+    own oracle — one string, two engines, hash-equal results. This is
+    the contract that makes the engine drop-in for SQL-first users:
+    revenue per nation plus its global share via a windowed total
+    (decimal-exact so the window sum is order-insensitive)."""
+    t = load_tables(spark, sf_dir)  # registers temp views
+    return spark.sql(_SQL_NATION_SHARE)
+
+
+# ---------------------------------------------------------------- pagerank
+
+PR_ITERS = 3
+DAMP = 0.85
+
+
+def _pr_oracle() -> str:
+    """Unrolled fixed-iteration PageRank in pure SQL (DuckDB side).
+
+    Each iteration's incoming-mass sum is decimal-exact (order-
+    insensitive) so the recurrence stays bit-identical across
+    engines; dangling mass is ignored (every node in this graph has
+    out-edges, and the spec is identical on both sides regardless).
+    """
+    base = """
+    WITH tok AS (
+      SELECT string_split(lower(text), ' ') AS ts FROM documents
+    ), pairs AS (
+      SELECT ts[i] AS w1, ts[i + 1] AS w2
+      FROM tok, UNNEST(generate_series(1, len(ts) - 1)) AS g(i)
+    ), edges AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS wt FROM pairs GROUP BY 1, 2
+    ), outw AS (
+      SELECT w1, CAST(SUM(wt) AS BIGINT) AS tot FROM edges GROUP BY 1
+    ), e AS (
+      SELECT edges.w1, edges.w2, edges.wt, outw.tot
+      FROM edges JOIN outw ON edges.w1 = outw.w1
+    ), nodes AS (
+      SELECT w1 AS node FROM edges UNION SELECT w2 FROM edges
+    ), cnt AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM nodes
+    ), r0 AS (
+      SELECT node, 1.0 / n AS r FROM nodes CROSS JOIN cnt
+    )"""
+    prev = "r0"
+    for k in range(1, PR_ITERS + 1):
+        base += f""", r{k} AS (
+      SELECT nodes.node,
+             0.15 / n + {DAMP} * coalesce(s.m, 0.0) AS r
+      FROM nodes CROSS JOIN cnt
+      LEFT JOIN (
+        SELECT e.w2 AS node,
+               CAST(SUM(CAST({prev}.r * e.wt / e.tot AS DECIMAL(25,12)))
+                    AS DOUBLE) AS m
+        FROM e JOIN {prev} ON e.w1 = {prev}.node
+        GROUP BY e.w2
+      ) s ON s.node = nodes.node
+    )"""
+        prev = f"r{k}"
+    return base + f"""
+    SELECT node, round(r, 6) AS pagerank FROM {prev}
+    """
+
+
+@query("q_pagerank", oracle=_pr_oracle())
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the word-bigram transition graph, three
+    synchronous iterations — the iterative-algorithm shape (shared
+    edge table, loop of join + aggregate) that also covers label
+    propagation and embedding-graph ranking. The edge table is built
+    once and persisted; each iteration shuffles only |nodes| rank
+    rows, never the corpus. The oracle is the SAME recurrence
+    unrolled as SQL, with each iteration's mass sum decimal-exact so
+    accumulation order can't diverge between engines."""
+    t = load_tables(spark, sf_dir)
+    pairs = (
+        t.documents.select(F.split(F.lower(F.col("text")), " ").alias("ts"))
+        .where(F.size("ts") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ts) - 1),"
+                    " i -> struct(ts[i-1] AS w1, ts[i] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    edges = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("wt"))
+    outw = edges.groupBy("w1").agg(F.sum("wt").alias("tot"))
+    e = edges.join(outw, "w1").persist()
+    nodes = (
+        edges.select(F.col("w1").alias("node"))
+        .union(edges.select("w2"))
+        .distinct()
+        .persist()
+    )
+    cnt = nodes.agg(F.count(F.lit(1)).alias("n"))
+    r = nodes.crossJoin(F.broadcast(cnt)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(PR_ITERS):
+        mass = (
+            e.join(r, e["w1"] == r["node"])
+            .select(
+                F.col("w2").alias("node"),
+                (F.col("r") * F.col("wt") / F.col("tot")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum(F.col("c").cast("decimal(25,12)")).cast("double").alias("m"))
+        )
+        r = (
+            nodes.crossJoin(F.broadcast(cnt))
+            .join(mass, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(0.15) / F.col("n")
+                    + F.lit(DAMP) * F.coalesce("m", F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    return r.select("node", F.round("r", 6).alias("pagerank"))
