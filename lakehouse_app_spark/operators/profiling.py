@@ -329,3 +329,70 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return r.select("node", F.round("r", 6).alias("pagerank"))
+
+
+# ---------------------------------------------------------------- entropy/KL
+
+
+@query(
+    "q_entropy_kl",
+    oracle="""
+    WITH sl AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2
+    ), stot AS (
+      SELECT source, CAST(SUM(n) AS BIGINT) AS s_n FROM sl GROUP BY 1
+    ), ltot AS (
+      SELECT lang, CAST(SUM(n) AS BIGINT) AS l_n FROM sl GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS t_n FROM sl
+    )
+    SELECT sl.source,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           round(CAST(SUM(CAST(-(n / s_n) * ln(n / s_n) AS DECIMAL(25,12)))
+                      AS DOUBLE), 6) AS entropy,
+           round(CAST(SUM(CAST((n / s_n) * ln((n / s_n) / (l_n / t_n))
+                               AS DECIMAL(25,12))) AS DOUBLE), 6) AS kl_vs_corpus
+    FROM sl
+    JOIN stot ON sl.source = stot.source
+    JOIN ltot ON sl.lang = ltot.lang
+    CROSS JOIN tot
+    GROUP BY sl.source
+    """,
+)
+def q_entropy_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift metrics per document source: Shannon entropy
+    of its language mix and KL divergence against the corpus-wide
+    language distribution — the statistical test a training-data
+    pipeline runs to catch a source whose composition shifted. One
+    (source, lang) aggregate feeds everything; the marginals are tiny
+    re-aggregations of that table (never a second corpus scan) that
+    broadcast back. Per-group term sums are decimal-exact so the
+    few-term float accumulation can't diverge between engines."""
+    t = load_tables(spark, sf_dir)
+    sl = (
+        t.documents.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    stot = sl.groupBy("source").agg(F.sum("n").alias("s_n"))
+    ltot = sl.groupBy("lang").agg(F.sum("n").alias("l_n"))
+    tot = sl.agg(F.sum("n").alias("t_n"))
+    p = F.col("n") / F.col("s_n")
+    q = F.col("l_n") / F.col("t_n")
+    dec = "decimal(25,12)"
+    return (
+        sl.join(stot, "source")
+        .join(F.broadcast(ltot), "lang")
+        .join(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.sum("n").alias("n_docs"),
+            F.round(
+                F.sum((-p * F.log(p)).cast(dec)).cast("double"), 6
+            ).alias("entropy"),
+            F.round(
+                F.sum((p * F.log(p / q)).cast(dec)).cast("double"), 6
+            ).alias("kl_vs_corpus"),
+        )
+    )

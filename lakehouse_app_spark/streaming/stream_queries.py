@@ -368,3 +368,40 @@ def q_stream_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_to_memory(stateful, "user_state", output_mode="update")
+
+
+@query(
+    "q_stream_topk",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY total_value DESC, user_id
+    LIMIT 10
+    """,
+)
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k leaderboard: running per-user totals ranked and
+    truncated to the 10 biggest spenders — the live-dashboard shape.
+    Sorting a streaming aggregate is legal only in COMPLETE output
+    mode (the sink re-emits the full ranked table each trigger), which
+    is the one output mode the other stream queries don't exercise.
+    State is one row per user; the sort runs over the aggregate's
+    output, never the raw stream. Oracle = the batch duality query.
+    """
+    load_tables(spark, sf_dir)
+    stream = events_stream(spark, sf_dir)
+    ranked = (
+        stream.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .orderBy(F.col("total_value").desc(), F.col("user_id"))
+        .limit(10)
+    )
+    return run_to_memory(ranked, "topk", output_mode="complete")
