@@ -196,3 +196,63 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     adj.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------- z-order
+
+ZBITS = 16
+
+
+def _z_sql(xc: str, yc: str) -> str:
+    terms = []
+    for b in range(ZBITS):
+        terms.append(f"((({xc} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({yc} >> {b}) & 1) << {2 * b + 1})")
+    return " | ".join(terms)
+
+
+@query(
+    "q_zorder_stats",
+    oracle=f"""
+    WITH z AS (
+      SELECT l_partkey, l_suppkey,
+             ({_z_sql('l_partkey', 'l_suppkey')}) AS zval
+      FROM lineitem
+    )
+    SELECT CAST(zval >> 16 AS BIGINT) AS zbucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(l_partkey) AS BIGINT) AS pk_lo,
+           CAST(max(l_partkey) AS BIGINT) AS pk_hi,
+           CAST(min(l_suppkey) AS BIGINT) AS sk_lo,
+           CAST(max(l_suppkey) AS BIGINT) AS sk_hi
+    FROM z GROUP BY 1
+    """,
+)
+def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering audit: interleave the bits of
+    (l_partkey, l_suppkey), bucket by the z-prefix, and report each
+    bucket's min/max range in BOTH dimensions — exactly the file-
+    level statistics a writer laid out by `zorder_key` would expose
+    to scan pruning. The ranges demonstrate the layout property:
+    every z-bucket is tight in partkey AND suppkey simultaneously,
+    so a predicate on either column skips most buckets (Delta's
+    OPTIMIZE ZORDER, as one sort expression on write — see
+    sources/sinks.py:zorder_key). Pure shift/mask arithmetic, no
+    UDF; identical expressions on both engines."""
+    from lakehouse_app_spark.sources.sinks import zorder_key
+
+    t = load_tables(spark, sf_dir)
+    z = t.lineitem.select(
+        "l_partkey",
+        "l_suppkey",
+        zorder_key("l_partkey", "l_suppkey", bits=ZBITS).alias("zval"),
+    )
+    return z.groupBy(
+        F.shiftright("zval", 16).cast("bigint").alias("zbucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_partkey").cast("bigint").alias("pk_lo"),
+        F.max("l_partkey").cast("bigint").alias("pk_hi"),
+        F.min("l_suppkey").cast("bigint").alias("sk_lo"),
+        F.max("l_suppkey").cast("bigint").alias("sk_hi"),
+    )

@@ -77,3 +77,50 @@ def compact_table(
         df = df.coalesce(target_files)
     df.write.format(fmt).mode("overwrite").save(dst)
     return spark.read.format(fmt).load(dst)
+
+
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    fmt: str = "parquet",
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions
+    present in ``df``, leaving sibling partitions untouched — the
+    idempotent daily-reload primitive (INSERT OVERWRITE ... PARTITION
+    semantics). Static overwrite mode would truncate the whole table;
+    dynamic mode scopes the delete to partitions the job actually
+    produced, so a one-day backfill over a 5-year table rewrites
+    1/1800th of the data."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.format(fmt).mode("overwrite").partitionBy(*partition_by).save(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def zorder_key(x, y, bits: int = 16):
+    """Morton (Z-order) interleave of two non-negative int columns —
+    the multi-dimensional clustering key. Sorting a table by this key
+    before writing gives range-localized files in BOTH dimensions, so
+    min/max file statistics prune selective predicates on either
+    column (the Delta OPTIMIZE ZORDER layout, as a plain expression).
+    Pure bit arithmetic: shifts/masks only, no UDF."""
+    from pyspark.sql import functions as F
+
+    xx = F.col(x) if isinstance(x, str) else x
+    yy = F.col(y) if isinstance(y, str) else y
+    parts = []
+    for b in range(bits):
+        parts.append(
+            F.shiftleft(F.shiftright(xx, b).bitwiseAND(F.lit(1)), 2 * b)
+        )
+        parts.append(
+            F.shiftleft(F.shiftright(yy, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.bitwiseOR(p)
+    return out

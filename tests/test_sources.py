@@ -159,3 +159,69 @@ def test_schema_evolution_merge(spark, tmp_path):
     assert set(merged.columns) == {"id", "name", "score"}
     rows = {r["id"]: r["score"] for r in merged.collect()}
     assert rows[2] == 9.5 and rows[1] is None
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched(spark, sf_dir, tmp_path):
+    """overwrite_partitions replaces the partitions in the incoming
+    frame and leaves every sibling partition byte-identical."""
+    from lakehouse_app_spark.sources.sinks import overwrite_partitions
+
+    t = load_tables(spark, sf_dir)
+    out = str(tmp_path / "orders_by_priority")
+    write_table(t.orders, out, partition_by=["o_orderpriority"])
+    before = (
+        read_table(spark, out)
+        .groupBy("o_orderpriority")
+        .count()
+        .toPandas()
+        .set_index("o_orderpriority")["count"]
+        .to_dict()
+    )
+    # reload ONE priority with a halved subset
+    one = t.orders.where(F.col("o_orderpriority") == "1-URGENT").where(
+        F.col("o_orderkey") % 2 == 0
+    )
+    n_one = one.count()
+    overwrite_partitions(one, out, partition_by=["o_orderpriority"])
+    after = (
+        read_table(spark, out)
+        .groupBy("o_orderpriority")
+        .count()
+        .toPandas()
+        .set_index("o_orderpriority")["count"]
+        .to_dict()
+    )
+    assert after["1-URGENT"] == n_one != before["1-URGENT"]
+    for k, v in before.items():
+        if k != "1-URGENT":
+            assert after[k] == v  # untouched partitions intact
+
+
+def test_zorder_layout_prunes_secondary_dimension(spark, sf_dir):
+    """The property that justifies z-order: after range-splitting the
+    sorted table into file-sized chunks, a partkey-only sort leaves
+    every chunk spanning the FULL suppkey domain (a suppkey predicate
+    prunes nothing), while the Morton layout bounds the suppkey range
+    of most chunks too — both dimensions become prunable from file
+    min/max stats."""
+    from lakehouse_app_spark.sources.sinks import zorder_key
+
+    t = load_tables(spark, sf_dir)
+    li = t.lineitem.select("l_partkey", "l_suppkey")
+
+    def avg_suppkey_extent(sorted_df):
+        chunked = sorted_df.withColumn(
+            "chunk", F.floor(F.monotonically_increasing_id() / 50)
+        )
+        return (
+            chunked.groupBy("chunk")
+            .agg((F.max("l_suppkey") - F.min("l_suppkey")).alias("ds"))
+            .agg(F.avg("ds"))
+            .collect()[0][0]
+        )
+
+    z_ds = avg_suppkey_extent(
+        li.orderBy(zorder_key("l_partkey", "l_suppkey")).coalesce(1)
+    )
+    lin_ds = avg_suppkey_extent(li.orderBy("l_partkey").coalesce(1))
+    assert z_ds < lin_ds * 0.8
