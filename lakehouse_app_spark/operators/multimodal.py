@@ -122,3 +122,55 @@ def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle can verify the UDF's byte math in pure SQL."""
     t = load_tables(spark, sf_dir)
     return byte_features(attach_media_columns(t.documents))
+
+
+@query(
+    "q_media_frames",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, text, n_chars FROM documents WHERE n_chars >= 35
+    ), f AS (
+      SELECT doc_id AS media_id, CAST(j AS INT) AS frame_idx,
+             CAST(j * greatest((n_chars - 32) // 3, 1) AS BIGINT) AS off
+      FROM m, UNNEST(generate_series(0, 3)) AS t(j)
+    )
+    SELECT f.media_id, f.frame_idx,
+           CAST(ord(substring(m.text, off + 1, 1)) AS INT) AS first_byte,
+           CAST(list_aggregate(
+                  list_transform(range(1, 33),
+                                 i -> ord(substring(m.text, off + i, 1))),
+                  'sum') AS BIGINT) AS checksum
+    FROM f JOIN m ON m.doc_id = f.media_id
+    """,
+)
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out: each opaque media payload explodes to 4
+    evenly spaced fixed-size frames inside ONE `mapInPandas` pass —
+    the video keyframe-extraction shape (1 row in, N small rows out,
+    payload bytes never shuffled). The deterministic sampler
+    (`sample_frames`) stands in for the codec; per-frame first-byte +
+    checksum make the fan-out byte-exactly verifiable in SQL. At
+    100 TB the per-frame features are ~1/1000th the payload bytes,
+    so everything downstream of this operator shuffles features, not
+    media."""
+    import numpy as np
+
+    t = load_tables(spark, sf_dir)
+    media = attach_media_columns(t.documents.where(F.col("n_chars") >= 35))
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "first_byte": [], "checksum": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for j, fr in enumerate(sample_frames(bytes(payload), 4, 32)):
+                    a = np.frombuffer(fr, dtype=np.uint8)
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(j)
+                    out["first_byte"].append(int(a[0]))
+                    out["checksum"].append(int(a.sum()))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        frames,
+        schema="media_id long, frame_idx int, first_byte int, checksum long",
+    )

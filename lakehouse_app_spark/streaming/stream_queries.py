@@ -405,3 +405,12 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
     )
     return run_to_memory(ranked, "topk", output_mode="complete")
+
+
+# NOTE: Spark 4's transformWithStateInPandas (the
+# applyInPandasWithState successor with timers/TTL/composite state)
+# is NOT declared here: its Python worker requires google.protobuf,
+# which is not importable in this environment. Custom per-key state
+# is covered by q_stream_user_state (applyInPandasWithState); at
+# deployment, porting that processor to a StatefulProcessor is
+# mechanical.
