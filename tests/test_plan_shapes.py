@@ -72,3 +72,58 @@ def test_scan_count_is_metadata_only(spark, sf_dir):
 def test_whole_stage_codegen_covers_filter(spark, sf_dir):
     # formatted explain marks codegen spans as "[codegen id : N]"
     assert_in_plan(QUERIES["q_filter_pred"](spark, sf_dir), "codegen id")
+
+
+def test_tpch_q5_broadcasts_all_dims(spark, sf_dir):
+    """Q5's snowflake: supplier/nation/region broadcast; only the two
+    fact joins (orders, lineitem) may shuffle."""
+    plan = formatted_plan(QUERIES["q_tpch_q5"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_tpch_q6_pushes_all_predicates_no_shuffle_join(spark, sf_dir):
+    """Q6 is scan+filter+global agg: date/discount/quantity predicates
+    reach the parquet reader; the plan contains no join at all."""
+    df = QUERIES["q_tpch_q6"](spark, sf_dir)
+    pf = pushed_filters(df)
+    assert "l_shipdate" in pf and "l_discount" in pf and "l_quantity" in pf, pf
+    assert "Join" not in formatted_plan(df)
+
+
+def test_tpch_q14_is_shuffle_free_but_one_agg_exchange(spark, sf_dir):
+    """Q14: broadcast part join + single-row agg — the only exchange
+    is the final single-partition gather for the global aggregate."""
+    plan = formatted_plan(QUERIES["q_tpch_q14"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_q22_anti_join_and_scalar_subquery(spark, sf_dir):
+    plan = formatted_plan(QUERIES["q_tpch_q22"](spark, sf_dir))
+    assert "LeftAnti" in plan, plan
+
+
+def test_bm25_stays_jvm_until_done(spark, sf_dir):
+    """BM25 is pure expressions + joins: no Python eval nodes."""
+    plan = formatted_plan(QUERIES["q_bm25"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_chunking_has_no_shuffle(spark, sf_dir):
+    """Document chunking is generate+project only: no Exchange."""
+    plan = formatted_plan(QUERIES["q_chunk_documents"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "Generate" in plan, plan
+
+
+def test_date_spine_broadcasts_daily_aggregate(spark, sf_dir):
+    plan = formatted_plan(QUERIES["q_date_spine"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_lateral_topk_decorrelates_to_window(spark, sf_dir):
+    """The correlated LATERAL LIMIT 1 must become a set-based ranked
+    plan (window/group-limit), not a per-row nested loop."""
+    plan = formatted_plan(QUERIES["q_lateral_topk"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert ("Window" in plan) or ("WindowGroupLimit" in plan), plan

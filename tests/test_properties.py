@@ -89,3 +89,100 @@ def test_sessionize_gap_boundary(spark):
     out = {r["event_id"]: r["session_id"] for r in sessionize(df, 30).collect()}
     assert out[1] == out[2], "exactly-30min gap must NOT split (strict >)"
     assert out[3] == out[2] + 1
+
+
+def test_chunking_covers_every_byte(spark, sf_dir):
+    """Every character position of every document is inside at least
+    one chunk (stride < chunk size ⇒ full coverage), and consecutive
+    chunks overlap by exactly chunk - stride except at the tail."""
+    from lakehouse_app_spark import QUERIES
+
+    chunks = QUERIES["q_chunk_documents"](spark, sf_dir)
+    t = load_tables(spark, sf_dir)
+    covered = chunks.groupBy("doc_id").agg(
+        F.max(F.col("chunk_id") * 90 + F.col("chunk_len")).alias("covered")
+    )
+    joined = covered.join(t.documents.select("doc_id", "n_chars"), "doc_id")
+    assert joined.where(F.col("covered") < F.col("n_chars")).count() == 0
+
+
+def test_pagerank_is_a_distribution(spark, sf_dir):
+    """Ranks are positive and sum to ~1 (no dangling nodes in this
+    graph, so mass is conserved up to the per-iteration rounding)."""
+    from lakehouse_app_spark import QUERIES
+
+    rows = QUERIES["q_pagerank"](spark, sf_dir).collect()
+    total = sum(r["pagerank"] for r in rows)
+    assert all(r["pagerank"] > 0 for r in rows)
+    assert abs(total - 1.0) < 1e-3, total
+
+
+def test_bigram_probs_normalize(spark, sf_dir):
+    """P(w2|w1) sums to 1 within each w1 (up to output rounding)."""
+    from lakehouse_app_spark import QUERIES
+
+    df = QUERIES["q_bigram_lm"](spark, sf_dir)
+    sums = df.groupBy("w1").agg(F.sum("cond_prob").alias("s")).collect()
+    assert all(abs(r["s"] - 1.0) < 1e-3 for r in sums)
+
+
+def test_bm25_contains_term_docs_only(spark, sf_dir):
+    """Every scored doc actually contains at least one query term, and
+    scores are positive."""
+    from lakehouse_app_spark import QUERIES
+
+    t = load_tables(spark, sf_dir)
+    hits = QUERIES["q_bm25"](spark, sf_dir)
+    joined = hits.join(t.documents, hits["doc_id"] == t.documents["doc_id"])
+    bad = joined.where(
+        ~F.col("text").contains("join") & ~F.col("text").contains("scan")
+    ).count()
+    assert bad == 0
+    assert hits.where(F.col("bm25") <= 0).count() == 0
+
+
+def test_sample_stratified_rates(spark, sf_dir):
+    """Urgent stratum samples at ~5x the rate of the others (26/256 vs
+    5/256) — verify the realized rates land in generous windows."""
+    from lakehouse_app_spark import QUERIES
+
+    t = load_tables(spark, sf_dir)
+    totals = {
+        r["o_orderpriority"]: r["count"]
+        for r in t.orders.groupBy("o_orderpriority").count().collect()
+    }
+    sampled = {
+        r["o_orderpriority"]: r["count"]
+        for r in QUERIES["q_sample_stratified"](spark, sf_dir)
+        .groupBy("o_orderpriority")
+        .count()
+        .collect()
+    }
+    urgent_rate = sampled.get("1-URGENT", 0) / totals["1-URGENT"]
+    other = sum(v for k, v in sampled.items() if k != "1-URGENT") / sum(
+        v for k, v in totals.items() if k != "1-URGENT"
+    )
+    assert 0.05 < urgent_rate < 0.16, urgent_rate
+    assert 0.005 < other < 0.045, other
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """Salting is a pure physical rewrite: row multiset identical to
+    the unsalted join."""
+    from lakehouse_app_spark.operators.joins import salted_join
+
+    t = load_tables(spark, sf_dir)
+    plain = t.lineitem.join(
+        t.orders.select("o_orderkey", "o_orderpriority"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select("l_orderkey", "l_linenumber", "o_orderpriority")
+    salted = salted_join(
+        t.lineitem,
+        t.orders.select("o_orderkey", "o_orderpriority"),
+        skewed_key="l_orderkey",
+        small_key="o_orderkey",
+        n_salts=4,
+        salt_src=F.struct("l_orderkey", "l_linenumber"),
+    ).select("l_orderkey", "l_linenumber", "o_orderpriority")
+    assert plain.count() == salted.count()
+    assert plain.exceptAll(salted).count() == 0
