@@ -245,3 +245,104 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
+
+
+# ------------------------------------------------------------- hybrid RRF
+
+RRF_K = 60
+
+
+@query(
+    "q_hybrid_retrieve",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents
+    ), dl AS (
+      SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM tok
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ), tf AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(ts) AS w FROM tok)
+      WHERE w IN ('{BM25_TERMS[0]}', '{BM25_TERMS[1]}')
+      GROUP BY doc_id, w
+    ), df AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w
+    ), sparse_scored AS (
+      SELECT tf.doc_id, round(SUM(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                 * (tf * ({K1} + 1))
+                 / (tf + {K1} * (1 - {B} + {B} * dl / avgdl))), 6) AS bm25
+      FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ), sparse AS (
+      SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_s
+      FROM sparse_scored ORDER BY bm25 DESC, doc_id LIMIT 20
+    ), q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    ), dense_scored AS (
+      SELECT e.vec_id AS doc_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+               AS sim
+      FROM embeddings e, q
+    ), dense AS (
+      SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS r_d
+      FROM dense_scored ORDER BY sim DESC, doc_id LIMIT 20
+    )
+    SELECT coalesce(d.doc_id, s.doc_id) AS doc_id,
+           round(coalesce(1.0 / ({RRF_K} + r_d), 0.0)
+                 + coalesce(1.0 / ({RRF_K} + r_s), 0.0), 6) AS rrf
+    FROM dense d FULL OUTER JOIN sparse s ON d.doc_id = s.doc_id
+    ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+def q_hybrid_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: the dense
+    cosine top-20 (the reference's retriever, `app/vector_search.py:
+    29-33`) and the sparse BM25 top-20 fused by RRF(60) — the
+    production pattern that beats either retriever alone. Both
+    candidate lists are ≤20 rows, so the fusion join and final sort
+    are free; all heavy lifting happens inside the two retrievers,
+    each of which scales independently (dense → IVF layout, sparse
+    → pruned term aggregate). Ranks use rounded scores + doc_id
+    tie-breaks so ranking is engine-invariant."""
+    from lakehouse_app_spark.operators.vectors import query_vector, topk_cosine
+
+    t = load_tables(spark, sf_dir)
+    dense = (
+        topk_cosine(t.embeddings, query_vector(t.embeddings, 0), k=20)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.row_number()
+            .over(Window.orderBy(F.col("sim").desc(), F.col("vec_id")))
+            .alias("r_d"),
+        )
+    )
+    sparse = (
+        q_bm25(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id")))
+            .alias("r_s"),
+        )
+    )
+    fused = (
+        dense.withColumnRenamed("doc_id", "d_id")
+        .join(
+            sparse.withColumnRenamed("doc_id", "s_id"),
+            F.col("d_id") == F.col("s_id"),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("d_id", "s_id").alias("doc_id"),
+            F.round(
+                F.coalesce(F.lit(1.0) / (RRF_K + F.col("r_d")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (RRF_K + F.col("r_s")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)

@@ -12,7 +12,7 @@ calendar from one aggregate row and explodes it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakehouse_app_spark.functions.compat import DEC
@@ -119,3 +119,46 @@ def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("purchases", F.lit(0)).alias("purchases"),
         )
     )
+
+
+@query(
+    "q_concurrency",
+    oracle="""
+    WITH points AS (
+      SELECT ts AS t, 1 AS delta FROM events
+      UNION ALL
+      SELECT ts + INTERVAL 30 MINUTE, -1 FROM events
+    ), run AS (
+      SELECT t, CAST(SUM(delta) OVER (ORDER BY t, delta
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+      FROM points
+    )
+    SELECT strftime(date_trunc('day', t), '%Y-%m-%d') AS day,
+           max(c) AS peak_concurrency
+    FROM run GROUP BY 1
+    """,
+)
+def q_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-concurrency sweep line: each event opens a 30-minute
+    activity interval; +1/-1 boundary points, sorted, prefix-summed —
+    the classic "max simultaneous sessions" metric (capacity
+    planning, rate limiting). Ties sort close-before-open (delta
+    ascending), the half-open-interval convention. Locally this is
+    one global ordered window; at 100 TB the same prefix sum runs as
+    range-partition partials + broadcast cumulative offsets (two
+    passes, no single-node sort) — the day-level max then aggregates
+    per partition. Day-max is invariant to the arbitrary ordering
+    among identical boundary points."""
+    t = load_tables(spark, sf_dir)
+    points = t.events.select(F.col("ts").alias("t"), F.lit(1).alias("delta")).unionAll(
+        t.events.select(
+            F.expr("ts + INTERVAL 30 MINUTES").alias("t"), F.lit(-1).alias("delta")
+        )
+    )
+    w = Window.orderBy("t", "delta").rowsBetween(Window.unboundedPreceding, 0)
+    run = points.select(
+        "t", F.sum("delta").over(w).cast("bigint").alias("c")
+    )
+    return run.groupBy(
+        F.date_format(F.date_trunc("day", F.col("t")), "yyyy-MM-dd").alias("day")
+    ).agg(F.max("c").alias("peak_concurrency"))
