@@ -162,3 +162,39 @@ def q_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.groupBy(
         F.date_format(F.date_trunc("day", F.col("t")), "yyyy-MM-dd").alias("day")
     ).agg(F.max("c").alias("peak_concurrency"))
+
+
+@query(
+    "q_rolling_median",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT day, n,
+           round(quantile_cont(n, 0.5) OVER (ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+             AS med7
+    FROM daily
+    """,
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day rolling MEDIAN of daily event volume — the
+    robust-smoothing alternative to a rolling mean (outlier days
+    don't drag the trend). An exact order-statistic inside a moving
+    window frame: both engines interpolate type-7 quantiles over the
+    same ≤7-row frame, so values match to 6 dp. The window runs over
+    the already-aggregated |days|-sized table, never the raw events
+    — a global ordered frame on a tiny input is safe at any corpus
+    scale."""
+    t = load_tables(spark, sf_dir)
+    daily = t.events.groupBy(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        "n",
+        F.round(F.expr("percentile(n, 0.5)").over(w), 6).alias("med7"),
+    )

@@ -225,3 +225,29 @@ def test_zorder_layout_prunes_secondary_dimension(spark, sf_dir):
     )
     lin_ds = avg_suppkey_extent(li.orderBy("l_partkey").coalesce(1))
     assert z_ds < lin_ds * 0.8
+
+
+def test_csv_and_json_sink_roundtrip(spark, sf_dir, tmp_path):
+    """Format completeness: the same writer/reader pair round-trips
+    CSV (with header + schema re-infer) and JSON Lines, preserving
+    row counts and key columns — the interchange formats a lakehouse
+    must speak alongside parquet."""
+    t = load_tables(spark, sf_dir)
+    src = t.orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+    csv_path = str(tmp_path / "orders_csv")
+    src.write.option("header", True).csv(csv_path)
+    csv_back = spark.read.option("header", True).option("inferSchema", True).csv(
+        csv_path
+    )
+    assert csv_back.count() == src.count()
+    assert set(csv_back.columns) == set(src.columns)
+
+    json_path = str(tmp_path / "orders_json")
+    src.write.json(json_path)
+    json_back = spark.read.json(json_path)
+    assert json_back.count() == src.count()
+    assert (
+        json_back.agg(F.sum("o_orderkey")).collect()[0][0]
+        == src.agg(F.sum("o_orderkey")).collect()[0][0]
+    )
