@@ -1,0 +1,402 @@
+"""Data-quality auditing and statistical/time-series modeling tier.
+
+A production lakehouse feeding an LLM training pipeline gates every
+table behind declarative quality checks (the dbt-test / Deequ shape)
+and reads trends out of its event streams. This module adds both
+tiers as oracle-checked queries: a single-pass DQ audit, regression
+and autocorrelation aggregates, time-weighted averages, OHLC candle
+rollups, Pareto-frontier extraction, and Markov transition matrices.
+
+Reference grounding: the reference app's only validation is a poll
+loop asserting a service reaches a desired state
+(`lakehouse_app_helpers.py:69-75`); these operators generalize
+"assert the data is in the expected state" into declarative,
+engine-checked table contracts.
+
+Every check here is a scan-plus-aggregate or a windowed scan — no
+O(n²) shapes — so each survives a 1000-executor scale-up: the audit
+unions tiny 1-row aggregates, the frontier sweep reduces to |distinct
+sizes| rows before its broadcast join back, and the transition matrix
+shuffles once on the session key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakehouse_app_spark.functions.compat import DEC
+from lakehouse_app_spark.registry import query
+from lakehouse_app_spark.sources.tables import load_tables
+
+
+@query(
+    "q_dq_checks",
+    oracle="""
+    SELECT 'orders_pk_unique' AS check_name,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS violations,
+           CAST(count(*) AS BIGINT) AS total
+    FROM orders
+    UNION ALL
+    SELECT 'orders_custkey_not_null',
+           CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_status_accepted',
+           CAST(count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P'))
+                AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_discount_in_range',
+           CAST(count(*) FILTER (WHERE l_discount < 0 OR l_discount > 1)
+                AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_order_fk',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM lineitem
+    """,
+)
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (dbt-test / Deequ shape): one
+    row per check with (violations, total). Covers the five check
+    families a table contract needs — PK uniqueness, non-null,
+    accepted values, numeric range, referential integrity. Each
+    check is one scan-aggregate (conditional counts fuse into a
+    single pass per table); the FK check is a left-anti broadcast
+    join. Unioning 1-row aggregates is free at any scale."""
+    t = load_tables(spark, sf_dir)
+    b = F.lit(1)
+
+    def check(name, df):
+        return df.select(F.lit(name).alias("check_name"), "violations", "total")
+
+    orders_checks = [
+        check(
+            "orders_pk_unique",
+            t.orders.agg(
+                (F.count(b) - F.countDistinct("o_orderkey")).alias("violations"),
+                F.count(b).alias("total"),
+            ),
+        ),
+        check(
+            "orders_custkey_not_null",
+            t.orders.agg(
+                F.count_if(F.col("o_custkey").isNull()).alias("violations"),
+                F.count(b).alias("total"),
+            ),
+        ),
+        check(
+            "orders_status_accepted",
+            t.orders.agg(
+                F.count_if(~F.col("o_orderstatus").isin("O", "F", "P")).alias(
+                    "violations"
+                ),
+                F.count(b).alias("total"),
+            ),
+        ),
+        check(
+            "lineitem_discount_in_range",
+            t.lineitem.agg(
+                F.count_if(
+                    (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+                ).alias("violations"),
+                F.count(b).alias("total"),
+            ),
+        ),
+    ]
+    orphans = t.lineitem.join(
+        F.broadcast(t.orders.select("o_orderkey")),
+        t.lineitem.l_orderkey == F.col("o_orderkey"),
+        "left_anti",
+    ).agg(F.count(b).alias("violations"))
+    fk = check(
+        "lineitem_order_fk",
+        orphans.crossJoin(t.lineitem.agg(F.count(b).alias("total"))),
+    )
+    out = orders_checks[0]
+    for c in orders_checks[1:] + [fk]:
+        out = out.unionAll(c)
+    return out
+
+
+@query(
+    "q_regr_trend",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_regr_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares fit via SQL regression
+    aggregates (slope/intercept/R²) — the in-engine alternative to
+    exporting to a stats library. Single hash-aggregate pass; both
+    engines use the same textbook definitions, rounded because
+    double accumulation order differs."""
+    t = load_tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias(
+            "intercept"
+        ),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+    )
+
+
+@query(
+    "q_twa",
+    oracle="""
+    WITH stepped AS (
+      SELECT user_id, value,
+             epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dt_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           round(CAST(SUM(CAST(value AS DECIMAL(25,6)) * dt_us) AS DOUBLE)
+                 / CAST(SUM(dt_us) AS DOUBLE), 6) AS twa_value,
+           CAST(count(*) AS BIGINT) AS n_intervals
+    FROM stepped WHERE dt_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of a gauge per user — the correct
+    average for irregularly-sampled measurements (each value holds
+    until the next observation, so it is weighted by its holding
+    duration). lag/lead derives the interval, then one grouped sum.
+    The value×duration products are summed in exact decimal so both
+    engines agree regardless of accumulation order. One shuffle on
+    the user key; at scale the window and the aggregate share that
+    partitioning, so the agg is shuffle-free after the sort."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    stepped = t.events.select(
+        "user_id",
+        "value",
+        (F.lead(ts_us).over(w) - ts_us).alias("dt_us"),
+    ).where(F.col("dt_us").isNotNull())
+    return stepped.groupBy("user_id").agg(
+        F.round(
+            F.sum(F.col("value").cast(DEC) * F.col("dt_us")).cast("double")
+            / F.sum("dt_us").cast("double"),
+            6,
+        ).alias("twa_value"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
+
+
+@query(
+    "q_ohlc",
+    oracle="""
+    WITH w AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, value,
+             first_value(value) OVER (PARTITION BY date_trunc('day', ts)
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS o,
+             last_value(value) OVER (PARTITION BY date_trunc('day', ts)
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS c
+      FROM events
+    )
+    SELECT day, max(o) AS open, max(value) AS high,
+           min(value) AS low, max(c) AS close,
+           CAST(count(*) AS BIGINT) AS n
+    FROM w GROUP BY day
+    """,
+)
+def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC (open/high/low/close) candles over the event
+    gauge — the resample shape every monitoring/market pipeline
+    needs. Open/close are order statistics (first/last by event
+    time with the PK as tie-break), taken via an unbounded window
+    frame inside each day partition; high/low fold into the same
+    grouped pass. All values are raw passthrough doubles, so no
+    rounding is needed. Day partitions bound the window state, so
+    the sort is per-day and parallel at any scale."""
+    t = load_tables(spark, sf_dir)
+    day = F.date_trunc("day", F.col("ts"))
+    w = (
+        Window.partitionBy(day)
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    stamped = t.events.select(
+        F.date_format(day, "yyyy-MM-dd").alias("day"),
+        "value",
+        F.first("value").over(w).alias("o"),
+        F.last("value").over(w).alias("c"),
+    )
+    return stamped.groupBy("day").agg(
+        F.max("o").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max("c").alias("close"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_skyline",
+    oracle="""
+    WITH per_size AS (
+      SELECT p_size, max(p_retailprice) AS mx FROM part GROUP BY p_size
+    ),
+    swept AS (
+      SELECT p_size, mx,
+             max(mx) OVER (ORDER BY p_size DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS mx_larger
+      FROM per_size
+    )
+    SELECT p.p_partkey, p.p_size, p.p_retailprice
+    FROM part p JOIN swept s ON p.p_size = s.p_size
+    WHERE p.p_retailprice = s.mx
+      AND (s.mx_larger IS NULL OR p.p_retailprice > s.mx_larger)
+    """,
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) of parts maximizing both p_size and
+    p_retailprice: a part survives iff no other part is ≥ in both
+    dimensions and > in one. Computed as a sweep, not an O(n²)
+    dominance join: aggregate to one max-price row per distinct
+    size, running-max over sizes descending gives the best price
+    among strictly larger sizes, then a broadcast join back tags
+    survivors. The window runs over |distinct sizes| rows (~50), so
+    the single-partition sort is trivially safe at 100 TB while the
+    fact-side work stays a scan + broadcast probe."""
+    t = load_tables(spark, sf_dir)
+    per_size = t.part.groupBy("p_size").agg(F.max("p_retailprice").alias("mx"))
+    w = Window.orderBy(F.col("p_size").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    swept = per_size.select(
+        "p_size", "mx", F.max("mx").over(w).alias("mx_larger")
+    )
+    return (
+        t.part.join(F.broadcast(swept), "p_size")
+        .where(
+            (F.col("p_retailprice") == F.col("mx"))
+            & (
+                F.col("mx_larger").isNull()
+                | (F.col("p_retailprice") > F.col("mx_larger"))
+            )
+        )
+        .select("p_partkey", "p_size", "p_retailprice")
+    )
+
+
+@query(
+    "q_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type,
+             event_type AS next_type
+      FROM events
+    )
+    SELECT prev_type, next_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(count(*) / CAST(SUM(count(*)) OVER (PARTITION BY prev_type)
+                                 AS DOUBLE), 6) AS p
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | previous event type). lag() pairs
+    consecutive events within each user's timeline (one shuffle on
+    user_id), counts group to a ≤|types|² table, and row-normalizing
+    with a window over that tiny table yields probabilities —
+    integer-ratio division, so both engines agree to 6 dp."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t.events.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    wn = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wn).cast("double"), 6).alias("p"),
+    )
+
+
+@query(
+    "q_mode_per_group",
+    oracle="""
+    SELECT user_id, event_type AS mode_type, CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY user_id, event_type
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY count(*) DESC, event_type) = 1
+    """,
+)
+def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-key mode: each user's most frequent event
+    type, ties broken alphabetically (a bare mode() is
+    tie-nondeterministic across engines — §5.3 discipline). Count
+    then rank-filter; Spark rewrites the rank-filter to
+    WindowGroupLimit, so only each group's top row survives the
+    shuffle."""
+    t = load_tables(spark, sf_dir)
+    counts = t.events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), "event_type")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), "n")
+    )
+
+
+@query(
+    "q_autocorr",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    lagged AS (
+      SELECT n, lag(n) OVER (ORDER BY d) AS prev_n FROM daily
+    )
+    SELECT round(corr(n, prev_n), 6) AS lag1_autocorr,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM lagged WHERE prev_n IS NOT NULL
+    """,
+)
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of daily event volume — the one-number
+    seasonality/momentum signal for a metric series. Aggregate to
+    |days| rows first, self-pair via lag(), then a single corr()
+    over the tiny series; the global window touches only the daily
+    rollup, never raw events."""
+    t = load_tables(spark, sf_dir)
+    daily = t.events.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    lagged = daily.select(
+        "n", F.lag("n").over(Window.orderBy("d")).alias("prev_n")
+    ).where(F.col("prev_n").isNotNull())
+    return lagged.agg(
+        F.round(F.corr("n", "prev_n"), 6).alias("lag1_autocorr"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )

@@ -127,3 +127,30 @@ def test_lateral_topk_decorrelates_to_window(spark, sf_dir):
     plan = formatted_plan(QUERIES["q_lateral_topk"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert ("Window" in plan) or ("WindowGroupLimit" in plan), plan
+
+
+def test_skyline_sweep_broadcasts_frontier_back(spark, sf_dir):
+    """The Pareto sweep must stay O(n): per-size aggregate, tiny
+    window, broadcast probe back into the fact scan — never an
+    O(n²) dominance nested-loop over part×part."""
+    plan = formatted_plan(QUERIES["q_skyline"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, (
+        plan
+    )
+
+
+def test_dq_fk_check_is_broadcast_anti_join(spark, sf_dir):
+    """Referential-integrity audit probes the orders PK set via a
+    broadcast left-anti join — no shuffle of the fact table."""
+    plan = formatted_plan(QUERIES["q_dq_checks"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_twa_window_and_agg_share_partitioning(spark, sf_dir):
+    """The lead() window and the per-user aggregate both key on
+    user_id: exactly one exchange on the user key feeds both."""
+    plan = formatted_plan(QUERIES["q_twa"](spark, sf_dir))
+    # one Exchange node = two mentions in formatted output (tree + detail)
+    assert plan.count("Exchange") == 2, plan
+    assert "hashpartitioning(user_id" in plan, plan

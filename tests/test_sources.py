@@ -251,3 +251,51 @@ def test_csv_and_json_sink_roundtrip(spark, sf_dir, tmp_path):
         json_back.agg(F.sum("o_orderkey")).collect()[0][0]
         == src.agg(F.sum("o_orderkey")).collect()[0][0]
     )
+
+
+def test_rest_json_custom_datasource_roundtrip(spark, tmp_path):
+    """Spark 4 Python DataSource connector: REST payload directory →
+    DataFrame (one partition per file, envelope unwrap, nested
+    flatten) and DataFrame → JSONL writer. Generalizes the
+    reference's requests.get().json()["apps"] → pandas path
+    (lakehouse_app_helpers.py:28-35) into a pluggable source."""
+    from lakehouse_app_spark.sources.rest_json_source import (
+        register_rest_json_source,
+    )
+    import json as _json
+
+    src_dir = tmp_path / "payloads"
+    src_dir.mkdir()
+    for i, states in enumerate([("RUNNING", "ok"), ("ERROR", "boom")]):
+        payload = {
+            "apps": [
+                {
+                    "name": f"app-{i}-{j}",
+                    "status": {"state": st, "message": msg},
+                    "url": f"https://x/{i}/{j}",
+                }
+                for j, (st, msg) in enumerate([states])
+            ]
+        }
+        (src_dir / f"snap{i}.json").write_text(_json.dumps(payload))
+
+    register_rest_json_source(spark)
+    df = (
+        spark.read.format("rest_json")
+        .option("envelope", "apps")
+        .option("path", str(src_dir))
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 2  # one task per payload file
+    rows = {r["name"]: r for r in df.collect()}
+    assert set(df.columns) == {"name", "status_state", "status_message", "url"}
+    assert rows["app-0-0"]["status_state"] == "RUNNING"
+    assert rows["app-1-0"]["status_message"] == "boom"
+
+    out_dir = tmp_path / "out_jsonl"
+    df.write.format("rest_json").option("path", str(out_dir)).mode(
+        "append"
+    ).save()
+    back = spark.read.json(str(out_dir))
+    assert back.count() == 2
+    assert set(back.columns) == set(df.columns)
