@@ -395,3 +395,99 @@ def q_entropy_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kl_vs_corpus"),
         )
     )
+
+
+# ---------------------------------------------------------------- triangles
+
+
+@query(
+    "q_triangles",
+    oracle="""
+    WITH tok AS (
+      SELECT string_split(lower(text), ' ') AS ts FROM documents
+    ), pairs AS (
+      SELECT ts[i] AS w1, ts[i + 1] AS w2
+      FROM tok, UNNEST(generate_series(1, len(ts) - 1)) AS g(i)
+    ), und AS (
+      SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b
+      FROM pairs WHERE w1 <> w2
+    ), tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS n
+      FROM und e1
+      JOIN und e2 ON e1.b = e2.a
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b FROM und
+      ) GROUP BY node
+    ), wed AS (
+      SELECT CAST(SUM(d * (d - 1)) AS BIGINT) AS w2x FROM deg
+    )
+    SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM und) AS BIGINT) AS n_edges,
+           (SELECT n FROM tri) AS n_triangles,
+           round(6.0 * (SELECT n FROM tri) / (SELECT w2x FROM wed), 6)
+             AS global_clustering
+    FROM (SELECT 1)
+    """,
+)
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient over the
+    undirected word-cooccurrence graph — the graph-analytics summary
+    alongside [[q_pagerank]]'s centrality. Edges are canonically
+    oriented (least, greatest), which is exactly the orientation
+    trick that makes distributed triangle enumeration feasible: each
+    triangle is produced once, and the two-hop join only extends in
+    one direction (at web scale you orient by degree instead of
+    lexicographically, same plan shape). The closed-form clustering
+    denominator (wedges = Σ d(d-1)/2) comes from one degree
+    aggregate — no wedge enumeration. All joins here run over the
+    deduplicated edge list, orders of magnitude smaller than the
+    corpus that produced it."""
+    t = load_tables(spark, sf_dir)
+    pairs = (
+        t.documents.select(F.split(F.lower(F.col("text")), " ").alias("ts"))
+        .where(F.size("ts") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ts) - 1),"
+                    " i -> struct(ts[i-1] AS w1, ts[i] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .where(F.col("w1") != F.col("w2"))
+    )
+    und = (
+        pairs.select(
+            F.least("w1", "w2").alias("a"), F.greatest("w1", "w2").alias("b")
+        )
+        .distinct()
+        .persist()
+    )
+    e2 = und.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+    e3 = und.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        und.join(e2, und.b == e2.b2)
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    summary = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1)).alias("w2x"),
+    ).crossJoin(und.agg(F.count(F.lit(1)).alias("n_edges")))
+    return summary.crossJoin(tri).select(
+        "n_nodes",
+        "n_edges",
+        F.col("n").alias("n_triangles"),
+        F.round(F.lit(6.0) * F.col("n") / F.col("w2x"), 6).alias(
+            "global_clustering"
+        ),
+    )
