@@ -26,6 +26,22 @@ from lakehouse_app_spark.sources.tables import load_tables
 # ---------------------------------------------------------------- helpers
 
 
+def spread(docs: DataFrame) -> DataFrame:
+    """Round-robin the corpus across all cores before the expensive
+    map-side work (shingling, hashing, fingerprints).
+
+    A small parquet table arrives as ONE partition, so everything
+    upstream of the first shuffle would otherwise run single-
+    threaded — the dominant cold-run cost of every dedup pipeline
+    here. On a cluster where the scan already has many partitions
+    this repartition coalesces to a cheap no-op-shaped exchange;
+    the map work it unlocks is linear in the corpus either way.
+    """
+    spark = docs.sparkSession
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return docs.repartition(npart)
+
+
 def rep_docs(docs: DataFrame) -> DataFrame:
     """Exact-dedup tier: one representative (min doc_id) per distinct
     token-set fingerprint.
@@ -141,7 +157,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles on both engines (identical semantics).
     """
     t = load_tables(spark, sf_dir)
-    sh_all = t.documents.select("doc_id", F.explode(word_shingles(3)).alias("s"))
+    sh_all = spread(t.documents).select("doc_id", F.explode(word_shingles(3)).alias("s"))
     rare = (
         sh_all.groupBy("s")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -195,7 +211,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     # shingles feed the signature pass AND three verification
     # consumers (both join sides + sizes) — persist, don't re-explode
-    toks = rep_docs(t.documents).select(
+    toks = rep_docs(spread(t.documents)).select(
         "doc_id", F.explode(word_shingles(3)).alias("token")
     ).persist()
     sig = toks.groupBy("doc_id").agg(
@@ -290,7 +306,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     # the signature table feeds both self-join sides — persist it or
     # the whole shingle→vote pipeline executes twice
-    sh = simhash(rep_docs(t.documents)).persist()
+    sh = simhash(rep_docs(spread(t.documents))).persist()
     chunks = reduce(
         DataFrame.unionAll,
         [
@@ -336,7 +352,7 @@ def q_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, Tokenizer
 
     t = load_tables(spark, sf_dir)
-    docs = rep_docs(t.documents)
+    docs = rep_docs(spread(t.documents))
     tokenized = Tokenizer(inputCol="text", outputCol="words").transform(docs)
     grams = NGram(n=3, inputCol="words", outputCol="grams").transform(tokenized)
     tf = HashingTF(
