@@ -346,3 +346,68 @@ def q_hybrid_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)
+
+
+@query(
+    "q_contamination",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(tk) - 3),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+                         || tk[i+3] || ' ' || tk[i+4]))) AS s
+      FROM toks WHERE len(tk) >= 5
+    ),
+    train AS (SELECT DISTINCT s FROM sh WHERE doc_id % 2 = 0),
+    eval_sh AS (SELECT doc_id, s FROM sh WHERE doc_id % 2 = 1),
+    hits AS (
+      SELECT e.doc_id,
+             CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(count(*) FILTER (WHERE t.s IS NOT NULL) AS BIGINT)
+               AS n_contaminated
+      FROM eval_sh e LEFT JOIN train t ON e.s = t.s
+      GROUP BY e.doc_id
+    )
+    SELECT doc_id, n_shingles, n_contaminated,
+           round(n_contaminated / CAST(n_shingles AS DOUBLE), 6)
+             AS contamination_rate
+    FROM hits WHERE n_contaminated > 0
+    """,
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: for each held-out document (odd
+    doc_id — the "eval set"), the fraction of its distinct word
+    5-grams that also appear anywhere in the training split (even
+    doc_id). This is the standard n-gram-collision contamination
+    check run before training on scraped corpora (the reason an eval
+    suite stays meaningful). Plan shape is an inverted-index
+    left-join against the DISTINCT train-shingle set followed by one
+    per-doc aggregate — counts, never pair enumeration, so unlike
+    near-dup mining there is no quadratic candidate space at any
+    corpus size; the train set is the join's build side and shrinks
+    further under [[q_neardup_exact]]-style dedup at ingest."""
+    from lakehouse_app_spark.operators.dedup import spread, word_shingles
+
+    t = load_tables(spark, sf_dir)
+    sh = spread(t.documents).select(
+        "doc_id", F.explode(word_shingles(5)).alias("s")
+    )
+    train = sh.where(F.col("doc_id") % 2 == 0).select("s").distinct()
+    ev = sh.where(F.col("doc_id") % 2 == 1)
+    hits = (
+        ev.join(train.withColumn("hit", F.lit(1)), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count_if(F.col("hit").isNotNull()).alias("n_contaminated"),
+        )
+    )
+    return hits.where(F.col("n_contaminated") > 0).select(
+        "doc_id",
+        "n_shingles",
+        "n_contaminated",
+        F.round(
+            F.col("n_contaminated") / F.col("n_shingles").cast("double"), 6
+        ).alias("contamination_rate"),
+    )

@@ -124,3 +124,79 @@ def zorder_key(x, y, bits: int = 16):
     for p in parts[1:]:
         out = out.bitwiseOR(p)
     return out
+
+
+# ------------------------------------------------------------ time travel
+
+
+def write_snapshot(df: DataFrame, path: str, note: str = "") -> int:
+    """Append an immutable versioned snapshot of ``df`` under
+    ``path`` and return the new version number.
+
+    A minimal Delta/Iceberg-style commit protocol over plain
+    parquet (neither library ships in this environment; the storage
+    layer stays behind these helpers so a real table format can slot
+    in): data lands in ``v=<n>/`` first, then a one-line manifest
+    ``_v<n>.json`` is written LAST — readers only trust versions
+    with a manifest, so a crashed writer leaves garbage data files
+    but never a readable half-commit (the manifest write is the
+    atomic commit point, exactly Delta's `_delta_log` trick). Each
+    snapshot is a full copy (simplest correct semantics; an
+    incremental layout would store deltas + compaction like
+    [[compact_table]]).
+    """
+    import json as _json
+    import os as _os
+
+    _os.makedirs(path, exist_ok=True)
+    version = 1 + max(
+        (
+            int(f[2:-5])
+            for f in _os.listdir(path)
+            if f.startswith("_v") and f.endswith(".json")
+        ),
+        default=-1,
+    )
+    data_dir = _os.path.join(path, f"v={version}")
+    df.write.mode("errorifexists").parquet(data_dir)
+    manifest = {"version": version, "note": note, "rows": None}
+    with open(_os.path.join(path, f"_v{version}.json"), "w") as fh:
+        fh.write(_json.dumps(manifest))
+    return version
+
+
+def read_snapshot(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Time-travel read: the given committed version, or the latest
+    one when ``version`` is None. Uncommitted ``v=*`` directories
+    (no manifest) are invisible."""
+    import os as _os
+
+    committed = sorted(
+        int(f[2:-5])
+        for f in _os.listdir(path)
+        if f.startswith("_v") and f.endswith(".json")
+    )
+    if not committed:
+        raise FileNotFoundError(f"no committed snapshots under {path}")
+    if version is None:
+        version = committed[-1]
+    if version not in committed:
+        raise FileNotFoundError(f"version {version} not committed in {path}")
+    return spark.read.parquet(_os.path.join(path, f"v={version}"))
+
+
+def snapshot_history(path: str) -> list[dict]:
+    """The table's commit log, oldest first — `DESCRIBE HISTORY`."""
+    import json as _json
+    import os as _os
+
+    out = []
+    for f in sorted(
+        (f for f in _os.listdir(path) if f.startswith("_v") and f.endswith(".json")),
+        key=lambda f: int(f[2:-5]),
+    ):
+        with open(_os.path.join(path, f)) as fh:
+            out.append(_json.loads(fh.read()))
+    return out

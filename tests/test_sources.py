@@ -299,3 +299,34 @@ def test_rest_json_custom_datasource_roundtrip(spark, tmp_path):
     back = spark.read.json(str(out_dir))
     assert back.count() == 2
     assert set(back.columns) == set(df.columns)
+
+
+def test_snapshot_time_travel(spark, sf_dir, tmp_path):
+    """Versioned snapshot writes + time-travel reads with a
+    manifest-last commit protocol: old versions stay readable after
+    new commits, latest wins by default, and a data directory
+    without a manifest (simulated crashed writer) is invisible."""
+    from lakehouse_app_spark.sources.sinks import (
+        read_snapshot,
+        snapshot_history,
+        write_snapshot,
+    )
+
+    t = load_tables(spark, sf_dir)
+    path = str(tmp_path / "orders_tbl")
+    v0 = write_snapshot(t.orders.where(F.col("o_orderkey") <= 100), path, "seed")
+    v1 = write_snapshot(t.orders, path, "full load")
+    assert (v0, v1) == (0, 1)
+
+    full = t.orders.count()
+    assert read_snapshot(spark, path).count() == full          # latest
+    assert read_snapshot(spark, path, 0).count() < full        # time travel
+    assert [h["version"] for h in snapshot_history(path)] == [0, 1]
+
+    # crashed writer: data dir exists, manifest never written
+    t.orders.limit(5).write.parquet(str(tmp_path / "orders_tbl" / "v=2"))
+    assert read_snapshot(spark, path).count() == full          # still v1
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_snapshot(spark, path, 2)
