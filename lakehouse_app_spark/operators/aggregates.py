@@ -196,3 +196,30 @@ def q_dedup_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.expr("replace(text, '\n', '')"), 1, 50), F.lit("...")
     ).alias("snippet")
     return t.documents.select("source", snippet).dropDuplicates()
+
+
+@query(
+    "q_grouping_id",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+           o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() indicator columns over a CUBE — the disambiguator
+    that lets consumers tell a real NULL group key from a
+    super-aggregate row (without it, CUBE/ROLLUP output is ambiguous
+    whenever the key column is nullable). Same Expand-based plan as
+    q_agg_cube; the indicators are free metadata on each grouping
+    set."""
+    t = load_tables(spark, sf_dir)
+    return t.orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.grouping("o_orderpriority").cast("long").alias("g_prio"),
+        F.count(F.lit(1)).alias("n"),
+    ).select("o_orderstatus", "g_status", "g_prio", "o_orderpriority", "n")

@@ -200,3 +200,43 @@ def snapshot_history(path: str) -> list[dict]:
         with open(_os.path.join(path, f)) as fh:
             out.append(_json.loads(fh.read()))
     return out
+
+
+def delete_where(spark: SparkSession, path: str, condition) -> int:
+    """Copy-on-write DELETE: materialize the latest snapshot minus
+    matching rows as a NEW version (the old version stays readable —
+    time travel is the undo). This is exactly how Delta/Iceberg
+    implement DELETE without a table format's file-level pruning:
+    rewrite, then atomically commit via the manifest."""
+    cur = read_snapshot(spark, path)
+    return write_snapshot(cur.where(~condition), path, note="delete")
+
+
+def update_where(spark: SparkSession, path: str, condition, assignments: dict) -> int:
+    """Copy-on-write UPDATE: rewrite the latest snapshot with
+    ``assignments`` (col -> Column expr) applied to matching rows."""
+    from pyspark.sql import functions as F
+
+    cur = read_snapshot(spark, path)
+    for col, expr in assignments.items():
+        cur = cur.withColumn(col, F.when(condition, expr).otherwise(F.col(col)))
+    return write_snapshot(cur, path, note="update")
+
+
+def write_snapshot_checked(df: DataFrame, path: str, checks: dict, note: str = "") -> int:
+    """Write-time data-quality gate: each check is name -> boolean
+    Column that must hold for EVERY row; any violation aborts the
+    commit (no manifest is written, so the table is untouched —
+    [[write_snapshot]]'s crashed-writer guarantee doubles as the
+    rollback). One aggregate pass computes all violation counts
+    before any data lands — the ingest-side deployment of
+    q_dq_checks' audit."""
+    from pyspark.sql import functions as F
+
+    counts = df.agg(
+        *[F.count_if(~c).alias(name) for name, c in checks.items()]
+    ).collect()[0]
+    bad = {n: counts[n] for n in checks if counts[n] > 0}
+    if bad:
+        raise ValueError(f"DQ gate failed, commit aborted: {bad}")
+    return write_snapshot(df, path, note=note)

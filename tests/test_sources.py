@@ -330,3 +330,41 @@ def test_snapshot_time_travel(spark, sf_dir, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         read_snapshot(spark, path, 2)
+
+
+def test_copy_on_write_delete_update_and_dq_gate(spark, sf_dir, tmp_path):
+    """DELETE/UPDATE as copy-on-write snapshot commits (old versions
+    remain for time travel) and the write-time DQ gate aborting a bad
+    commit without touching the table."""
+    from lakehouse_app_spark.sources.sinks import (
+        delete_where,
+        read_snapshot,
+        update_where,
+        write_snapshot,
+        write_snapshot_checked,
+    )
+    import pytest as _pytest
+
+    t = load_tables(spark, sf_dir)
+    path = str(tmp_path / "cust_tbl")
+    write_snapshot(t.customer, path, "seed")
+    n0 = t.customer.count()
+
+    v1 = delete_where(spark, path, F.col("c_custkey") % 10 == 0)
+    assert read_snapshot(spark, path, v1).count() < n0
+    assert read_snapshot(spark, path, 0).count() == n0  # undo via travel
+
+    v2 = update_where(
+        spark, path, F.col("c_custkey") == 1, {"c_name": F.lit("REDACTED")}
+    )
+    got = read_snapshot(spark, path, v2).where(F.col("c_custkey") == 1)
+    assert [r["c_name"] for r in got.collect()] == ["REDACTED"]
+
+    with _pytest.raises(ValueError, match="neg_key"):
+        write_snapshot_checked(
+            t.customer.withColumn("c_custkey", -F.col("c_custkey")),
+            path,
+            {"neg_key": F.col("c_custkey") > 0},
+        )
+    # aborted commit left no new version
+    assert read_snapshot(spark, path).count() == read_snapshot(spark, path, v2).count()
