@@ -1,7 +1,9 @@
-"""TPC-H classic query shapes (Q3, Q4, Q5, Q6, Q7, Q8, Q10, Q14,
-Q19, Q18, Q22) adapted to the testdata star schema (no partsupp; no
-l_commitdate/l_shipmode — Q2/Q9/Q11/Q12/Q15/Q16/Q20/Q21 need those
-columns and are out of reach of this dataset).
+"""TPC-H classic query shapes (Q3, Q4, Q5, Q6, Q7, Q8, Q10, Q13,
+Q14, Q15, Q17, Q18, Q19, Q21, Q22) adapted to the testdata star
+schema (no partsupp; no l_commitdate/l_shipmode/o_comment/
+p_container — Q2/Q9/Q11/Q12/Q16/Q20 need those relations/columns
+outright; Q13/Q17/Q21 swap the missing predicate column for an
+equivalent one, keeping the plan shape, as noted per query).
 
 These pin the composed plans a warehouse lives on: selective dim
 filter → fact joins → aggregate → top-k (Q3), correlated EXISTS with
@@ -546,4 +548,183 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
         hit.groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
         .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q_tpch_q13",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 customer-distribution shape (adapted: the o_comment NOT
+    LIKE filter becomes an o_orderpriority exclusion — same
+    join-level predicate position): LEFT join so zero-order
+    customers survive with count 0, then a second aggregation turns
+    per-customer counts into a histogram. Two shuffles total
+    (custkey, then the tiny c_count key); the join predicate filters
+    the probe side before the join, never after — the
+    left-join-with-ON-filter semantics Q13 exists to test."""
+    t = load_tables(spark, sf_dir)
+    per_cust = (
+        t.customer.join(
+            t.orders.where(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q_tpch_q15",
+    oracle="""
+    WITH revenue0 AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
+                  AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, round(total_revenue, 4) AS total_revenue
+    FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue0)
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 top-supplier shape: a windowed-quarter revenue aggregate
+    consumed TWICE (once for the scalar max, once as the join
+    input). The aggregate is computed once and reused via persist —
+    the "CREATE VIEW revenue0" of the original — and the scalar max
+    arrives as a 1-row broadcast crossjoin filter, not a re-scan.
+    Equality against the max is safe because the revenue sum uses
+    the exact-decimal contract (bit-identical on both engines)."""
+    t = load_tables(spark, sf_dir)
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev0 = (
+        t.lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(revenue, "total_revenue"))
+        .persist()
+    )
+    mx = rev0.agg(F.max("total_revenue").alias("mx"))
+    return (
+        t.supplier.join(rev0, F.col("s_suppkey") == F.col("supplier_no"))
+        .crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("mx"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_revenue", 4).alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q17",
+    oracle="""
+    SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)
+                 / 7.0, 4) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1' AND p_type = 'ECONOMY'
+      AND l_quantity < (
+        SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey
+      )
+    """,
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 small-quantity-order shape (adapted: p_container becomes
+    p_type — same selective dim predicate): the correlated per-part
+    average must decorrelate into ONE grouped aggregate joined back,
+    not a per-row re-scan of lineitem. Expressed directly as that
+    decorrelated plan: part-filtered lineitem ⋈ per-part thresholds.
+    The threshold compare (0.2×avg of integer-valued quantities) is
+    exact in double, so both engines cut the same rows."""
+    t = load_tables(spark, sf_dir)
+    thresholds = t.lineitem.groupBy(F.col("l_partkey").alias("tp_key")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")
+    )
+    sel = (
+        t.part.where((F.col("p_brand") == "Brand#1") & (F.col("p_type") == "ECONOMY"))
+        .join(t.lineitem, F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(thresholds), F.col("p_partkey") == F.col("tp_key"))
+        .where(F.col("l_quantity") < F.col("qty_cut"))
+    )
+    return sel.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / 7.0, 4
+        ).alias("avg_yearly")
+    )
+
+
+@query(
+    "q_tpch_q21",
+    oracle="""
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s_name
+    """,
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 waiting-supplier shape (adapted: the receipt>commit
+    lateness predicate becomes l_returnflag = 'R' — the dataset's
+    "failed delivery" marker): the definitive EXISTS + NOT-EXISTS
+    pair over the same fact table. Both quantifiers become
+    orderkey-equi joins with a suppkey-inequality residual — a
+    left-semi and a left-anti that reuse the l_orderkey
+    partitioning; no correlated re-execution."""
+    t = load_tables(spark, sf_dir)
+    l1 = (
+        t.lineitem.where(F.col("l_returnflag") == "R")
+        .join(
+            t.orders.where(F.col("o_orderstatus") == "F"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = t.lineitem.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = t.lineitem.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    cand = l1.join(
+        l2, (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    ).join(
+        l3, (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")),
+        "left_anti",
+    )
+    return (
+        cand.join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
     )
