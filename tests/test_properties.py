@@ -186,3 +186,62 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     ).select("l_orderkey", "l_linenumber", "o_orderpriority")
     assert plain.count() == salted.count()
     assert plain.exceptAll(salted).count() == 0
+
+
+def test_skyline_has_no_dominated_point(spark, sf_dir):
+    """Every output point survives a brute-force dominance check
+    (the O(n²) definition the sweep implementation must equal)."""
+    from lakehouse_app_spark import QUERIES
+
+    front = QUERIES["q_skyline"](spark, sf_dir).collect()
+    t = load_tables(spark, sf_dir)
+    pts = [(r["p_size"], r["p_retailprice"]) for r in t.part.collect()]
+    for r in front:
+        s, p = r["p_size"], r["p_retailprice"]
+        dominated = any(
+            (s2 >= s and p2 >= p) and (s2 > s or p2 > p) for s2, p2 in pts
+        )
+        assert not dominated, (s, p)
+
+
+def test_twa_bounded_by_extremes(spark, sf_dir):
+    """A duration-weighted average can never leave [min, max] of the
+    per-user gauge values."""
+    from lakehouse_app_spark import QUERIES
+
+    t = load_tables(spark, sf_dir)
+    bounds = {
+        r["user_id"]: (r["lo"], r["hi"])
+        for r in t.events.groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    for r in QUERIES["q_twa"](spark, sf_dir).collect():
+        lo, hi = bounds[r["user_id"]]
+        assert lo - 1e-6 <= r["twa_value"] <= hi + 1e-6
+
+
+def test_markov_rows_are_distributions(spark, sf_dir):
+    """Outgoing transition probabilities sum to 1 per source state."""
+    from collections import defaultdict
+
+    from lakehouse_app_spark import QUERIES
+
+    sums = defaultdict(float)
+    for r in QUERIES["q_markov_transitions"](spark, sf_dir).collect():
+        sums[r["prev_type"]] += r["p"]
+    for prev, s in sums.items():
+        assert abs(s - 1.0) < 1e-4, (prev, s)
+
+
+def test_contamination_rate_well_formed(spark, sf_dir):
+    """Rates live in (0, 1]; contaminated shingles never exceed the
+    doc's shingle count; only odd (eval-split) doc_ids appear."""
+    from lakehouse_app_spark import QUERIES
+
+    rows = QUERIES["q_contamination"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["doc_id"] % 2 == 1
+        assert 0 < r["n_contaminated"] <= r["n_shingles"]
+        assert 0.0 < r["contamination_rate"] <= 1.0
