@@ -193,3 +193,121 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.getField("bal").alias("bal_from_struct"),
         F.size(F.map_keys(m)).alias("n_keys"),
     )
+
+
+@query(
+    "q_try_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           TRY_CAST(CASE WHEN o_orderkey % 3 = 0
+                         THEN CAST(o_orderkey AS VARCHAR)
+                         ELSE CAST(o_orderkey AS VARCHAR) || 'x' END
+                    AS BIGINT) AS parsed_key,
+           o_totalprice / (o_orderkey % 5) AS price_per_bucket,
+           round(o_totalprice / nullif(o_orderkey % 5, 0), 4)
+             AS price_per_bucket_r
+    FROM orders
+    """,
+)
+def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-input handling: TRY semantics that turn parse failures
+    and division-by-zero into NULLs instead of job aborts — the
+    contract an ingest pipeline over scraped data needs. Spark 4
+    runs under ANSI mode where ``/ 0`` raises, so ``try_divide`` is
+    the production idiom; DuckDB's plain division already yields
+    NULL on zero (verified), so the oracle pairs them directly.
+    Every third key parses, the rest carry a trailing junk char."""
+    t = load_tables(spark, sf_dir)
+    dirty = F.when(
+        F.col("o_orderkey") % 3 == 0, F.col("o_orderkey").cast("string")
+    ).otherwise(F.concat(F.col("o_orderkey").cast("string"), F.lit("x")))
+    div = F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 5)
+    return t.orders.select(
+        "o_orderkey",
+        F.try_to_number(dirty, F.lit("999999999")).cast("bigint").alias(
+            "parsed_key"
+        ),
+        div.alias("price_per_bucket"),
+        F.round(div, 4).alias("price_per_bucket_r"),
+    )
+
+
+@query(
+    "q_bitwise_hash_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS low_byte,
+           o_orderkey | 15 AS or15,
+           xor(o_orderkey, 255) AS xor255,
+           CAST(bit_count(o_orderkey) AS INTEGER) AS popcount,
+           o_orderkey << 2 AS shl2,
+           o_orderkey >> 2 AS shr2,
+           md5(CAST(o_orderkey AS VARCHAR)) AS key_md5,
+           sha256(CAST(o_orderkey AS VARCHAR)) AS key_sha256
+    FROM orders
+    """,
+)
+def q_bitwise_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-manipulation + cryptographic-hash battery: the primitives
+    under bucketing, Morton/z-order keys ([[zorder_key]]), bloom
+    filters, and content-addressed dedup. All JVM-side codegen'd
+    expressions; both engines agree bit-for-bit with no rounding."""
+    t = load_tables(spark, sf_dir)
+    k = F.col("o_orderkey")
+    return t.orders.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(15)).alias("or15"),
+        k.bitwiseXOR(F.lit(255)).alias("xor255"),
+        F.bit_count(k).alias("popcount"),
+        F.shiftleft(k, 2).alias("shl2"),
+        F.shiftright(k, 2).alias("shr2"),
+        F.md5(k.cast("string")).alias("key_md5"),
+        F.sha2(k.cast("string"), 256).alias("key_sha256"),
+    )
+
+
+@query(
+    "q_array_setops",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk
+      FROM documents
+    )
+    SELECT a.doc_id,
+           coalesce(array_to_string(list_sort(list_filter(a.tk,
+             x -> list_contains(b.tk, x))), '|'), '') AS common_toks,
+           coalesce(array_to_string(list_sort(list_distinct(a.tk || b.tk)),
+             '|'), '') AS all_toks,
+           coalesce(array_to_string(list_sort(list_filter(a.tk,
+             x -> NOT list_contains(b.tk, x))), '|'), '') AS only_a,
+           CAST(len(list_filter(a.tk, x -> list_contains(b.tk, x)))
+                AS INTEGER) AS n_common
+    FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def q_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra (intersect / union / except) between each
+    document's distinct token set and its successor's — the
+    vocabulary-overlap primitive under Jaccard and retrieval-overlap
+    metrics. Results are sort-normalized (set ops carry no element
+    order) and serialized to '|'-joined strings: the value-hash
+    compare needs hashable scalar cells, and a canonical string is
+    the cross-engine-stable encoding of a set. Pure higher-order
+    Catalyst expressions after one self-join on adjacent doc_ids."""
+    t = load_tables(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("tk")
+    )
+    a = toks.select(F.col("doc_id"), F.col("tk").alias("a_tk"))
+    b = toks.select((F.col("doc_id") - 1).alias("doc_id"), F.col("tk").alias("b_tk"))
+    j = F.array_join
+    return a.join(b, "doc_id").select(
+        "doc_id",
+        j(F.array_sort(F.array_intersect("a_tk", "b_tk")), "|").alias(
+            "common_toks"
+        ),
+        j(F.array_sort(F.array_union("a_tk", "b_tk")), "|").alias("all_toks"),
+        j(F.array_sort(F.array_except("a_tk", "b_tk")), "|").alias("only_a"),
+        F.size(F.array_intersect("a_tk", "b_tk")).alias("n_common"),
+    )
