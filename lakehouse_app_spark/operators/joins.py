@@ -307,3 +307,69 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         dsum(revenue, "revenue"),
     )
+
+
+@query(
+    "q_join_interval_bucket",
+    oracle="""
+    SELECT a.event_id AS a_id, b.event_id AS b_id,
+           CAST(floor((epoch_us(b.ts) - epoch_us(a.ts)) / 1000000.0) AS BIGINT)
+             AS gap_sec
+    FROM events a JOIN events b
+      ON a.event_type = b.event_type
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 60 SECOND
+     AND a.event_id < b.event_id
+    """,
+)
+def q_join_interval_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval self-join (pairs of same-type events ≤ 60 s apart)
+    via TIME BUCKETING — the scale path for range predicates that
+    [[q_join_range]]'s BroadcastNestedLoopJoin cannot take at
+    100 TB. Each left row is replicated into its own minute bucket
+    and the next one (a bounded ×2 blow-up), the join becomes a pure
+    (type, bucket) EQUI-join — shuffled hash, fully parallel, no
+    nested loop — and the exact interval predicate runs as a cheap
+    residual filter on the collided candidates. Replication factor =
+    ceil(window / bucket width) + 1, chosen so candidates per bucket
+    stay bounded; the oracle is the plain theta join, proving the
+    rewrite is result-identical."""
+    t = load_tables(spark, sf_dir)
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    w_us = 60 * 1_000_000
+    ev = t.events.select(
+        "event_id", "event_type", F.col("ts"), us("ts").alias("t_us")
+    )
+    left = ev.select(
+        F.col("event_id").alias("a_id"),
+        F.col("event_type").alias("a_type"),
+        F.col("t_us").alias("a_us"),
+        F.explode(
+            F.array(
+                (F.col("t_us") / w_us).cast("long"),
+                (F.col("t_us") / w_us).cast("long") + 1,
+            )
+        ).alias("bucket"),
+    )
+    right = ev.select(
+        F.col("event_id").alias("b_id"),
+        F.col("event_type").alias("b_type"),
+        F.col("t_us").alias("b_us"),
+        (F.col("t_us") / w_us).cast("long").alias("bucket"),
+    )
+    return (
+        left.join(right, ["bucket"])
+        .where(
+            (F.col("a_type") == F.col("b_type"))
+            & (F.col("b_us") >= F.col("a_us"))
+            & (F.col("b_us") <= F.col("a_us") + w_us)
+            & (F.col("a_id") < F.col("b_id"))
+        )
+        .select(
+            "a_id",
+            "b_id",
+            F.floor((F.col("b_us") - F.col("a_us")) / 1_000_000)
+            .cast("long")
+            .alias("gap_sec"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )

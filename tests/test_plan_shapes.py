@@ -154,3 +154,13 @@ def test_twa_window_and_agg_share_partitioning(spark, sf_dir):
     # one Exchange node = two mentions in formatted output (tree + detail)
     assert plan.count("Exchange") == 2, plan
     assert "hashpartitioning(user_id" in plan, plan
+
+
+def test_interval_bucket_join_avoids_nested_loop(spark, sf_dir):
+    """The bucketed interval join must plan as an equi-join (hash or
+    sort-merge), never a BroadcastNestedLoopJoin/CartesianProduct —
+    that is its entire reason to exist next to q_join_range."""
+    plan = formatted_plan(QUERIES["q_join_interval_bucket"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Join" in plan, plan
