@@ -400,3 +400,19 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("n", "prev_n"), 6).alias("lag1_autocorr"),
         F.count(F.lit(1)).alias("n_pairs"),
     )
+
+
+def observed_write(df: DataFrame, path: str, metrics: dict, fmt: str = "parquet"):
+    """Write ``df`` while collecting inline metrics in the SAME pass
+    via ``DataFrame.observe`` — the zero-extra-scan deployment of the
+    [[q_dq_checks]] audit: at 100 TB a separate metrics pass re-reads
+    the table, while observe() piggybacks on the rows already
+    streaming through the writer. ``metrics`` maps name -> aggregate
+    Column (count_if/sum/min/max...). Returns the observed row as a
+    dict after the write completes."""
+    from pyspark.sql import Observation
+
+    obs = Observation("write_metrics")
+    observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
+    observed.write.mode("overwrite").format(fmt).save(path)
+    return obs.get

@@ -368,3 +368,34 @@ def test_copy_on_write_delete_update_and_dq_gate(spark, sf_dir, tmp_path):
         )
     # aborted commit left no new version
     assert read_snapshot(spark, path).count() == read_snapshot(spark, path, v2).count()
+
+
+def test_observed_write_collects_metrics_in_one_pass(spark, sf_dir, tmp_path):
+    """observe()-based DQ metrics ride along with the write — the
+    values must equal a separate aggregate pass, with no second scan
+    issued by the metrics themselves."""
+    from lakehouse_app_spark.operators.quality import observed_write
+
+    t = load_tables(spark, sf_dir)
+    src = t.orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    got = observed_write(
+        src,
+        str(tmp_path / "obs_out"),
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_price": F.count_if(F.col("o_totalprice").isNull()),
+            "n_open": F.count_if(F.col("o_orderstatus") == "O"),
+            "max_price": F.max("o_totalprice"),
+        },
+    )
+    truth = src.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("o_totalprice").isNull()).alias("n_null_price"),
+        F.count_if(F.col("o_orderstatus") == "O").alias("n_open"),
+        F.max("o_totalprice").alias("max_price"),
+    ).collect()[0]
+    assert got["n_rows"] == truth["n_rows"]
+    assert got["n_null_price"] == truth["n_null_price"]
+    assert got["n_open"] == truth["n_open"]
+    assert got["max_price"] == truth["max_price"]
+    assert spark.read.parquet(str(tmp_path / "obs_out")).count() == got["n_rows"]
