@@ -149,3 +149,134 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sim").desc(), F.col("vec_id"))
         .limit(TOP_K)
     )
+
+
+@query(
+    "q_ann_recall",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings WHERE vec_id < {N_CENTROIDS}
+    ),
+    qs AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id % 100 = 1
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]), c.cvec), 6) DESC, c.cid) AS rn
+        FROM embeddings e, cents c
+      ) WHERE rn = 1
+    ),
+    probed AS (
+      SELECT qid, cid FROM (
+        SELECT q.qid, c.cid,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY round(list_cosine_similarity(c.cvec, q.qv), 6) DESC,
+                          c.cid) AS rn
+        FROM qs q, cents c
+      ) WHERE rn <= {N_PROBE}
+    ),
+    ivf AS (
+      SELECT qid, vec_id FROM (
+        SELECT p.qid, a.vec_id,
+               row_number() OVER (PARTITION BY p.qid
+                 ORDER BY round(list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]), q.qv), 6) DESC,
+                          a.vec_id) AS rn
+        FROM assign a JOIN probed p ON a.cid = p.cid
+        JOIN qs q ON q.qid = p.qid
+      ) WHERE rn <= {TOP_K}
+    ),
+    exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY round(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]), q.qv), 6) DESC,
+                          e.vec_id) AS rn
+        FROM embeddings e, qs q
+      ) WHERE rn <= {TOP_K}
+    )
+    SELECT e.qid AS query_id,
+           CAST(count(i.vec_id) AS BIGINT) AS n_hits,
+           round(count(i.vec_id) / {TOP_K}.0, 6) AS recall_at_k
+    FROM exact e LEFT JOIN ivf i ON i.qid = e.qid AND i.vec_id = e.vec_id
+    GROUP BY e.qid
+    """,
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} audit of the IVF probe against exhaustive
+    search, per query vector (every 100th id) — the
+    retrieval-quality gauge an ANN deployment reports next to its
+    latency win. Both arms are deterministic (rounded sims, id
+    tie-breaks), so even the ORACLE is exact: the same audit runs in
+    SQL. Plan: centroids and the query set broadcast everywhere; the
+    exhaustive arm is one corpus × |queries| scored pass with a
+    per-query WindowGroupLimit; the IVF arm scores only probed
+    clusters. At 100 TB you sample queries, never audit all of them
+    — the shape is unchanged."""
+    t = load_tables(spark, sf_dir)
+    centroids = t.embeddings.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), as_double_array("embedding").alias("cvec")
+    )
+    qs = t.embeddings.where(F.col("vec_id") % 100 == 1).select(
+        F.col("vec_id").alias("qid"), as_double_array("embedding").alias("qv")
+    )
+    assigned = assign_clusters(t.embeddings, centroids)
+
+    wq = Window.partitionBy("qid")
+    probed = (
+        qs.join(F.broadcast(centroids))
+        .select(
+            "qid",
+            "cid",
+            F.round(cosine_sim(F.col("cvec"), F.col("qv")), 6).alias("psim"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(wq.orderBy(F.col("psim").desc(), F.col("cid"))),
+        )
+        .where(F.col("rn") <= N_PROBE)
+        .select("qid", "cid")
+    )
+    score_rank = lambda df: (  # noqa: E731
+        df.withColumn(
+            "rn",
+            F.row_number().over(wq.orderBy(F.col("sim").desc(), F.col("vec_id"))),
+        )
+        .where(F.col("rn") <= TOP_K)
+        .select("qid", "vec_id")
+    )
+    ivf = score_rank(
+        assigned.join(F.broadcast(probed), "cid")
+        .join(F.broadcast(qs), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine_sim(as_double_array("embedding"), F.col("qv")), 6).alias(
+                "sim"
+            ),
+        )
+    )
+    exact = score_rank(
+        t.embeddings.join(F.broadcast(qs)).select(
+            "qid",
+            "vec_id",
+            F.round(cosine_sim(as_double_array("embedding"), F.col("qv")), 6).alias(
+                "sim"
+            ),
+        )
+    )
+    hit = ivf.withColumn("hit", F.lit(1))
+    return (
+        exact.join(hit, ["qid", "vec_id"], "left")
+        .groupBy(F.col("qid").alias("query_id"))
+        .agg(
+            F.count("hit").alias("n_hits"),
+            F.round(F.count("hit") / float(TOP_K), 6).alias("recall_at_k"),
+        )
+    )
