@@ -123,3 +123,44 @@ def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("open_total"),
     )
+
+
+@query(
+    "q_sample_weighted",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS w,
+             round(pow(
+               (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS UBIGINT) + 1) / 4294967297.0,
+               1.0 / length(text)), 6) AS k
+      FROM documents
+    )
+    SELECT doc_id, w, k
+    FROM keyed
+    ORDER BY k DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (Efraimidis–Spirakis A-ES):
+    each doc draws a reproducible uniform u from an md5-derived
+    integer and competes with key u^(1/w), w = doc length; the
+    top-n by key IS a weighted sample without replacement. The
+    hash-derived uniform replaces RNG state — the same property that
+    makes [[q_sample_hash]] reproducible across engines and runs —
+    so quality-weighted training-data draws are stable under
+    re-execution, resharding, and engine swap. One scan + TakeOrdered
+    (no shuffle beyond the top-n heap merge); keys are rounded before
+    ranking so libm pow ulp differences can't reorder the sample."""
+    t = load_tables(spark, sf_dir)
+    hex8 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    u = (F.conv(hex8, 16, 10).cast("double") + 1) / F.lit(4294967297.0)
+    w = F.length("text").cast("long")
+    key = F.round(F.pow(u, 1.0 / F.length("text")), 6)
+    return (
+        t.documents.select("doc_id", w.alias("w"), key.alias("k"))
+        .orderBy(F.col("k").desc(), "doc_id")
+        .limit(20)
+    )

@@ -169,3 +169,61 @@ def test_streaming_upsert_into_snapshot_table(spark, tmp_path):
     from lakehouse_app_spark.sources.sinks import snapshot_history
 
     assert len(snapshot_history(table)) >= 3
+
+
+def test_streaming_query_listener_reports_progress(spark, tmp_path):
+    """Observability surface: a StreamingQueryListener receives
+    start/progress/termination callbacks with real row counts — how
+    a production pipeline exports per-batch lag and throughput
+    metrics without touching the query itself."""
+    import time
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    events = {"started": 0, "progress_rows": [], "terminated": 0}
+
+    class Probe(StreamingQueryListener):
+        def onQueryStarted(self, e):
+            events["started"] += 1
+
+        def onQueryProgress(self, e):
+            events["progress_rows"].append(e.progress.numInputRows)
+
+        def onQueryIdle(self, e):
+            pass
+
+        def onQueryTerminated(self, e):
+            events["terminated"] += 1
+
+    probe = Probe()
+    spark.streams.addListener(probe)
+    try:
+        src = str(tmp_path / "lst_src")
+        _write_batch(
+            spark,
+            src,
+            [(i, __import__("datetime").datetime(2024, 1, 1), 1.0) for i in range(7)],
+        )
+        q = (
+            spark.readStream.schema("event_id long, ts timestamp, v double")
+            .parquet(src)
+            .groupBy()
+            .count()
+            .writeStream.format("memory")
+            .queryName("lst_out")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "lst_ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+        # listener callbacks are async — give the bus a moment
+        for _ in range(40):
+            if events["terminated"] and events["progress_rows"]:
+                break
+            time.sleep(0.25)
+    finally:
+        spark.streams.removeListener(probe)
+    assert events["started"] >= 1
+    assert events["terminated"] >= 1
+    assert sum(events["progress_rows"]) == 7, events["progress_rows"]
