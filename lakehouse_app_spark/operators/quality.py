@@ -416,3 +416,46 @@ def observed_write(df: DataFrame, path: str, metrics: dict, fmt: str = "parquet"
     observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
     observed.write.mode("overwrite").format(fmt).save(path)
     return obs.get
+
+
+@query(
+    "q_skew_stats",
+    oracle="""
+    WITH per_key AS (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(n) AS BIGINT) AS max_rows,
+           round(avg(n), 6) AS avg_rows,
+           round(max(n) / avg(n), 6) AS skew_factor,
+           round(quantile_cont(n, 0.99), 6) AS p99_rows,
+           CAST(count(*) FILTER (WHERE n > 2 * (SELECT avg(n) FROM per_key))
+                AS BIGINT) AS n_hot_keys
+    FROM per_key
+    """,
+)
+def q_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics: per-key row counts reduced to the
+    max/avg skew factor, p99, and hot-key count — the measurement
+    that decides between a plain shuffle join, AQE skew handling,
+    and an explicit salt ([[q_join_salted]] is the remedy; this is
+    the diagnosis). One groupBy on the key then a scalar aggregate
+    over |keys| rows; on a cluster this runs as a cheap prelude to
+    (or an observe() alongside) the real join."""
+    t = load_tables(spark, sf_dir)
+    per_key = t.lineitem.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n"))
+    stats = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_rows"),
+        F.round(F.avg("n"), 6).alias("avg_rows"),
+        F.round(F.max("n") / F.avg("n"), 6).alias("skew_factor"),
+        F.round(F.expr("percentile(n, 0.99)"), 6).alias("p99_rows"),
+        F.avg("n").alias("_avg_raw"),
+    )
+    hot = (
+        per_key.crossJoin(F.broadcast(stats.select("_avg_raw")))
+        .where(F.col("n") > 2 * F.col("_avg_raw"))
+        .agg(F.count(F.lit(1)).alias("n_hot_keys"))
+    )
+    return stats.drop("_avg_raw").crossJoin(F.broadcast(hot))

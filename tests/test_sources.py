@@ -399,3 +399,36 @@ def test_observed_write_collects_metrics_in_one_pass(spark, sf_dir, tmp_path):
     assert got["n_open"] == truth["n_open"]
     assert got["max_price"] == truth["max_price"]
     assert spark.read.parquet(str(tmp_path / "obs_out")).count() == got["n_rows"]
+
+
+def test_incremental_rollup_maintenance(spark, sf_dir, tmp_path):
+    """Materialized-view refresh pattern: the daily rollup lives as a
+    day-partitioned table; when one day's events arrive late, only
+    that day's partition is recomputed and dynamically overwritten —
+    untouched partitions keep their files, and the refreshed table
+    equals a full recompute."""
+    t = load_tables(spark, sf_dir)
+    daily = t.events.groupBy(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+    path = str(tmp_path / "rollup")
+    some_day = daily.orderBy("day").limit(1).collect()[0]["day"]
+    # seed: full rollup EXCEPT one day understated (simulates late data)
+    seeded = daily.withColumn(
+        "n", F.when(F.col("day") == some_day, F.col("n") - 5).otherwise(F.col("n"))
+    )
+    seeded.write.partitionBy("day").mode("overwrite").parquet(path)
+
+    # refresh ONLY the affected day via dynamic partition overwrite
+    fix = daily.where(F.col("day") == some_day)
+    (
+        fix.write.partitionBy("day")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    refreshed = spark.read.parquet(path).select("day", "n")
+    assert refreshed.count() == daily.count()
+    assert refreshed.subtract(daily).count() == 0
+    assert daily.subtract(refreshed).count() == 0
