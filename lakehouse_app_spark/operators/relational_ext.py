@@ -11,7 +11,7 @@ pandas UDF).
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakehouse_app_spark.functions.compat import DEC
@@ -168,4 +168,87 @@ def q_udaf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(avg_bal("c_acctbal"), 4).alias("avg_bal"),
             F.round(bal_range("c_acctbal"), 4).alias("bal_range"),
         )
+    )
+
+
+@query(
+    "q_union_by_name",
+    oracle="""
+    SELECT o_orderkey, status, CAST(price AS DOUBLE) AS price, src
+    FROM (
+      SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS price,
+             'with_price' AS src
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL BY NAME
+      SELECT o_orderkey, 'archived' AS src, o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 10 = 5
+    )
+    """,
+)
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two extracts with different column
+    sets and orders combine BY NAME, the missing column null-filled
+    (`unionByName(allowMissingColumns=True)` ↔ DuckDB's UNION ALL BY
+    NAME) — how a lakehouse appends old-schema and new-schema batches
+    of the same logical table without positional-union corruption."""
+    t = load_tables(spark, sf_dir)
+    new_schema = t.orders.where(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+        F.lit("with_price").alias("src"),
+    )
+    old_schema = t.orders.where(F.col("o_orderkey") % 10 == 5).select(
+        "o_orderkey",
+        F.lit("archived").alias("src"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    return new_schema.unionByName(old_schema, allowMissingColumns=True).select(
+        "o_orderkey", "status", "price", "src"
+    )
+
+
+@query(
+    "q_null_semantics",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_custkey IS NULL THEN 'null' ELSE 'set' END AS custkey_state,
+           (nullif(o_orderstatus, 'P') IS NOT DISTINCT FROM NULL) AS p_nulled,
+           coalesce(nullif(o_orderstatus, 'P'), 'replaced') AS status_or_default,
+           CASE WHEN (CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderkey END
+                      IN (1, 3, 5)) IS NULL THEN 'null'
+                WHEN (CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderkey END
+                      IN (1, 3, 5)) THEN 'true' ELSE 'false'
+           END AS in_with_null_lhs,
+           CAST(count(nullif(o_orderstatus, 'P'))
+                OVER (PARTITION BY o_orderstatus) AS BIGINT) AS nonnull_in_status
+    FROM orders
+    """,
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic battery: NULLIF/COALESCE, null-safe
+    equality (<=> ↔ IS NOT DISTINCT FROM), IN with a NULL operand
+    (yields NULL, not false — the classic NOT-IN trap), and
+    count(col)'s null-skipping vs count(*). Engines disagreeing on
+    ANY of these silently corrupts filters downstream, so the whole
+    battery is pinned under the exact oracle."""
+    t = load_tables(spark, sf_dir)
+    nulled = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    maybe_null_key = F.when(
+        F.col("o_orderkey") % 2 == 0, F.lit(None).cast("bigint")
+    ).otherwise(F.col("o_orderkey"))
+    return t.orders.select(
+        "o_orderkey",
+        F.when(F.col("o_custkey").isNull(), "null").otherwise("set").alias(
+            "custkey_state"
+        ),
+        nulled.eqNullSafe(F.lit(None).cast("string")).alias("p_nulled"),
+        F.coalesce(nulled, F.lit("replaced")).alias("status_or_default"),
+        F.when(maybe_null_key.isin(1, 3, 5).isNull(), "null")
+        .when(maybe_null_key.isin(1, 3, 5), "true")
+        .otherwise("false")
+        .alias("in_with_null_lhs"),
+        F.count(nulled)
+        .over(Window.partitionBy("o_orderstatus"))
+        .alias("nonnull_in_status"),
     )
