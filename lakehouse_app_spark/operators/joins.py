@@ -335,26 +335,28 @@ def q_join_interval_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite is result-identical."""
     t = load_tables(spark, sf_dir)
     us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
-    w_us = 60 * 1_000_000
-    ev = t.events.select(
-        "event_id", "event_type", F.col("ts"), us("ts").alias("t_us")
-    )
+    ev = t.events.select("event_id", "event_type", us("ts").alias("t_us"))
+    return interval_bucket_pairs(ev, 60 * 1_000_000)
+
+
+def interval_bucket_pairs(ev: DataFrame, w_us: int) -> DataFrame:
+    """Core of [[q_join_interval_bucket]] over (event_id, event_type,
+    t_us): pairs (a, b) of same-type rows with a_id < b_id and
+    a.t_us <= b.t_us <= a.t_us + w_us, generated via bucket
+    replication + equi-join (hypothesis-tested against a brute-force
+    reference in tests/test_hypothesis_ops.py)."""
+    bucket = F.floor(F.col("t_us") / w_us).cast("long")
     left = ev.select(
         F.col("event_id").alias("a_id"),
         F.col("event_type").alias("a_type"),
         F.col("t_us").alias("a_us"),
-        F.explode(
-            F.array(
-                (F.col("t_us") / w_us).cast("long"),
-                (F.col("t_us") / w_us).cast("long") + 1,
-            )
-        ).alias("bucket"),
+        F.explode(F.array(bucket, bucket + 1)).alias("bucket"),
     )
     right = ev.select(
         F.col("event_id").alias("b_id"),
         F.col("event_type").alias("b_type"),
         F.col("t_us").alias("b_us"),
-        (F.col("t_us") / w_us).cast("long").alias("bucket"),
+        bucket.alias("bucket"),
     )
     return (
         left.join(right, ["bucket"])

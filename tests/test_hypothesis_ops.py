@@ -74,3 +74,37 @@ def test_sessionize_matches_python_reference(spark, events, gap_minutes):
                 sid += 1
             prev = m
             assert got[i] == (k, sid), (k, evs)
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=120),  # t seconds
+            st.sampled_from(["x", "y"]),
+        ),
+        min_size=0,
+        max_size=14,
+    ),
+    window_s=st.integers(min_value=1, max_value=45),
+)
+@hyp_settings
+def test_interval_bucket_join_matches_brute_force(spark, events, window_s):
+    """The bucket-replication rewrite must equal the O(n²) interval
+    definition for arbitrary times (incl. equal timestamps, bucket
+    boundaries, and windows that don't divide the bucket width)."""
+    from lakehouse_app_spark.operators.joins import interval_bucket_pairs
+
+    rows = [(i, typ, t * 1_000_000) for i, (t, typ) in enumerate(events)]
+    ev = spark.createDataFrame(
+        rows or [(0, "z", 0)], "event_id long, event_type string, t_us long"
+    )
+    got = {
+        (r["a_id"], r["b_id"]): r["gap_sec"]
+        for r in interval_bucket_pairs(ev, window_s * 1_000_000).collect()
+    }
+    expected = {}
+    for i, (ta, tya) in enumerate(events):
+        for j, (tb, tyb) in enumerate(events):
+            if i < j and tya == tyb and ta <= tb <= ta + window_s:
+                expected[(i, j)] = tb - ta
+    assert got == expected
