@@ -164,3 +164,75 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("k").desc(), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "q_dedup_keep_latest",
+    oracle="""
+    SELECT user_id, event_id AS latest_event, event_type AS latest_type,
+           round(value, 6) AS latest_value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def q_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-per-key compaction: collapse an append-only
+    change stream to each key's most recent record (the read-side
+    compaction under every CDC/upsert table, and the batch analog of
+    [[q_upsert]]'s merge). Rank-filter rewrites to WindowGroupLimit,
+    so only each key's top row survives the shuffle — at 100 TB this
+    runs as one key-partitioned pass, no self-join against a
+    max-timestamp aggregate."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        t.events.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("latest_event"),
+            F.col("event_type").alias("latest_type"),
+            F.round("value", 6).alias("latest_value"),
+        )
+    )
+
+
+@query(
+    "q_sequence_gaps",
+    oracle="""
+    WITH keys AS (SELECT DISTINCT o_orderkey AS k FROM orders
+                  WHERE o_orderstatus = 'F'),
+    stepped AS (
+      SELECT k, lead(k) OVER (ORDER BY k) AS nxt FROM keys
+    )
+    SELECT k + 1 AS gap_start, nxt - 1 AS gap_end,
+           CAST(nxt - k - 1 AS BIGINT) AS missing
+    FROM stepped
+    WHERE nxt - k > 1
+    """,
+)
+def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap detection (missing-id ranges in a key sequence)
+    — the completeness check for ingest pipelines that must account
+    for every upstream record; scoped here to the 'F' partition of
+    the key space so the fixture actually contains holes. lead() over the distinct key set
+    turns each adjacent pair with a hole into one (gap_start,
+    gap_end, missing) row; the global window runs over the
+    deduplicated key column only. At extreme key cardinality,
+    range-partition the sort and stitch partition boundaries with a
+    second 1-row-per-partition pass."""
+    t = load_tables(spark, sf_dir)
+    keys = (
+        t.orders.where(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    stepped = keys.select("k", F.lead("k").over(Window.orderBy("k")).alias("nxt"))
+    return stepped.where(F.col("nxt") - F.col("k") > 1).select(
+        (F.col("k") + 1).alias("gap_start"),
+        (F.col("nxt") - 1).alias("gap_end"),
+        (F.col("nxt") - F.col("k") - 1).alias("missing"),
+    )
