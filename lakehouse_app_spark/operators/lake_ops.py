@@ -177,12 +177,16 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
+        # persist BEFORE the convergence probe: the probe is an
+        # action, and an unpersisted new_labels would re-execute its
+        # whole lineage again next round (2× work per iteration)
         new_labels = (
             labels.join(neigh, labels["node"] == neigh["src"], "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
             )
+            .persist()
         )
         changed = (
             new_labels.alias("n")
@@ -191,7 +195,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .count()
         )
-        labels = new_labels.persist()
+        labels.unpersist()
+        labels = new_labels
         if changed == 0:
             break
     adj.unpersist()
