@@ -198,3 +198,50 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.expr("percentile(n, 0.5)").over(w), 6).alias("med7"),
     )
+
+
+@query(
+    "q_ewma",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             row_number() OVER (ORDER BY date_trunc('day', ts)) AS i
+      FROM events GROUP BY date_trunc('day', ts)
+    )
+    SELECT day, n,
+           round(0.3 * pow(0.7, i) *
+                 SUM(n * pow(0.7, -i)) OVER (ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS ewma
+    FROM daily
+    """,
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily event volume
+    (α = 0.3) — the classic smoothing signal, made window-computable
+    by the geometric factorization ewma_t = α·(1-α)^t · Σ_{i≤t}
+    n_i·(1-α)^{-i}: the position-dependent weight splits into a
+    per-row term inside a plain running SUM and a per-row scale
+    outside it, so no recursion and no O(n²) re-scan. Runs over the
+    |days|-sized daily rollup, never raw events; both engines
+    evaluate the identical closed form, rounded to 4 dp (the
+    (1-α)^{-i} factors grow ~10^4 over 30 days — far inside double
+    range, and the rounding margin swallows libm pow ulps)."""
+    t = load_tables(spark, sf_dir)
+    alpha = 0.3
+    daily = t.events.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    daily = daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n",
+        F.row_number().over(Window.orderBy("d")).alias("i"),
+    )
+    run = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    ewma = (
+        F.lit(alpha)
+        * F.pow(F.lit(1 - alpha), F.col("i"))
+        * F.sum(F.col("n") * F.pow(F.lit(1 - alpha), -F.col("i"))).over(run)
+    )
+    return daily.select("day", "n", F.round(ewma, 4).alias("ewma"))
