@@ -130,3 +130,64 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     return run_to_memory(enriched, "stream_static", output_mode="append")
+
+
+@query(
+    "q_percentile_disc",
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_disc(o_totalprice, 0.25) AS p25,
+           quantile_disc(o_totalprice, 0.50) AS p50,
+           quantile_disc(o_totalprice, 0.90) AS p90
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles (order statistics that are actual data
+    values, never interpolations — what SLA/latency reporting needs,
+    complementing q_quantiles' continuous deciles). Values pass
+    through from the data, so no rounding is required for the hash
+    match; both engines pick the same element by the standard
+    inverse-CDF definition."""
+    t = load_tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("_orders_pd")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+               percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+               percentile_disc(0.90) WITHIN GROUP (ORDER BY o_totalprice) AS p90
+        FROM _orders_pd GROUP BY o_orderstatus
+        """
+    )
+
+
+@query(
+    "q_corr_matrix",
+    oracle="""
+    SELECT round(corr(l_quantity, l_extendedprice), 6) AS qty_price,
+           round(corr(l_quantity, l_discount), 6) AS qty_disc,
+           round(corr(l_quantity, l_tax), 6) AS qty_tax,
+           round(corr(l_extendedprice, l_discount), 6) AS price_disc,
+           round(corr(l_extendedprice, l_tax), 6) AS price_tax,
+           round(corr(l_discount, l_tax), 6) AS disc_tax,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    """,
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise correlation matrix of the fact measures in ONE
+    aggregate pass (all six corr states accumulate in the same
+    HashAggregate — the feature-screening step before any modeling,
+    without six separate scans). Rounded: both engines share the
+    definition but accumulate doubles in different orders."""
+    t = load_tables(spark, sf_dir)
+    return t.lineitem.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price"),
+        F.round(F.corr("l_quantity", "l_discount"), 6).alias("qty_disc"),
+        F.round(F.corr("l_quantity", "l_tax"), 6).alias("qty_tax"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 6).alias("price_disc"),
+        F.round(F.corr("l_extendedprice", "l_tax"), 6).alias("price_tax"),
+        F.round(F.corr("l_discount", "l_tax"), 6).alias("disc_tax"),
+        F.count(F.lit(1)).alias("n"),
+    )
