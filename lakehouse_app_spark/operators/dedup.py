@@ -33,9 +33,12 @@ def spread(docs: DataFrame) -> DataFrame:
     A small parquet table arrives as ONE partition, so everything
     upstream of the first shuffle would otherwise run single-
     threaded — the dominant cold-run cost of every dedup pipeline
-    here. On a cluster where the scan already has many partitions
-    this repartition coalesces to a cheap no-op-shaped exchange;
-    the map work it unlocks is linear in the corpus either way.
+    here. The round-robin exchange it buys costs one pass over the
+    raw text; the parallelized shingle/hash map work it unlocks
+    costs many. At cluster scale, where the scan already has ample
+    partitions, drop this call (or gate it on
+    df.rdd.getNumPartitions()) — the trade only pays when input
+    partitions < cores.
     """
     spark = docs.sparkSession
     npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
