@@ -307,8 +307,13 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", (F.lit(1.0) / F.col("n")).alias("r")
     )
     for _ in range(PR_ITERS):
+        # rank table is one row per vocab node — orders of magnitude
+        # smaller than the edge table, so broadcast it: each iteration
+        # then streams the persisted edges through a broadcast-hash
+        # join with zero edge shuffle (the only exchange left is the
+        # |nodes|-row mass aggregation).
         mass = (
-            e.join(r, e["w1"] == r["node"])
+            e.join(F.broadcast(r), e["w1"] == r["node"])
             .select(
                 F.col("w2").alias("node"),
                 (F.col("r") * F.col("wt") / F.col("tot")).alias("c"),
@@ -318,7 +323,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         r = (
             nodes.crossJoin(F.broadcast(cnt))
-            .join(mass, "node", "left")
+            .join(F.broadcast(mass), "node", "left")
             .select(
                 "node",
                 (

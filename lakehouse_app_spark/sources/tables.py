@@ -40,11 +40,22 @@ TABLE_NAMES = [
 _CACHE: dict[tuple[int, str], SimpleNamespace] = {}
 
 
-def _normalize_events(raw: DataFrame) -> DataFrame:
-    """long ns → timestamp_ntz at µs (integer division: ns > 2^53)."""
-    return raw.withColumn(
-        "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)")
-    )
+def normalize_event_ts(raw: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to timestamp_ntz at µs precision.
+
+    The driver has shipped this column as parquet timestamp[ns]
+    (readable only via ``nanosAsLong`` → arrives as long ns) and as
+    plain timestamp[us] (arrives as timestamp/timestamp_ntz), so the
+    loader adapts to the type it actually sees instead of assuming
+    one generation of the fixture.
+    """
+    dtype = dict(raw.dtypes)["ts"]
+    if dtype == "bigint":
+        # long ns → µs (integer division: ns > 2^53, float is lossy)
+        return raw.withColumn(
+            "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)")
+        )
+    return raw.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
 
 def load_tables(
@@ -63,7 +74,7 @@ def load_tables(
     for name in TABLE_NAMES:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if name == "events":
-            df = _normalize_events(df)
+            df = normalize_event_ts(df)
         tables[name] = df
         if register_views:
             df.createOrReplaceTempView(name)

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from lakehouse_app_spark.registry import query
 from lakehouse_app_spark.session import ensure_runtime_confs
-from lakehouse_app_spark.sources.tables import load_tables
+from lakehouse_app_spark.sources.tables import load_tables, normalize_event_ts
 
 _counter = itertools.count()
 
@@ -57,9 +57,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_runtime_confs(spark)
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = spark.readStream.schema(raw_schema).parquet(_staged_events_dir(sf_dir))
-    return raw.withColumn(
-        "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)")
-    )
+    return normalize_event_ts(raw)
 
 
 def run_to_memory(
