@@ -1,0 +1,527 @@
+"""Training-data preparation operators: the corpus-to-training-set
+pipeline stage.
+
+The reference retrieves and post-processes documents for an LLM
+(`app/vector_search.py:29-33`, `app/app.py:111-124`); this module is
+the upstream counterpart a production corpus needs before any of that
+is worth running — C4-style quality gating, LM-based scoring,
+deterministic train/val/test splitting, token-offset sharding,
+source-weighted mixing, URL parsing, PII redaction, and
+exact-checkable MinHash signatures.
+
+Every operator is pure Catalyst expression work (higher-order
+functions, windows, hash-aggregates) — no Python in the hot path. All
+randomness is md5-derived (the [[q_sample_hash]] convention), so every
+decision here is reproducible across engines, re-runs, and
+re-partitioning — the property that keeps a 100 TB training set
+auditable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakehouse_app_spark.registry import query
+from lakehouse_app_spark.sources.tables import load_tables
+
+# ------------------------------------------------------------------ gate
+
+# C4-style filter thresholds (Raffel et al. 2020 use sentence/word
+# heuristics; these are the same shape over this corpus's features).
+MIN_TOKENS = 12
+MAX_TOKENS = 400
+MIN_STOP_RATIO = 0.03
+MIN_AVG_TOKLEN = 2.5
+MAX_AVG_TOKLEN = 8.0
+
+
+@query(
+    "q_corpus_gate",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             (length(text) - (length(text) - length(replace(text, ' ', ''))))
+               / len(string_split(text, ' ')) AS avg_token_len,
+             len(list_filter(string_split(lower(text), ' '),
+                             t -> t = 'the' OR t = 'a' OR t = 'value'))
+               / len(string_split(text, ' ')) AS stop_ratio
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CASE WHEN n_tokens < {MIN_TOKENS} THEN 'too_short'
+                WHEN n_tokens > {MAX_TOKENS} THEN 'too_long'
+                WHEN stop_ratio < {MIN_STOP_RATIO} THEN 'low_stopword'
+                WHEN avg_token_len < {MIN_AVG_TOKLEN}
+                     OR avg_token_len > {MAX_AVG_TOKLEN} THEN 'weird_tokens'
+                ELSE 'keep' END AS reason,
+           CASE WHEN n_tokens >= {MIN_TOKENS} AND n_tokens <= {MAX_TOKENS}
+                     AND stop_ratio >= {MIN_STOP_RATIO}
+                     AND avg_token_len >= {MIN_AVG_TOKLEN}
+                     AND avg_token_len <= {MAX_AVG_TOKLEN}
+                THEN TRUE ELSE FALSE END AS keep
+    FROM m
+    """,
+)
+def q_corpus_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus quality gate: every document gets a keep/drop
+    decision plus the FIRST failing rule as an audit reason — the
+    filter step a pretraining pipeline runs before tokenization.
+    Thresholds compare unrounded doubles, but both engines build the
+    identical expression tree over identical integers, so the
+    comparison is bit-deterministic. Pure map work: at 100 TB this is
+    a scan-local projection with zero shuffle."""
+    t = load_tables(spark, sf_dir)
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    n_spaces = F.length("text") - F.length(F.regexp_replace("text", " ", ""))
+    n_alpha = F.length("text") - n_spaces
+    n_stop = F.size(
+        F.filter(
+            F.split(F.lower(F.col("text")), " "),
+            lambda tk: tk.isin("the", "a", "value"),
+        )
+    )
+    m = t.documents.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        (n_alpha / F.size(F.split(F.col("text"), " "))).alias("avg_token_len"),
+        (n_stop / F.size(F.split(F.col("text"), " "))).alias("stop_ratio"),
+    )
+    ok = (
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("n_tokens") <= MAX_TOKENS)
+        & (F.col("stop_ratio") >= MIN_STOP_RATIO)
+        & (F.col("avg_token_len") >= MIN_AVG_TOKLEN)
+        & (F.col("avg_token_len") <= MAX_AVG_TOKLEN)
+    )
+    reason = (
+        F.when(F.col("n_tokens") < MIN_TOKENS, "too_short")
+        .when(F.col("n_tokens") > MAX_TOKENS, "too_long")
+        .when(F.col("stop_ratio") < MIN_STOP_RATIO, "low_stopword")
+        .when(
+            (F.col("avg_token_len") < MIN_AVG_TOKLEN)
+            | (F.col("avg_token_len") > MAX_AVG_TOKLEN),
+            "weird_tokens",
+        )
+        .otherwise("keep")
+    )
+    return m.select(
+        "doc_id", "n_tokens", reason.alias("reason"), ok.alias("keep")
+    )
+
+
+# ------------------------------------------------------------- perplexity
+
+
+@query(
+    "q_perplexity",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents
+    ), pairs AS (
+      SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+      FROM tok, UNNEST(generate_series(1, len(ts) - 1)) AS g(i)
+      WHERE len(ts) >= 2
+    ), c2 AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM pairs GROUP BY 1, 2
+    ), c1 AS (
+      SELECT w1, CAST(SUM(c) AS BIGINT) AS tot FROM c2 GROUP BY 1
+    ), scored AS (
+      SELECT p.doc_id, c2.c / c1.tot AS prob
+      FROM pairs p
+      JOIN c2 ON p.w1 = c2.w1 AND p.w2 = c2.w2
+      JOIN c1 ON p.w1 = c1.w1
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(CAST(SUM(CAST(-ln(prob) AS DECIMAL(25,12))) AS DOUBLE)
+                 / count(*), 6) AS avg_nll,
+           round(exp(CAST(SUM(CAST(-ln(prob) AS DECIMAL(25,12))) AS DOUBLE)
+                     / count(*)), 3) AS ppl
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document pseudo-perplexity under the corpus's own bigram
+    LM — the model-based quality signal (CCNet-style) that ranks
+    documents for training-data curation. The LM table is built from
+    the same corpus in one pass; scoring is a pair-explode joined
+    against it (at 100 TB: the LM table is vocab², orders of magnitude
+    smaller than the corpus, and broadcastable). The per-doc log-prob
+    sum is decimal-cast so accumulation order can't diverge between
+    engines ([[q_entropy_kl]] convention)."""
+    t = load_tables(spark, sf_dir)
+    pairs = (
+        t.documents.select(
+            "doc_id", F.split(F.lower(F.col("text")), " ").alias("ts")
+        )
+        .where(F.size("ts") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ts) - 1),"
+                    " i -> struct(ts[i-1] AS w1, ts[i] AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    c1 = c2.groupBy("w1").agg(F.sum("c").alias("tot"))
+    lm = c2.join(c1, "w1").select("w1", "w2", (F.col("c") / F.col("tot")).alias("prob"))
+    scored = pairs.join(F.broadcast(lm), ["w1", "w2"]).select("doc_id", "prob")
+    nll_sum = F.sum((-F.log("prob")).cast("decimal(25,12)")).cast("double")
+    n = F.count(F.lit(1))
+    return scored.groupBy("doc_id").agg(
+        n.alias("n_bigrams"),
+        F.round(nll_sum / n, 6).alias("avg_nll"),
+        F.round(F.exp(nll_sum / n), 3).alias("ppl"),
+    )
+
+
+# ------------------------------------------------------------ train split
+
+
+@query(
+    "q_train_split",
+    oracle="""
+    WITH assigned AS (
+      SELECT lang,
+             len(string_split(text, ' ')) AS n_tok,
+             (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS UBIGINT) + 1) / 4294967297.0 AS u
+      FROM documents
+    )
+    SELECT CASE WHEN u < 0.8 THEN 'train'
+                WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
+           lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM assigned GROUP BY 1, 2
+    """,
+)
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split via an md5-derived
+    uniform on the document key — the same rows land in the same split
+    on any engine, any partitioning, any rerun ([[q_sample_hash]]),
+    which is what makes a split reproducible enough to publish with a
+    model. Reported as per-(split, lang) doc and token counts — the
+    balance sheet that catches language skew between splits."""
+    t = load_tables(spark, sf_dir)
+    hex8 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    u = (F.conv(hex8, 16, 10).cast("double") + 1) / F.lit(4294967297.0)
+    split = (
+        F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
+    )
+    return (
+        t.documents.select(
+            split.alias("split"),
+            "lang",
+            F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+# ----------------------------------------------------------- token packing
+
+PACK_BUDGET = 2000  # tokens per shard
+PACK_BUCKET = 100  # doc_ids per prefix-sum bucket
+
+
+@query(
+    "q_pack_batches",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tok,
+             SUM(n_tok) OVER (ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM m
+    )
+    SELECT CAST(floor((cum - n_tok) / {PACK_BUDGET}) AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM c GROUP BY 1
+    """,
+)
+def q_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-offset sharding: documents in key order are packed into
+    contiguous ~{PACK_BUDGET}-token shards by their global token
+    offset — how pretraining corpora are cut into fixed-budget
+    sequences. The oracle states the spec as one global running sum;
+    the Spark side computes the SAME prefix sum scalably: a
+    per-bucket running sum (windows over doc_id DIV {PACK_BUCKET}
+    buckets) plus a broadcast cumulative bucket offset — no global
+    single-partition window, so the plan survives 100 TB where a
+    global ORDER BY window would serialize on one task."""
+    t = load_tables(spark, sf_dir)
+    m = t.documents.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+        (F.col("doc_id") / PACK_BUCKET).cast("long").alias("bucket"),
+    )
+    # pass 1: running sum within each bucket (parallel across buckets)
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = m.withColumn("cum_in", F.sum("n_tok").over(w_in))
+    # pass 2: per-bucket totals → cumulative offset of each bucket
+    # (tiny: one row per bucket; the only serial window runs over it)
+    w_off = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    offsets = (
+        m.groupBy("bucket")
+        .agg(F.sum("n_tok").alias("btot"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("btot").over(w_off), F.lit(0)).alias("off"),
+        )
+    )
+    c = within.join(F.broadcast(offsets), "bucket").select(
+        "doc_id", "n_tok", (F.col("cum_in") + F.col("off")).alias("cum")
+    )
+    shard = F.floor((F.col("cum") - F.col("n_tok")) / PACK_BUDGET).cast("long")
+    return (
+        c.select(shard.alias("shard"), "n_tok", "doc_id")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+# ------------------------------------------------------------- source mix
+
+
+@query(
+    "q_mix_weights",
+    oracle="""
+    WITH rated AS (
+      SELECT source, doc_id,
+             CASE WHEN source IN ('src0', 'src1', 'src2') THEN 1.0
+                  WHEN length(source) = 5 THEN 0.5
+                  ELSE 0.25 END AS rate,
+             (CAST(concat('0x',
+                    substr(md5(concat('mix-', CAST(doc_id AS VARCHAR))), 1, 8))
+                   AS UBIGINT) + 1) / 4294967297.0 AS u
+      FROM documents
+    )
+    SELECT source, rate,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM rated GROUP BY 1, 2
+    """,
+)
+def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-weighted corpus mixing: each source gets a sampling
+    rate (high-quality sources kept at 1.0, the src10–19 tier at 0.5,
+    the rest at 0.25) and documents are kept by comparing an
+    md5-derived uniform against it — deterministic dataset mixing à
+    la The Pile / Dolma weights, auditable per source. The mix hash is
+    salted ('mix-') so the decision is independent of
+    [[q_train_split]]'s split hash."""
+    t = load_tables(spark, sf_dir)
+    rate = (
+        F.when(F.col("source").isin("src0", "src1", "src2"), 1.0)
+        .when(F.length("source") == 5, 0.5)
+        .otherwise(0.25)
+    )
+    hex8 = F.substring(
+        F.md5(F.concat(F.lit("mix-"), F.col("doc_id").cast("string"))), 1, 8
+    )
+    u = (F.conv(hex8, 16, 10).cast("double") + 1) / F.lit(4294967297.0)
+    return (
+        t.documents.select(
+            "source", rate.alias("rate"), (u < rate).alias("kept")
+        )
+        .groupBy("source", "rate")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        )
+    )
+
+
+# -------------------------------------------------------------- url parse
+
+
+@query(
+    "q_url_parse",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             concat('https://', source, '.example.com/docs/', lang, '/',
+                    CAST(doc_id AS VARCHAR), '?ref=', source) AS url
+      FROM documents
+    )
+    SELECT doc_id, url,
+           regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+           regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, 'ref=([^&]+)', 1) AS ref
+    FROM u
+    """,
+)
+def q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing for web-corpus provenance (host / path / query
+    param). The Spark side uses the dedicated `parse_url` expression
+    (the fast JVM path a crawl pipeline would use); the oracle states
+    the same extraction as regexes — two implementations, one
+    spec."""
+    t = load_tables(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref="),
+        F.col("source"),
+    )
+    u = t.documents.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("ref"),
+    )
+
+
+# ------------------------------------------------------------- pii redact
+
+_EMAIL_RE = "[a-z0-9]+@[a-z0-9.]+\\.[a-z]+"
+_PHONE_RE = "555-[0-9]{4}"
+
+
+@query(
+    "q_pii_redact",
+    oracle=f"""
+    WITH synth AS (
+      SELECT doc_id,
+             concat(substr(text, 1, 40), ' contact ', source,
+                    '@corp.example.com or 555-',
+                    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS body
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(body, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_PHONE_RE}', '<PHONE>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(body, '{_EMAIL_RE}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(body, '{_PHONE_RE}')) AS BIGINT)
+             AS n_phones
+    FROM synth
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: emails and phone-shaped strings are
+    replaced with typed placeholders and counted per document — the
+    compliance scrub every published training set runs. (The corpus
+    has no real PII, so the fixture synthesizes a contact line per
+    document from its own attributes; the redaction expressions are
+    the real operator.) Scan-local regex map work — zero shuffle at
+    any scale."""
+    t = load_tables(spark, sf_dir)
+    body = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" contact "),
+        F.col("source"),
+        F.lit("@corp.example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    s = t.documents.select("doc_id", body.alias("body"))
+    return s.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("body", _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ).alias("redacted"),
+        F.size(F.expr(f"regexp_extract_all(body, '{_EMAIL_RE}', 0)"))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.expr(f"regexp_extract_all(body, '{_PHONE_RE}', 0)"))
+        .cast("long")
+        .alias("n_phones"),
+    )
+
+
+# -------------------------------------------- exact-oracle MinHash sigs
+
+# (a, b) parameters of 4 universal-hash functions over the Karp-Rabin
+# token fingerprint, mod the Mersenne prime 2^31-1. a*fp < 2^26 * 2^31
+# stays well inside int64.
+_MH_PARAMS = [(1299721, 7), (15485863, 11), (32452843, 13), (49979687, 17)]
+_MH_P = 2147483647
+
+_FP_SPARK = (
+    "aggregate(transform(split({w}, ''), c -> CAST(ascii(c) AS BIGINT)), "
+    "CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % 2147483647)"
+)
+_FP_DUCK = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split({w}, ''), "
+    "c -> CAST(ascii(c) AS BIGINT))), "
+    "(acc, c) -> (acc * 31 + c) % 2147483647)"
+)
+
+
+def _mh_oracle() -> str:
+    cols = ", ".join(
+        "list_min(list_transform(toks, w -> "
+        f"({a} * {_FP_DUCK.format(w='w')} + {b}) % {_MH_P})) AS mh{i}"
+        for i, (a, b) in enumerate(_MH_PARAMS)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_distinct(string_split(lower(text), ' ')) AS toks
+      FROM documents
+    )
+    SELECT doc_id, {cols} FROM tok
+    """
+
+
+@query("q_minhash_sig", oracle=_mh_oracle())
+def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures with EXACT cross-engine parity: instead of
+    an engine-private hash (Spark's xxhash64 vs DuckDB's hash never
+    agree), tokens are fingerprinted by the portable Karp-Rabin fold
+    of [[q_fingerprint]] and passed through 4 universal hash functions
+    mod 2^31-1 — pure integer arithmetic, bit-identical anywhere. The
+    whole signature is computed inside ONE higher-order expression per
+    row (array_distinct → transform → array_min): scan-local, zero
+    shuffle, zero Python — the map stage that [[q_dedup_minhash]]'s
+    banding join consumes at scale."""
+    t = load_tables(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id",
+        F.array_distinct(F.split(F.lower(F.col("text")), " ")).alias("toks"),
+    )
+    sig_cols = [
+        F.expr(
+            f"array_min(transform(toks, w -> "
+            f"({a} * {_FP_SPARK.format(w='w')} + {b}) % {_MH_P}))"
+        ).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_MH_PARAMS)
+    ]
+    return toks.select("doc_id", *sig_cols)
