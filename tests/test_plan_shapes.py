@@ -164,3 +164,35 @@ def test_interval_bucket_join_avoids_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "Join" in plan, plan
+
+
+def test_minhash_sig_is_scan_local(spark, sf_dir):
+    """The whole 4-hash MinHash signature is one higher-order
+    projection over the scan: no Exchange, no Python eval — the map
+    stage near-dup banding consumes at 100 TB."""
+    plan = formatted_plan(QUERIES["q_minhash_sig"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_corpus_gate_is_scan_local(spark, sf_dir):
+    """Keep/drop gating is pure map work — zero shuffle at any scale."""
+    plan = formatted_plan(QUERIES["q_corpus_gate"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+
+
+def test_pack_batches_has_no_global_window(spark, sf_dir):
+    """The distributed prefix sum must window over doc buckets, never
+    a single global partition (the serial bottleneck the two-pass
+    design exists to avoid); the only unpartitioned window runs over
+    the tiny per-bucket totals."""
+    plan = formatted_plan(QUERIES["q_pack_batches"](spark, sf_dir))
+    assert "hashpartitioning(bucket" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_perplexity_lm_join_broadcasts(spark, sf_dir):
+    """The bigram-LM table joins back to the pair stream as the
+    broadcast build side — the corpus never reshuffles on bigrams."""
+    plan = formatted_plan(QUERIES["q_perplexity"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
