@@ -7,8 +7,12 @@ not result transfer. Prints ONE JSON line:
   {"metric": ..., "value": total_sec, "unit": "sec",
    "queries": {name: sec, ...}, "sf": 0.1}
 
-Also times the DuckDB oracle per query (same machine, same data) when
-one exists — BASELINE.md's comparator — under "duckdb_queries".
+The driver records only the last ~2 KB of output, so the printed line
+must stay compact: "queries" carries the headline (slowest) queries
+only; the full per-query breakdown (all queries + per-query DuckDB
+oracle timings) is written to BENCH_full_local.json alongside this
+script. Also times the DuckDB oracle per query (same machine, same
+data) — BASELINE.md's comparator — totalled under "duckdb_total".
 """
 
 from __future__ import annotations
@@ -69,12 +73,14 @@ def main() -> None:
             print(f"bench: {name} failed: {ex}", file=sys.stderr, flush=True)
             per_query[name] = -1.0
 
-    result = {
+    full = {
         "metric": "sum_query_wall_sec",
         "value": round(sum(v for v in per_query.values() if v > 0), 4),
         "unit": "sec",
         "queries": per_query,
         "sf": _sf_from_dir(SF_DIR),
+        "n_queries": len(per_query),
+        "n_failed": sum(1 for v in per_query.values() if v < 0),
     }
 
     if RUN_DUCKDB:
@@ -93,10 +99,39 @@ def main() -> None:
             except Exception as ex:
                 print(f"bench(duckdb): {name} failed: {ex}", file=sys.stderr)
                 duck[name] = -1.0
-        result["duckdb_queries"] = duck
-        result["duckdb_total"] = round(sum(v for v in duck.values() if v > 0), 4)
+        full["duckdb_queries"] = duck
+        full["duckdb_total"] = round(sum(v for v in duck.values() if v > 0), 4)
 
-    print(json.dumps(result))
+    # Full breakdown → sidecar file (the driver keeps only ~2 KB of
+    # output, so the printed line must be small).
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_full_local.json"), "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+
+    headline_n = int(os.environ.get("SPARK_GRAFT_BENCH_HEADLINE", "20"))
+    slowest = dict(
+        sorted(
+            ((k, v) for k, v in per_query.items() if v > 0),
+            key=lambda kv: -kv[1],
+        )[:headline_n]
+    )
+    compact = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in slowest.items()},
+        "sf": full["sf"],
+        "n_queries": full["n_queries"],
+        "n_failed": full["n_failed"],
+    }
+    if RUN_DUCKDB:
+        compact["duckdb_total"] = full["duckdb_total"]
+    line = json.dumps(compact)
+    # Hard guard: never exceed the driver's tail-capture budget.
+    while len(line) > 1800 and compact["queries"]:
+        compact["queries"].pop(next(iter(reversed(compact["queries"]))))
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":
