@@ -280,3 +280,114 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("hit") / float(TOP_K), 6).alias("recall_at_k"),
         )
     )
+
+
+# ------------------------------------------------ product quantization
+
+PQ_M = 8          # subspaces over the 64-dim vectors
+PQ_DSUB = 8       # dims per subspace
+PQ_K = 16         # codebook entries per subspace (4-bit codes)
+
+# Identical left-fold in both engines: squared-L2 over one subspace.
+_SQDIST_DUCK = (
+    "round(list_reduce(list_prepend(0.0, list_transform(range(1, {n}), "
+    "i -> (vsub[i] - csub[i]) * (vsub[i] - csub[i]))), "
+    "(acc, x) -> acc + x), 6)"
+)
+
+
+@query(
+    "q_pq_quantize",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings WHERE vec_id < {PQ_K}
+    ),
+    subc AS (
+      SELECT cid, t.j,
+             list_slice(cvec, t.j * {PQ_DSUB} + 1,
+                        t.j * {PQ_DSUB} + {PQ_DSUB}) AS csub
+      FROM cents, (SELECT unnest(range(0, {PQ_M})) AS j) t
+    ),
+    subv AS (
+      SELECT vec_id, t.j,
+             list_slice(CAST(embedding AS DOUBLE[]), t.j * {PQ_DSUB} + 1,
+                        t.j * {PQ_DSUB} + {PQ_DSUB}) AS vsub
+      FROM embeddings, (SELECT unnest(range(0, {PQ_M})) AS j) t
+    ),
+    d AS (
+      SELECT vec_id, v.j, cid,
+             {_SQDIST_DUCK.format(n=PQ_DSUB + 1)} AS dist
+      FROM subv v JOIN subc c ON v.j = c.j
+    ),
+    a AS (
+      SELECT vec_id, j, cid, dist,
+             row_number() OVER (PARTITION BY vec_id, j
+                                ORDER BY dist, cid) AS rn
+      FROM d
+    )
+    SELECT vec_id,
+           CAST(SUM(cid << (4 * j)) AS BIGINT) AS pq_code,
+           CAST(SUM(CAST(dist AS DECIMAL(25,6))) AS DOUBLE) AS recon_err
+    FROM a WHERE rn = 1 GROUP BY vec_id
+    """,
+)
+def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization — the PQ half of an IVF-PQ index: each
+    64-dim vector splits into {PQ_M} subvectors, each assigned to the
+    nearest of {PQ_K} per-subspace codebook entries (codebook pinned
+    to the first {PQ_K} corpus vectors, argmin on 6-dp-rounded squared
+    L2 with cid tie-break), packing the whole vector into one 32-bit
+    code — a 64× compression that makes billion-vector search RAM-
+    resident. Emits the packed code plus the decimal-exact
+    reconstruction error (the quantization-quality audit). The
+    codebook cross-join is broadcast ({PQ_M}×{PQ_K} rows); the only
+    shuffles are the per-(vec,subspace) argmin window and the final
+    per-vec rollup, both keyed by vec_id — balanced at any corpus
+    size."""
+    t = load_tables(spark, sf_dir)
+    sub = lambda c, j: F.slice(c, j * PQ_DSUB + 1, PQ_DSUB)  # noqa: E731
+    cents = t.embeddings.where(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("cid"), as_double_array("embedding").alias("cvec")
+    )
+    jseq = F.sequence(F.lit(0), F.lit(PQ_M - 1))
+    subc = cents.select(
+        "cid",
+        F.explode(
+            F.transform(
+                jseq,
+                lambda j: F.struct(
+                    j.alias("j"), sub(F.col("cvec"), j).alias("csub")
+                ),
+            )
+        ).alias("s"),
+    ).select("cid", F.col("s.j").alias("j"), F.col("s.csub").alias("csub"))
+    subv = t.embeddings.select(
+        "vec_id",
+        F.explode(
+            F.transform(
+                jseq,
+                lambda j: F.struct(
+                    j.alias("j"),
+                    sub(as_double_array("embedding"), j).alias("vsub"),
+                ),
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.j").alias("j"), F.col("s.vsub").alias("vsub"))
+    dist = F.round(
+        F.aggregate(
+            F.zip_with(F.col("vsub"), F.col("csub"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    d = subv.join(F.broadcast(subc), "j").select(
+        "vec_id", "j", "cid", dist.alias("dist")
+    )
+    w = Window.partitionBy("vec_id", "j").orderBy("dist", "cid")
+    best = d.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return best.groupBy("vec_id").agg(
+        F.sum(F.expr("shiftleft(cid, CAST(4 * j AS INT))")).cast("long").alias("pq_code"),
+        F.sum(F.col("dist").cast("decimal(25,6)")).cast("double").alias("recon_err"),
+    )

@@ -525,3 +525,82 @@ def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, (a, b) in enumerate(_MH_PARAMS)
     ]
     return toks.select("doc_id", *sig_cols)
+
+
+# ---------------------------------------------------- dataset card
+
+
+@query(
+    "q_dataset_card",
+    oracle=f"""
+    WITH m AS (
+      SELECT source, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             (length(text) - (length(text) - length(replace(text, ' ', ''))))
+               / len(string_split(text, ' ')) AS avg_token_len,
+             len(list_filter(string_split(lower(text), ' '),
+                             t -> t = 'the' OR t = 'a' OR t = 'value'))
+               / len(string_split(text, ' ')) AS stop_ratio
+      FROM documents
+    )
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           round(CAST(SUM(n_tokens) AS DOUBLE) / count(*), 6) AS avg_doc_tokens,
+           round(quantile_cont(n_tokens, 0.5), 6) AS p50_tokens,
+           round(quantile_cont(n_tokens, 0.9), 6) AS p90_tokens,
+           round(count(*) FILTER (WHERE
+                   n_tokens >= {MIN_TOKENS} AND n_tokens <= {MAX_TOKENS}
+                   AND stop_ratio >= {MIN_STOP_RATIO}
+                   AND avg_token_len >= {MIN_AVG_TOKLEN}
+                   AND avg_token_len <= {MAX_AVG_TOKLEN})
+                 / CAST(count(*) AS DOUBLE), 6) AS gate_pass_rate
+    FROM m GROUP BY source, lang
+    """,
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card: the per-(source, lang) summary table every
+    published training corpus ships — document and token totals,
+    token-length distribution (interpolated p50/p90, the
+    [[q_quantiles]] convention), and the fraction passing
+    [[q_corpus_gate]]'s quality rules. One scan-local feature
+    projection followed by a single hash aggregate keyed by
+    (source, lang): at 100 TB this is the cheapest possible shape —
+    no joins, no windows, partial aggregation map-side, and the
+    output is catalog-sized."""
+    t = load_tables(spark, sf_dir)
+    tk = F.split(F.col("text"), " ")
+    n_tokens = F.size(tk).cast("long")
+    n_spaces = F.length("text") - F.length(F.regexp_replace("text", " ", ""))
+    n_stop = F.size(
+        F.filter(
+            F.split(F.lower(F.col("text")), " "),
+            lambda w: w.isin("the", "a", "value"),
+        )
+    )
+    m = t.documents.select(
+        "source",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        ((F.length("text") - n_spaces) / F.size(tk)).alias("avg_token_len"),
+        (n_stop / F.size(tk)).alias("stop_ratio"),
+    )
+    ok = (
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("n_tokens") <= MAX_TOKENS)
+        & (F.col("stop_ratio") >= MIN_STOP_RATIO)
+        & (F.col("avg_token_len") >= MIN_AVG_TOKLEN)
+        & (F.col("avg_token_len") <= MAX_AVG_TOKLEN)
+    )
+    return m.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(
+            F.sum("n_tokens").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_doc_tokens"),
+        F.round(F.percentile("n_tokens", F.lit(0.5)), 6).alias("p50_tokens"),
+        F.round(F.percentile("n_tokens", F.lit(0.9)), 6).alias("p90_tokens"),
+        F.round(
+            F.count_if(ok) / F.count(F.lit(1)).cast("double"), 6
+        ).alias("gate_pass_rate"),
+    )

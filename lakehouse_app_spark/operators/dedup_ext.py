@@ -1,0 +1,405 @@
+"""Corpus-dedup extensions: exact substring-level dedup, repetition
+quality filters, cluster-blocked semantic dedup, and a MinHash
+estimator audit.
+
+The reference deduplicates retrieved sources by exact pair identity
+(`app/app.py:111,117-124`); a pretraining corpus needs the stronger
+family this module adds on top of [[q_dedup_minhash]] /
+[[q_neardup_embed]]: chunk-granular exact substring dedup (Lee et al.
+2022, "Deduplicating Training Data Makes Language Models Better"),
+Gopher-style repetition gates (Rae et al. 2021 §A1.1), SemDeDup-style
+embedding dedup blocked by cluster assignment (Abbas et al. 2023),
+and an audit that measures the MinHash estimator's error against the
+exact Jaccard it approximates — the retrieval-quality check
+[[q_ann_recall]] is for ANN, applied to dedup.
+
+Scale notes are per-operator; the common theme is that every
+quadratic term is capped by a blocking key (chunk hash, cluster id,
+LSH band) that becomes the shuffle/partition column, so each is a
+plain hash-partitioned equi-join at 100 TB — never an all-pairs
+comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakehouse_app_spark.operators.ann import N_CENTROIDS, assign_clusters
+from lakehouse_app_spark.operators.corpus_prep import (
+    _FP_SPARK,
+    _MH_P,
+    _MH_PARAMS,
+    _mh_oracle,
+)
+from lakehouse_app_spark.operators.vectors import as_double_array, cosine_sim
+from lakehouse_app_spark.registry import query
+from lakehouse_app_spark.sources.tables import load_tables
+
+# ------------------------------------------------- chunk-exact dedup
+
+CHUNK_TOKENS = 8
+
+
+@query(
+    "q_chunk_dedup",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    ch AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(0, CAST(floor(len(tk) / {CHUNK_TOKENS}) AS BIGINT)),
+               i -> struct_pack(idx := i,
+                                chunk := array_to_string(
+                                  list_slice(tk, i * {CHUNK_TOKENS} + 1,
+                                             i * {CHUNK_TOKENS} + {CHUNK_TOKENS}),
+                                  ' ')))) AS s
+      FROM toks WHERE len(tk) >= {CHUNK_TOKENS}
+    ),
+    rn AS (
+      SELECT doc_id, s.idx AS chunk_idx,
+             row_number() OVER (PARTITION BY s.chunk
+                                ORDER BY doc_id, s.idx) AS rn
+      FROM ch
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dup_chunks,
+           round(count(*) FILTER (WHERE rn > 1)
+                 / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+    FROM rn GROUP BY doc_id
+    """,
+)
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup at {CHUNK_TOKENS}-token chunk granularity
+    (the tractable relaxation of Lee et al.'s suffix-array exact
+    substring dedup): every chunk keeps only its globally-first
+    occurrence (ordered by doc_id, then position), and each document
+    reports how much of it was already seen elsewhere. Chunking is
+    scan-local higher-order expression work; the only shuffle is the
+    groupBy on chunk text — hash-partitioned by content, so at 100 TB
+    it is one balanced exchange keyed by chunk hash (and the window
+    degenerates to a first-occurrence min, which AQE partial-aggregates
+    map-side)."""
+    t = load_tables(spark, sf_dir)
+    tk = F.split(F.col("text"), " ")
+    n_chunks = F.floor(F.size(tk) / CHUNK_TOKENS).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("idx"),
+            F.array_join(
+                F.slice(tk, i * CHUNK_TOKENS + 1, CHUNK_TOKENS), " "
+            ).alias("chunk"),
+        ),
+    )
+    exploded = (
+        t.documents.where(F.size(tk) >= CHUNK_TOKENS)
+        .select("doc_id", F.explode(chunks).alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.idx").alias("chunk_idx"),
+            F.col("s.chunk").alias("chunk"),
+        )
+    )
+    w = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    flagged = exploded.withColumn("rn", F.row_number().over(w))
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count_if(F.col("rn") > 1).alias("n_dup_chunks"),
+        F.round(
+            F.count_if(F.col("rn") > 1) / F.count(F.lit(1)).cast("double"), 6
+        ).alias("dup_frac"),
+    )
+
+
+# ------------------------------------------- Gopher repetition gates
+
+MAX_WORD_FRAC = 0.20
+MAX_TOP_BIGRAM_FRAC = 0.18
+MAX_DUP_TRIGRAM_FRAC = 0.15
+
+
+@query(
+    "q_gopher_repetition",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    grams AS (
+      SELECT doc_id, 1 AS n, unnest(tk) AS g FROM toks
+      UNION ALL
+      SELECT doc_id, 2 AS n,
+             unnest(list_transform(range(1, len(tk)),
+                                   i -> tk[i] || ' ' || tk[i+1])) AS g
+      FROM toks WHERE len(tk) >= 2
+      UNION ALL
+      SELECT doc_id, 3 AS n,
+             unnest(list_transform(range(1, len(tk) - 1),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+      FROM toks WHERE len(tk) >= 3
+    ),
+    counts AS (
+      SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY doc_id, n, g
+    ),
+    agg AS (
+      SELECT doc_id,
+             max(c) FILTER (WHERE n = 1) AS max_word,
+             sum(c) FILTER (WHERE n = 1) AS n_words,
+             max(c) FILTER (WHERE n = 2) AS max_bg,
+             sum(c) FILTER (WHERE n = 2) AS n_bg,
+             COALESCE(sum(c) FILTER (WHERE n = 3 AND c > 1), 0) AS dup_tri,
+             sum(c) FILTER (WHERE n = 3) AS n_tri
+      FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id,
+           round(max_word / CAST(n_words AS DOUBLE), 6) AS max_word_frac,
+           round(max_bg / CAST(n_bg AS DOUBLE), 6) AS top_bigram_frac,
+           round(dup_tri / CAST(n_tri AS DOUBLE), 6) AS dup_trigram_frac,
+           (max_word / CAST(n_words AS DOUBLE) <= {MAX_WORD_FRAC}
+            AND max_bg / CAST(n_bg AS DOUBLE) <= {MAX_TOP_BIGRAM_FRAC}
+            AND dup_tri / CAST(n_tri AS DOUBLE) <= {MAX_DUP_TRIGRAM_FRAC})
+             AS keep
+    FROM agg
+    """,
+)
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gate: per-document most-frequent-word
+    fraction, top-bigram fraction, and fraction of trigrams that
+    repeat, each against its published-shape threshold. The n-gram
+    explode shuffles on (doc_id, n, gram) — partial map-side
+    aggregation collapses repeats before the exchange, and the second
+    aggregate is keyed by doc_id alone, so the whole gate is two
+    balanced hash aggregations regardless of corpus size. Thresholds
+    compare unrounded doubles, identically derived in both engines
+    from identical integer counts."""
+    t = load_tables(spark, sf_dir)
+    tk = F.split(F.col("text"), " ")
+    docs = t.documents.select("doc_id", tk.alias("tk"))
+
+    def ngrams(n: int):
+        if n == 1:
+            g = F.col("tk")
+        else:
+            g = F.transform(
+                F.sequence(F.lit(1), F.size("tk") - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at("tk", (i + j).cast("int")) for j in range(n)]
+                ),
+            )
+        return (
+            docs.where(F.size("tk") >= n)
+            .select("doc_id", F.lit(n).alias("n"), F.explode(g).alias("g"))
+        )
+
+    counts = (
+        ngrams(1)
+        .unionAll(ngrams(2))
+        .unionAll(ngrams(3))
+        .groupBy("doc_id", "n", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    c, n = F.col("c"), F.col("n")
+    agg = counts.groupBy("doc_id").agg(
+        F.max(F.when(n == 1, c)).alias("max_word"),
+        F.sum(F.when(n == 1, c)).alias("n_words"),
+        F.max(F.when(n == 2, c)).alias("max_bg"),
+        F.sum(F.when(n == 2, c)).alias("n_bg"),
+        F.coalesce(F.sum(F.when((n == 3) & (c > 1), c)), F.lit(0)).alias("dup_tri"),
+        F.sum(F.when(n == 3, c)).alias("n_tri"),
+    )
+    word_frac = F.col("max_word") / F.col("n_words").cast("double")
+    bg_frac = F.col("max_bg") / F.col("n_bg").cast("double")
+    tri_frac = F.col("dup_tri") / F.col("n_tri").cast("double")
+    return agg.select(
+        "doc_id",
+        F.round(word_frac, 6).alias("max_word_frac"),
+        F.round(bg_frac, 6).alias("top_bigram_frac"),
+        F.round(tri_frac, 6).alias("dup_trigram_frac"),
+        (
+            (word_frac <= MAX_WORD_FRAC)
+            & (bg_frac <= MAX_TOP_BIGRAM_FRAC)
+            & (tri_frac <= MAX_DUP_TRIGRAM_FRAC)
+        ).alias("keep"),
+    )
+
+
+# ------------------------------------------ cluster-blocked SemDeDup
+
+SEMDEDUP_TAU = 0.35
+
+
+@query(
+    "q_semdedup",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings WHERE vec_id < {N_CENTROIDS}
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cid
+      FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]), c.cvec), 6) DESC, c.cid) AS rn
+        FROM embeddings e, cents c
+      ) WHERE rn = 1
+    )
+    SELECT a.vec_id, a.cid,
+           CAST(count(b.vec_id) AS BIGINT) AS n_dups_lower,
+           COALESCE(max(round(list_cosine_similarity(
+             CAST(a.embedding AS DOUBLE[]),
+             CAST(b.embedding AS DOUBLE[])), 6)), 0.0) AS max_sim_lower,
+           (count(b.vec_id) = 0) AS keep
+    FROM assign a LEFT JOIN assign b
+      ON a.cid = b.cid AND b.vec_id < a.vec_id
+      AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6)
+          >= {SEMDEDUP_TAU}
+    GROUP BY a.vec_id, a.cid
+    """,
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: a vector is dropped when a lower-id vector in its
+    OWN centroid cluster is cosine-similar above τ={SEMDEDUP_TAU} —
+    the embedding-space analogue of keep-first exact dedup. Reuses
+    [[q_ann_ivf]]'s broadcast argmax-cosine assignment, so the
+    quadratic term is blocked by cluster: at 100 TB the cluster id is
+    the partition column written at ingest and the self-join is
+    partition-local with K ~ √n clusters capping every block. The
+    left self-join keeps undominated vectors (keep=true) in the
+    output with their evidence columns zeroed."""
+    t = load_tables(spark, sf_dir)
+    centroids = t.embeddings.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), as_double_array("embedding").alias("cvec")
+    )
+    assigned = assign_clusters(t.embeddings, centroids)
+    a = assigned.select(
+        F.col("vec_id"), F.col("cid"), F.col("embedding").alias("a_emb")
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("cid").alias("b_cid"),
+        F.col("embedding").alias("b_emb"),
+    )
+    sim = F.round(
+        cosine_sim(as_double_array("a_emb"), as_double_array("b_emb")), 6
+    )
+    cond = (
+        (F.col("cid") == F.col("b_cid"))
+        & (F.col("b_id") < F.col("vec_id"))
+        & (sim >= SEMDEDUP_TAU)
+    )
+    return (
+        a.join(b, cond, "left")
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.count("b_id").alias("n_dups_lower"),
+            F.coalesce(F.max(sim), F.lit(0.0)).alias("max_sim_lower"),
+            (F.count("b_id") == 0).alias("keep"),
+        )
+    )
+
+
+# -------------------------------------------- MinHash estimator audit
+
+
+def _mh_audit_oracle() -> str:
+    sig_cols = ", ".join(
+        "list_min(list_transform(toks, w -> "
+        f"({a} * (list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split(w, ''), "
+        "c -> CAST(ascii(c) AS BIGINT))), "
+        f"(acc, c) -> (acc * 31 + c) % 2147483647)) + {b}) % {_MH_P})) AS mh{i}"
+        for i, (a, b) in enumerate(_MH_PARAMS)
+    )
+    eq = " + ".join(
+        f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(4)
+    )
+    return f"""
+    WITH sig AS (
+      SELECT doc_id,
+             list_distinct(string_split(lower(text), ' ')) AS toks,
+             {sig_cols}
+      FROM (SELECT doc_id, text,
+                   list_distinct(string_split(lower(text), ' ')) AS toks
+            FROM documents)
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           round(({eq}) / 4.0, 6) AS est_jaccard,
+           round(len(list_intersect(a.toks, b.toks))
+                 / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE), 6)
+             AS exact_jaccard,
+           round(abs(({eq}) / 4.0
+                 - len(list_intersect(a.toks, b.toks))
+                   / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE)), 6)
+             AS abs_err
+    FROM sig a JOIN sig b
+      ON a.doc_id < b.doc_id
+     AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1)
+          OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3))
+    """
+
+
+@query("q_minhash_audit", oracle=_mh_audit_oracle())
+def q_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator audit for the MinHash dedup tier: candidate pairs
+    come from 2×2 banding over [[q_minhash_sig]]'s exact-parity
+    signatures (two equi-joins + union, never an all-pairs scan), and
+    each candidate reports the signature-estimated Jaccard next to the
+    exact token-set Jaccard with the absolute error — the measurement
+    that justifies trusting [[q_dedup_minhash]] at scales where exact
+    Jaccard is unaffordable. Both band joins shuffle on the band key;
+    at 100 TB the signatures are a persisted table and this audit runs
+    on a sample partition."""
+    t = load_tables(spark, sf_dir)
+    toks = F.array_distinct(F.split(F.lower(F.col("text")), " "))
+    sig_cols = [
+        F.expr(
+            f"array_min(transform(toks, w -> "
+            f"({a} * {_FP_SPARK.format(w='w')} + {b}) % {_MH_P}))"
+        ).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_MH_PARAMS)
+    ]
+    sig = t.documents.select("doc_id", toks.alias("toks")).select(
+        "doc_id", "toks", *sig_cols
+    )
+    a = sig.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("toks").alias("a_toks"),
+        *[F.col(f"mh{i}").alias(f"a_mh{i}") for i in range(4)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("toks").alias("b_toks"),
+        *[F.col(f"mh{i}").alias(f"b_mh{i}") for i in range(4)],
+    )
+    band1 = a.join(
+        b,
+        (F.col("a_mh0") == F.col("b_mh0"))
+        & (F.col("a_mh1") == F.col("b_mh1"))
+        & (F.col("a_id") < F.col("b_id")),
+    )
+    band2 = a.join(
+        b,
+        (F.col("a_mh2") == F.col("b_mh2"))
+        & (F.col("a_mh3") == F.col("b_mh3"))
+        & (F.col("a_id") < F.col("b_id")),
+    )
+    pairs = band1.unionAll(band2).dropDuplicates(["a_id", "b_id"])
+    est = (
+        sum(
+            F.when(F.col(f"a_mh{i}") == F.col(f"b_mh{i}"), 1).otherwise(0)
+            for i in range(4)
+        )
+        / F.lit(4.0)
+    )
+    exact = F.size(F.array_intersect("a_toks", "b_toks")) / F.size(
+        F.array_distinct(F.concat("a_toks", "b_toks"))
+    ).cast("double")
+    return pairs.select(
+        "a_id",
+        "b_id",
+        F.round(est, 6).alias("est_jaccard"),
+        F.round(exact, 6).alias("exact_jaccard"),
+        F.round(F.abs(est - exact), 6).alias("abs_err"),
+    )

@@ -411,3 +411,94 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_contaminated") / F.col("n_shingles").cast("double"), 6
         ).alias("contamination_rate"),
     )
+
+
+# --------------------------------------------------- PMI collocations
+
+PMI_MIN_COUNT = 5
+PMI_TOP = 15
+
+
+@query(
+    "q_pmi_collocations",
+    oracle=f"""
+    WITH toks AS (
+      SELECT string_split(lower(text), ' ') AS tk FROM documents
+    ),
+    uni AS (
+      SELECT g AS w, count(*) AS c1
+      FROM (SELECT unnest(tk) AS g FROM toks) GROUP BY g
+    ),
+    bi AS (
+      SELECT s.w1 AS w1, s.w2 AS w2, count(*) AS c
+      FROM (
+        SELECT unnest(list_transform(range(1, len(tk)),
+                 i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS s
+        FROM toks WHERE len(tk) >= 2
+      ) GROUP BY s.w1, s.w2
+    ),
+    nu AS (SELECT CAST(SUM(c1) AS DOUBLE) AS n_uni FROM uni),
+    nb AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_bi FROM bi)
+    SELECT b.w1, b.w2, CAST(b.c AS BIGINT) AS c,
+           round(ln((b.c / n_bi)
+                    / ((u1.c1 / n_uni) * (u2.c1 / n_uni))), 6) AS pmi
+    FROM bi b
+    JOIN uni u1 ON b.w1 = u1.w
+    JOIN uni u2 ON b.w2 = u2.w, nu, nb
+    WHERE b.c >= {PMI_MIN_COUNT}
+    ORDER BY pmi DESC, b.w1, b.w2
+    LIMIT {PMI_TOP}
+    """,
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-{PMI_TOP} corpus bigrams by pointwise
+    mutual information, PMI = ln(P(w1w2) / (P(w1)·P(w2))) — the
+    classic association score that separates real phrases from chance
+    co-occurrence (the phrase-vocabulary step of tokenizer/corpus
+    prep). The unigram table is vocabulary-sized, so both probability
+    joins are broadcasts; the only data-sized work is the two n-gram
+    count aggregates, which partial-combine map-side. ln over
+    identical doubles in both engines, rounded to 6 dp (the
+    [[q_bm25]] precedent)."""
+    t = load_tables(spark, sf_dir)
+    tk = F.split(F.lower(F.col("text")), " ")
+    docs = t.documents.select(tk.alias("tk"))
+    uni = (
+        docs.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("tk") - 1),
+        lambda i: F.struct(
+            F.element_at("tk", i.cast("int")).alias("w1"),
+            F.element_at("tk", (i + 1).cast("int")).alias("w2"),
+        ),
+    )
+    bi = (
+        docs.where(F.size("tk") >= 2)
+        .select(F.explode(pairs).alias("s"))
+        .groupBy(F.col("s.w1").alias("w1"), F.col("s.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nu = uni.agg(F.sum("c1").cast("double").alias("n_uni"))
+    nb = bi.agg(F.sum("c").cast("double").alias("n_bi"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c1").alias("c1a"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1b"))
+    pmi = F.log(
+        (F.col("c") / F.col("n_bi"))
+        / ((F.col("c1a") / F.col("n_uni")) * (F.col("c1b") / F.col("n_uni")))
+    )
+    return (
+        bi.where(F.col("c") >= PMI_MIN_COUNT)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1", "w2", F.col("c").cast("long").alias("c"),
+            F.round(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(PMI_TOP)
+    )

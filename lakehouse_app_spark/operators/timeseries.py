@@ -245,3 +245,103 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.sum(F.col("n") * F.pow(F.lit(1 - alpha), -F.col("i"))).over(run)
     )
     return daily.select("day", "n", F.round(ewma, 4).alias("ewma"))
+
+
+@query(
+    "q_fill_interp",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+      FROM events
+    ), spine AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      FROM bounds
+    ), daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS v
+      FROM events WHERE event_type = 'purchase' AND user_id % 97 = 7
+      GROUP BY 1
+    ), j AS (
+      SELECT s.day, d.v FROM spine s LEFT JOIN daily d USING (day)
+    ), w AS (
+      SELECT day, v,
+             last_value(v IGNORE NULLS) OVER
+               (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER
+               (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS pd,
+             first_value(v IGNORE NULLS) OVER
+               (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER
+               (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS nd
+      FROM j
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           (v IS NOT NULL) AS observed,
+           round(CASE WHEN v IS NOT NULL THEN v
+                 WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                   pv + (nv - pv) * (date_diff('day', pd, day) * 1.0
+                                     / date_diff('day', pd, nd))
+                 ELSE NULL END, 6) AS v_interp
+    FROM w
+    """,
+)
+def q_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over calendar gaps in a sparse daily
+    series (one thin user-bucket's purchase revenue): unobserved days
+    between two observations get the straight-line value, leading/
+    trailing gaps stay NULL — the gap-fill semantics of TimescaleDB's
+    ``interpolate()``. Built from [[q_date_spine]]'s spine plus two
+    IGNORE NULLS window walks (previous / next observation and their
+    dates); the windows run over the |days|-sized rollup, never raw
+    events, so the unpartitioned sort is calendar-bounded at any data
+    scale. The daily sum is decimal-exact and both engines evaluate
+    the identical interpolation expression on identical doubles."""
+    t = load_tables(spark, sf_dir)
+    spine = (
+        t.events.agg(
+            F.to_date(F.min("ts")).alias("d0"), F.to_date(F.max("ts")).alias("d1")
+        )
+        .select(
+            F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+        )
+    )
+    daily = (
+        t.events.where(
+            (F.col("event_type") == "purchase") & (F.col("user_id") % 97 == 7)
+        )
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("v"))
+    )
+    j = spine.join(F.broadcast(daily), "day", "left")
+    prev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    nxt = Window.orderBy("day").rowsBetween(0, Window.unboundedFollowing)
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    w = j.select(
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(prev).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(prev).alias("pd"),
+        F.first("v", ignorenulls=True).over(nxt).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(nxt).alias("nd"),
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (
+                F.datediff("day", "pd") * F.lit(1.0)
+                / F.datediff("nd", "pd")
+            ),
+        )
+    )
+    return w.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("v").isNotNull().alias("observed"),
+        F.round(interp, 6).alias("v_interp"),
+    )

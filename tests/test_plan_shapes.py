@@ -196,3 +196,42 @@ def test_perplexity_lm_join_broadcasts(spark, sf_dir):
     broadcast build side — the corpus never reshuffles on bigrams."""
     plan = formatted_plan(QUERIES["q_perplexity"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pq_codebook_is_broadcast(spark, sf_dir):
+    """PQ assignment joins every (vector, subspace) row against the
+    M×K codebook — that side must broadcast, never shuffle the
+    corpus."""
+    plan = formatted_plan(QUERIES["q_pq_quantize"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_semdedup_self_join_is_equi_on_cluster(spark, sf_dir):
+    """SemDeDup's quadratic term is blocked by cluster id: the self
+    join must key on cid (equi-join with residual sim condition) —
+    SortMergeJoin, never a corpus-sized nested loop. (The 8-row
+    broadcast centroid cross-joins inside assign_clusters are the
+    intended bounded exception.)"""
+    plan = formatted_plan(QUERIES["q_semdedup"](spark, sf_dir))
+    assert "SortMergeJoin LeftOuter" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_chunk_dedup_chunks_before_shuffle(spark, sf_dir):
+    """Chunking is scan-local: the Generate (explode) sits below the
+    first hash exchange, so only (doc_id, idx, chunk) rows — not
+    documents — cross the wire, already chunk-partitioned."""
+    plan = formatted_plan(QUERIES["q_chunk_dedup"](spark, sf_dir))
+    gen = plan.find("Generate")
+    first_hash_exchange = plan.find("hashpartitioning")
+    assert gen != -1 and first_hash_exchange != -1, plan
+    assert gen < first_hash_exchange, plan
+
+
+def test_minhash_audit_bands_are_equi_joins(spark, sf_dir):
+    """LSH banding must produce two equi-joins on signature bands —
+    an all-pairs nested loop would defeat the entire design."""
+    plan = formatted_plan(QUERIES["q_minhash_audit"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -432,3 +432,19 @@ def test_incremental_rollup_maintenance(spark, sf_dir, tmp_path):
     assert refreshed.count() == daily.count()
     assert refreshed.subtract(daily).count() == 0
     assert daily.subtract(refreshed).count() == 0
+
+
+def test_orc_sink_roundtrip(spark, sf_dir, tmp_path):
+    """ORC completes the format matrix (parquet/csv/json/orc): write
+    the part table to ORC, read it back byte-identically, and check
+    ORC predicate pushdown survives (the reader reports pushed
+    filters in the plan)."""
+    t = load_tables(spark, sf_dir)
+    path = str(tmp_path / "part_orc")
+    t.part.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.count() == t.part.count()
+    assert back.subtract(t.part).count() == 0
+    assert t.part.subtract(back).count() == 0
+    plan = back.where(F.col("p_size") > 25)._jdf.queryExecution().executedPlan().toString()
+    assert "p_size" in plan
