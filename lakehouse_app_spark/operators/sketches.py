@@ -1,0 +1,167 @@
+"""Probabilistic-sketch tier with exact cross-engine parity.
+
+Distributed engines replace exact set operations with sketches when
+the exact structure no longer fits: HLL for cardinality (declared as
+[[q_agg_approx]]), MinHash for similarity ([[q_minhash_sig]]), and —
+here — a Bloom filter for membership, the structure behind runtime
+bloom-filter join pruning (Spark's own
+``spark.sql.optimizer.runtime.bloomFilter`` does exactly this
+semi-join reduction). Engine-private hash functions can never agree
+across engines, so like [[q_minhash_sig]] every hash is built from
+the portable Karp-Rabin fingerprint — pure integer arithmetic,
+bit-identical in Spark and DuckDB, making the whole sketch
+exact-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_app_spark.operators.corpus_prep import _FP_DUCK, _FP_SPARK
+from lakehouse_app_spark.registry import query
+from lakehouse_app_spark.sources.tables import load_tables
+
+BLOOM_M = 4096  # bit positions; packed 63 bits/word (DuckDB rejects 1<<63)
+_HA, _HB = 1299721, 7  # second hash: universal-hash params over the fp
+_P = 2147483647
+
+
+def _duck_positions(fp: str) -> tuple[str, str]:
+    return (
+        f"(({fp}) % {BLOOM_M})",
+        f"((({_HA} * ({fp}) + {_HB}) % {_P}) % {BLOOM_M})",
+    )
+
+
+@query(
+    "q_bloom_membership",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(tk)),
+                    i -> tk[i] || ' ' || tk[i+1]))) AS g
+      FROM toks WHERE len(tk) >= 2
+    ),
+    train AS (SELECT DISTINCT g FROM bg WHERE doc_id % 2 = 0),
+    tpos AS (
+      SELECT {_duck_positions(_FP_DUCK.format(w='g'))[0]} AS p1,
+             {_duck_positions(_FP_DUCK.format(w='g'))[1]} AS p2
+      FROM train
+    ),
+    bits AS (
+      SELECT slot, bit_or(mask) AS bits FROM (
+        SELECT p1 // 63 AS slot, (CAST(1 AS BIGINT) << (p1 % 63)) AS mask
+        FROM tpos
+        UNION ALL
+        SELECT p2 // 63 AS slot, (CAST(1 AS BIGINT) << (p2 % 63)) AS mask
+        FROM tpos
+      ) GROUP BY slot
+    ),
+    ev AS (
+      SELECT doc_id, g,
+             {_duck_positions(_FP_DUCK.format(w='g'))[0]} AS p1,
+             {_duck_positions(_FP_DUCK.format(w='g'))[1]} AS p2
+      FROM bg WHERE doc_id % 2 = 1
+    ),
+    probed AS (
+      SELECT e.doc_id, e.g,
+             (b1.bits IS NOT NULL
+              AND (b1.bits & (CAST(1 AS BIGINT) << (e.p1 % 63))) != 0
+              AND b2.bits IS NOT NULL
+              AND (b2.bits & (CAST(1 AS BIGINT) << (e.p2 % 63))) != 0)
+               AS claimed,
+             (t.g IS NOT NULL) AS present
+      FROM ev e
+      LEFT JOIN bits b1 ON e.p1 // 63 = b1.slot
+      LEFT JOIN bits b2 ON e.p2 // 63 = b2.slot
+      LEFT JOIN train t ON e.g = t.g
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(count(*) FILTER (WHERE claimed) AS BIGINT) AS n_claimed,
+           CAST(count(*) FILTER (WHERE present) AS BIGINT) AS n_present,
+           CAST(count(*) FILTER (WHERE claimed AND NOT present) AS BIGINT)
+             AS n_false_positives
+    FROM probed GROUP BY doc_id
+    """,
+)
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership with its own false-positive audit: the
+    train split's distinct bigrams build a {BLOOM_M}-bit / 2-hash
+    Bloom filter (63-bits-per-word bit_or-aggregated longs), eval bigrams probe it,
+    and each eval document reports claimed-vs-actually-present counts
+    — a Bloom filter can only err claimed-but-absent, and the audit
+    measures exactly that. This is the semi-join-reduction structure
+    engines use at scale: the filter is aggregate-sized (64 rows
+    here, KBs at any corpus size) and broadcast, so the big probe
+    side is pre-filtered without shuffling — the exact-membership
+    join exists here only as the audit. Hashing is the portable
+    Karp-Rabin fingerprint ([[q_minhash_sig]]), so both engines build
+    bit-identical filters."""
+    t = load_tables(spark, sf_dir)
+    tk = F.split(F.lower(F.col("text")), " ")
+    bigrams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("tk") - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("tk", i.cast("int")),
+                F.element_at("tk", (i + 1).cast("int")),
+            ),
+        )
+    )
+    bg = (
+        t.documents.select("doc_id", tk.alias("tk"))
+        .where(F.size("tk") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("g"))
+    )
+    fp = F.expr(_FP_SPARK.format(w="g"))
+    p1 = (fp % BLOOM_M).alias("p1")
+    p2 = (((_HA * fp + _HB) % _P) % BLOOM_M).alias("p2")
+
+    train = bg.where(F.col("doc_id") % 2 == 0).select("g").distinct()
+    tpos = train.select(p1, p2)
+    mask = lambda p: F.expr(  # noqa: E731
+        f"shiftleft(CAST(1 AS BIGINT), CAST({p} % 63 AS INT))"
+    )
+    bits = (
+        tpos.select((F.col("p1") / 63).cast("long").alias("slot"), mask("p1").alias("mask"))
+        .unionAll(
+            tpos.select((F.col("p2") / 63).cast("long").alias("slot"), mask("p2").alias("mask"))
+        )
+        .groupBy("slot")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+    ev = bg.where(F.col("doc_id") % 2 == 1).select("doc_id", "g", p1, p2)
+    b1 = bits.select(F.col("slot").alias("s1"), F.col("bits").alias("bits1"))
+    b2 = bits.select(F.col("slot").alias("s2"), F.col("bits").alias("bits2"))
+    probed = (
+        ev.join(F.broadcast(b1), (F.col("p1") / 63).cast("long") == F.col("s1"), "left")
+        .join(F.broadcast(b2), (F.col("p2") / 63).cast("long") == F.col("s2"), "left")
+        .join(
+            F.broadcast(train.withColumn("present_flag", F.lit(1))),
+            "g",
+            "left",
+        )
+        .select(
+            "doc_id",
+            (
+                F.col("bits1").isNotNull()
+                & (F.col("bits1").bitwiseAND(mask("p1")) != 0)
+                & F.col("bits2").isNotNull()
+                & (F.col("bits2").bitwiseAND(mask("p2")) != 0)
+            ).alias("claimed"),
+            F.col("present_flag").isNotNull().alias("present"),
+        )
+    )
+    return probed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.count_if(F.col("claimed")).alias("n_claimed"),
+        F.count_if(F.col("present")).alias("n_present"),
+        F.count_if(F.col("claimed") & ~F.col("present")).alias("n_false_positives"),
+    )

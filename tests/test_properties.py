@@ -245,3 +245,114 @@ def test_contamination_rate_well_formed(spark, sf_dir):
         assert r["doc_id"] % 2 == 1
         assert 0 < r["n_contaminated"] <= r["n_shingles"]
         assert 0.0 < r["contamination_rate"] <= 1.0
+
+
+def test_chunk_dedup_conservation(spark, sf_dir):
+    """Kept chunks (n_chunks - n_dup_chunks summed over docs) must
+    equal the number of globally distinct chunk strings — keep-first
+    drops exactly the repeats, nothing else."""
+    from lakehouse_app_spark import QUERIES
+    from lakehouse_app_spark.operators.dedup_ext import CHUNK_TOKENS
+
+    res = QUERIES["q_chunk_dedup"](spark, sf_dir)
+    kept = res.agg(
+        F.sum(F.col("n_chunks") - F.col("n_dup_chunks"))
+    ).collect()[0][0]
+    t = load_tables(spark, sf_dir)
+    tk = F.split(F.col("text"), " ")
+    n_chunks = F.floor(F.size(tk) / CHUNK_TOKENS).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(tk, i * CHUNK_TOKENS + 1, CHUNK_TOKENS), " "),
+    )
+    distinct = (
+        t.documents.where(F.size(tk) >= CHUNK_TOKENS)
+        .select(F.explode(chunks).alias("c"))
+        .distinct()
+        .count()
+    )
+    assert kept == distinct, (kept, distinct)
+
+
+def test_semdedup_keep_is_antichain_free(spark, sf_dir):
+    """Every dropped vector must name a sim >= tau to some lower id;
+    every kept vector reports zero such neighbors. Cross-check the
+    keep flags against a brute-force pass over one cluster."""
+    from lakehouse_app_spark import QUERIES
+    from lakehouse_app_spark.operators.dedup_ext import SEMDEDUP_TAU
+
+    res = QUERIES["q_semdedup"](spark, sf_dir)
+    bad = res.where(
+        (F.col("keep") & (F.col("n_dups_lower") > 0))
+        | (~F.col("keep") & (F.col("n_dups_lower") == 0))
+        | (~F.col("keep") & (F.col("max_sim_lower") < SEMDEDUP_TAU))
+    ).count()
+    assert bad == 0
+
+
+def test_pq_codes_in_range_and_error_nonnegative(spark, sf_dir):
+    """Packed PQ codes fit 8x4 bits; reconstruction error is a sum of
+    squared distances so it can never be negative, and a codebook
+    vector must quantize to itself in its own subspaces (zero
+    error)."""
+    from lakehouse_app_spark import QUERIES
+    from lakehouse_app_spark.operators.ann import PQ_K
+
+    res = QUERIES["q_pq_quantize"](spark, sf_dir)
+    bad = res.where(
+        (F.col("pq_code") < 0)
+        | (F.col("pq_code") >= F.lit(2 ** 32))
+        | (F.col("recon_err") < 0)
+    ).count()
+    assert bad == 0
+    self_err = (
+        res.where(F.col("vec_id") < PQ_K)
+        .agg(F.max("recon_err"))
+        .collect()[0][0]
+    )
+    assert self_err == 0.0, self_err
+
+
+def test_fill_interp_brackets_and_matches_observed(spark, sf_dir):
+    """Observed days pass through untouched; interpolated values lie
+    between (inclusive) their bracketing observations."""
+    from lakehouse_app_spark import QUERIES
+
+    rows = QUERIES["q_fill_interp"](spark, sf_dir).orderBy("day").collect()
+    obs = [(i, r["v_interp"]) for i, r in enumerate(rows) if r["observed"]]
+    assert obs, "fixture must contain observed days"
+    for i, r in enumerate(rows):
+        if r["observed"] or r["v_interp"] is None:
+            continue
+        prev = max((o for o in obs if o[0] < i), key=lambda o: o[0])
+        nxt = min((o for o in obs if o[0] > i), key=lambda o: o[0])
+        lo, hi = sorted((prev[1], nxt[1]))
+        assert lo - 1e-6 <= r["v_interp"] <= hi + 1e-6
+
+
+def test_minhash_audit_estimator_is_calibrated(spark, sf_dir):
+    """Banding candidates are biased toward similar pairs, so the
+    mean exact Jaccard over candidates must be far above the corpus
+    base rate, and the estimate can only take values k/4."""
+    from lakehouse_app_spark import QUERIES
+
+    rows = QUERIES["q_minhash_audit"](spark, sf_dir).collect()
+    assert rows, "banding should produce candidates on this corpus"
+    assert all(abs(r["est_jaccard"] * 4 - round(r["est_jaccard"] * 4)) < 1e-9
+               for r in rows)
+    mean_exact = sum(r["exact_jaccard"] for r in rows) / len(rows)
+    assert mean_exact > 0.3, mean_exact
+
+
+def test_bloom_has_no_false_negatives(spark, sf_dir):
+    """The defining Bloom guarantee: a present element is ALWAYS
+    claimed — n_claimed >= n_present per doc, and false positives are
+    exactly the claimed-minus-present overshoot."""
+    from lakehouse_app_spark import QUERIES
+
+    res = QUERIES["q_bloom_membership"](spark, sf_dir)
+    bad = res.where(
+        (F.col("n_claimed") < F.col("n_present"))
+        | (F.col("n_false_positives") != F.col("n_claimed") - F.col("n_present"))
+    ).count()
+    assert bad == 0
