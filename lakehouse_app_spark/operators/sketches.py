@@ -165,3 +165,93 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("present")).alias("n_present"),
         F.count_if(F.col("claimed") & ~F.col("present")).alias("n_false_positives"),
     )
+
+
+# ---------------------------------------------- count-min heavy hitters
+
+CMS_W = 1024   # columns per row
+CMS_D = 2      # hash rows
+_CMS_PARAMS = [(15485863, 11), (32452843, 13)]  # [[q_minhash_sig]] family
+TOPN_HH = 20
+
+
+def _cms_col_duck(r: int, fp: str) -> str:
+    a, b = _CMS_PARAMS[r]
+    return f"((({a} * ({fp}) + {b}) % {_P}) % {CMS_W})"
+
+
+@query(
+    "q_cms_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ),
+    counts AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w),
+    keyed AS (
+      SELECT w, c,
+             {_cms_col_duck(0, _FP_DUCK.format(w='w'))} AS col0,
+             {_cms_col_duck(1, _FP_DUCK.format(w='w'))} AS col1
+      FROM counts
+    ),
+    sk0 AS (SELECT col0 AS col, SUM(c) AS cnt FROM keyed GROUP BY col0),
+    sk1 AS (SELECT col1 AS col, SUM(c) AS cnt FROM keyed GROUP BY col1)
+    SELECT k.w, k.c AS exact_count,
+           CAST(least(s0.cnt, s1.cnt) AS BIGINT) AS cms_estimate,
+           CAST(least(s0.cnt, s1.cnt) - k.c AS BIGINT) AS overcount
+    FROM keyed k
+    JOIN sk0 s0 ON k.col0 = s0.col
+    JOIN sk1 s1 ON k.col1 = s1.col
+    ORDER BY k.c DESC, k.w
+    LIMIT {TOPN_HH}
+    """,
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation with its own error
+    audit: token counts fold into a {CMS_D}×{CMS_W} counter matrix
+    (built FROM the grouped counts, so the sketch build is itself a
+    partial-aggregating rollup), each token's estimate is the min
+    over its {CMS_D} cells, and the top-{TOPN_HH} heavy hitters
+    report estimate-vs-exact overcount — CMS can only overestimate,
+    the dual of the Bloom filter's one-sided error. At 100 TB the
+    sketch is {CMS_D * CMS_W} counters regardless of corpus size,
+    broadcast back for estimation; the exact counts exist here only
+    as the audit. Portable Karp-Rabin hashing keeps both engines'
+    sketches bit-identical."""
+    t = load_tables(spark, sf_dir)
+    tok = t.documents.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    )
+    counts = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    fp = F.expr(_FP_SPARK.format(w="w"))
+    keyed = counts.select(
+        "w",
+        "c",
+        *[
+            (((a * fp + b) % _P) % CMS_W).alias(f"col{r}")
+            for r, (a, b) in enumerate(_CMS_PARAMS)
+        ],
+    )
+    sketches = [
+        keyed.groupBy(F.col(f"col{r}").alias("col")).agg(
+            F.sum("c").alias(f"cnt{r}")
+        )
+        for r in range(CMS_D)
+    ]
+    est = keyed
+    for r in range(CMS_D):
+        est = est.join(
+            F.broadcast(sketches[r].withColumnRenamed("col", f"col{r}")),
+            f"col{r}",
+        )
+    return (
+        est.select(
+            "w",
+            F.col("c").alias("exact_count"),
+            F.least(F.col("cnt0"), F.col("cnt1")).cast("long").alias("cms_estimate"),
+            (F.least(F.col("cnt0"), F.col("cnt1")) - F.col("c"))
+            .cast("long")
+            .alias("overcount"),
+        )
+        .orderBy(F.col("exact_count").desc(), "w")
+        .limit(TOPN_HH)
+    )

@@ -412,3 +412,136 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is covered by q_stream_user_state (applyInPandasWithState); at
 # deployment, porting that processor to a StatefulProcessor is
 # mechanical.
+
+
+# ------------------------------------------- left-outer stream join
+
+_OUTER_DIRS: dict[str, str] = {}
+
+
+def _staged_events_with_sentinel(spark: SparkSession, sf_dir: str) -> str:
+    """Events staged as TWO files: the corpus, then a single far-
+    future sentinel event in its own file (later mtime). With
+    maxFilesPerTrigger=1 the sentinel becomes a second micro-batch
+    whose only job is to advance the watermark past every real event
+    — the standard flush trick for outer stream-stream joins, whose
+    null-extended results emit only when a LATER batch's watermark
+    expires the join window."""
+    if sf_dir not in _OUTER_DIRS:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = tempfile.mkdtemp(prefix="events_outer_")
+        src = f"{sf_dir}/events.parquet"
+        dst = f"{d}/events.parquet"
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copyfile(src, dst)
+        src_schema = pq.read_schema(src).remove_metadata()
+        ts_type = src_schema.field("ts").type  # fixture-dependent unit
+        unit_per_sec = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[ts_type.unit]
+        max_raw = max(
+            pq.read_table(src, columns=["ts"])["ts"].cast("int64").to_pylist()
+        )
+        # Two sentinel FILES, each carrying one far-future purchase AND
+        # one far-future click: the global watermark is the MIN over
+        # both sides' watermark nodes, so BOTH event types must
+        # advance or the join state never expires. File 1 lifts the
+        # watermark past every real event; file 2 guarantees a batch
+        # RUNS with that watermark (outer eviction happens while
+        # processing a batch). Sentinel rows use user_id = -1 (never
+        # matches) and negative event_ids, filtered AFTER the join so
+        # they cannot lower either side's watermark.
+        st = os.stat(dst)
+        for k in (1, 2):
+            far = max_raw + k * 10 * 3600 * unit_per_sec
+            cols = {
+                "event_id": pa.array([-(2 * k - 1), -(2 * k)], pa.int64()),
+                "ts": pa.array([far, far], pa.int64()).cast(ts_type),
+                "user_id": pa.array([-1, -1], pa.int64()),
+                "event_type": pa.array(["purchase", "click"], pa.string()),
+                "value": pa.array([0.0, 0.0], pa.float64()),
+                "props": pa.array(["{}", "{}"], pa.string()),
+            }
+            sentinel = pa.table(
+                {f.name: cols[f.name].cast(f.type) for f in src_schema},
+                schema=src_schema,
+            )
+            spath = f"{d}/zz_flush_{k}.parquet"
+            pq.write_table(sentinel, spath)
+            os.utime(spath, (st.st_atime + 120 * k, st.st_mtime + 120 * k))
+        _OUTER_DIRS[sf_dir] = d
+    return _OUTER_DIRS[sf_dir]
+
+
+@query(
+    "q_stream_join_outer",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           p.ts AS purchase_ts,
+           c.event_id AS click_id,
+           c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL '30 minutes'
+     AND c.ts <= p.ts
+    """,
+)
+def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every purchase emits —
+    with its preceding-30-minute clicks when they exist, null-extended
+    otherwise. Two load-bearing semantics beyond [[q_stream_join]]:
+    (1) outer (null-extended) results emit only when the watermark
+    passes a row's join window, which in a bounded availableNow run
+    requires batches AFTER the data — provided by the staged sentinel
+    files; (2) the global watermark is the MIN over both sides'
+    watermark nodes, so nothing may filter either side's event flow
+    above its watermark node (a pre-join filter that drops the latest
+    purchases would freeze the purchase-side watermark and the last
+    rows would never flush — sentinels are filtered AFTER the join by
+    their negative ids instead). State is watermark-bounded exactly
+    as in the inner variant."""
+    ensure_runtime_confs(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(_staged_events_with_sentinel(spark, sf_dir))
+    )
+    src = normalize_event_ts(raw).withColumn("ts_l", F.col("ts").cast("timestamp"))
+    purchases = (
+        src.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts_l").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        src.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts_l").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "leftOuter",
+    )
+    out = run_to_memory(joined, "stream_join_outer", output_mode="append")
+    return out.where(F.col("purchase_id") >= 0).select(
+        "purchase_id",
+        "user_id",
+        F.col("p_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        "click_id",
+        F.col("c_ts").cast("timestamp_ntz").alias("click_ts"),
+    )
