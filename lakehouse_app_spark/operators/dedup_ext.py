@@ -25,12 +25,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from lakehouse_app_spark.operators.ann import N_CENTROIDS, assign_clusters
+from lakehouse_app_spark.operators.ann import assign_clusters
 from lakehouse_app_spark.operators.corpus_prep import (
     _FP_SPARK,
     _MH_P,
     _MH_PARAMS,
-    _mh_oracle,
 )
 from lakehouse_app_spark.operators.vectors import as_double_array, cosine_sim
 from lakehouse_app_spark.registry import query
@@ -225,6 +224,10 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------ cluster-blocked SemDeDup
 
 SEMDEDUP_TAU = 0.35
+# Finer blocking than q_ann_ivf's 8 probe clusters: dedup wants K ~ sqrt(n)
+# so the per-block quadratic term stays bounded (6400 vecs / 64 blocks
+# at sf0.1 -> ~100-vector blocks).
+SEMDEDUP_K = 64
 
 
 @query(
@@ -232,7 +235,7 @@ SEMDEDUP_TAU = 0.35
     oracle=f"""
     WITH cents AS (
       SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
-      FROM embeddings WHERE vec_id < {N_CENTROIDS}
+      FROM embeddings WHERE vec_id < {SEMDEDUP_K}
     ),
     assign AS (
       SELECT vec_id, embedding, cid
@@ -262,14 +265,15 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: a vector is dropped when a lower-id vector in its
     OWN centroid cluster is cosine-similar above τ={SEMDEDUP_TAU} —
     the embedding-space analogue of keep-first exact dedup. Reuses
-    [[q_ann_ivf]]'s broadcast argmax-cosine assignment, so the
-    quadratic term is blocked by cluster: at 100 TB the cluster id is
-    the partition column written at ingest and the self-join is
-    partition-local with K ~ √n clusters capping every block. The
+    [[q_ann_ivf]]'s broadcast argmax-cosine assignment but with its
+    own K={SEMDEDUP_K} codebook (K ~ √n, not the probe-tuned 8): the
+    quadratic term is blocked by cluster, and at 100 TB the cluster
+    id is the partition column written at ingest so the self-join is
+    partition-local with every block bounded. The
     left self-join keeps undominated vectors (keep=true) in the
     output with their evidence columns zeroed."""
     t = load_tables(spark, sf_dir)
-    centroids = t.embeddings.where(F.col("vec_id") < N_CENTROIDS).select(
+    centroids = t.embeddings.where(F.col("vec_id") < SEMDEDUP_K).select(
         F.col("vec_id").alias("cid"), as_double_array("embedding").alias("cvec")
     )
     assigned = assign_clusters(t.embeddings, centroids)
@@ -304,12 +308,14 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mh_audit_oracle() -> str:
-    sig_cols = ", ".join(
-        "list_min(list_transform(toks, w -> "
-        f"({a} * (list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    fp = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
         "list_transform(string_split(w, ''), "
         "c -> CAST(ascii(c) AS BIGINT))), "
-        f"(acc, c) -> (acc * 31 + c) % 2147483647)) + {b}) % {_MH_P})) AS mh{i}"
+        "(acc, c) -> (acc * 31 + c) % 2147483647)"
+    )
+    sig_cols = ", ".join(
+        f"list_min(list_transform(toks, w -> ({a} * ({fp}) + {b}) % {_MH_P})) AS mh{i}"
         for i, (a, b) in enumerate(_MH_PARAMS)
     )
     eq = " + ".join(
@@ -317,12 +323,15 @@ def _mh_audit_oracle() -> str:
     )
     return f"""
     WITH sig AS (
-      SELECT doc_id,
-             list_distinct(string_split(lower(text), ' ')) AS toks,
-             {sig_cols}
-      FROM (SELECT doc_id, text,
-                   list_distinct(string_split(lower(text), ' ')) AS toks
-            FROM documents)
+      SELECT doc_id, toks, {sig_cols}
+      FROM (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(tk) - 1),
+                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS toks
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk
+              FROM documents)
+        WHERE len(tk) >= 3
+      )
     )
     SELECT a.doc_id AS a_id, b.doc_id AS b_id,
            round(({eq}) / 4.0, 6) AS est_jaccard,
@@ -343,16 +352,25 @@ def _mh_audit_oracle() -> str:
 @query("q_minhash_audit", oracle=_mh_audit_oracle())
 def q_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Estimator audit for the MinHash dedup tier: candidate pairs
-    come from 2×2 banding over [[q_minhash_sig]]'s exact-parity
-    signatures (two equi-joins + union, never an all-pairs scan), and
-    each candidate reports the signature-estimated Jaccard next to the
-    exact token-set Jaccard with the absolute error — the measurement
-    that justifies trusting [[q_dedup_minhash]] at scales where exact
-    Jaccard is unaffordable. Both band joins shuffle on the band key;
-    at 100 TB the signatures are a persisted table and this audit runs
-    on a sample partition."""
+    come from 2×2 banding over exact-parity MinHash signatures of
+    word-TRIGRAM shingle sets (two equi-joins + union, never an
+    all-pairs scan), and each candidate reports the signature-
+    estimated Jaccard next to the exact shingle-set Jaccard with the
+    absolute error — the measurement that justifies trusting
+    [[q_dedup_minhash]] at scales where exact Jaccard is
+    unaffordable. Shingles, not unigram tokens, are load-bearing: on
+    a small vocabulary most documents share the hash-minimizing WORD,
+    so unigram signatures collapse into one degenerate band bucket
+    (measured: 3135 of 5000 docs in one bucket at sf0.1 → 10M pairs);
+    the ~900+-value shingle space keeps buckets at ~10 docs and the
+    candidate set in the hundreds — the same reason the dedup tier
+    shingles before hashing. Both band joins shuffle on the band key;
+    at 100 TB the signatures are a persisted table and this audit
+    runs on a sample partition."""
     t = load_tables(spark, sf_dir)
-    toks = F.array_distinct(F.split(F.lower(F.col("text")), " "))
+    from lakehouse_app_spark.operators.dedup import spread, word_shingles
+
+    toks = word_shingles(3)
     sig_cols = [
         F.expr(
             f"array_min(transform(toks, w -> "
@@ -360,8 +378,17 @@ def q_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"mh{i}")
         for i, (a, b) in enumerate(_MH_PARAMS)
     ]
-    sig = t.documents.select("doc_id", toks.alias("toks")).select(
-        "doc_id", "toks", *sig_cols
+    # the signature table feeds both sides of both band joins (4
+    # consumers) and the per-shingle char-fold fingerprint is the
+    # dominant map cost — persist so it runs once ([[q_dedup_minhash]]
+    # convention)
+    sig = (
+        spread(t.documents)
+        .select("doc_id", F.lower(F.col("text")).alias("text"))
+        .select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") > 0)
+        .select("doc_id", "toks", *sig_cols)
+        .persist()
     )
     a = sig.select(
         F.col("doc_id").alias("a_id"),

@@ -41,6 +41,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import Row, StringType, StructField, StructType
@@ -114,6 +115,55 @@ class RestJsonWriter(DataSourceWriter):
         return _JsonlCommit()
 
 
+class RestJsonStreamReader(SimpleDataSourceStreamReader):
+    """Incremental (streaming) variant of the connector: each
+    micro-batch picks up payload files that arrived since the last
+    committed offset. The offset is the count of consumed files in
+    lexicographic order — new snapshots must sort after old ones
+    (timestamped names, the usual snapshot convention), which keeps
+    the offset O(1) regardless of directory size and makes
+    ``readBetweenOffsets`` (failure replay) a pure slice. This is the
+    reference's poll loop (`lakehouse_app_helpers.py:69-75`)
+    re-expressed as an exactly-once Structured Streaming source."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.path = options["path"]
+        self.envelope = options.get("envelope")
+
+    def _files(self) -> list[str]:
+        return sorted(
+            os.path.join(self.path, f)
+            for f in os.listdir(self.path)
+            if f.endswith(".json")
+        )
+
+    def initialOffset(self) -> dict:
+        return {"idx": 0}
+
+    def _rows(self, paths: list[str]) -> list[tuple]:
+        # a LIST, not a generator: the runtime pickles these rows to
+        # ship them executor-side (prefetch-and-cache design of the
+        # simple reader API)
+        names = [f.name for f in self.schema.fields]
+        return [
+            tuple(
+                None if rec.get(n) is None else str(rec.get(n)) for n in names
+            )
+            for p in paths
+            for rec in _load_records(p, self.envelope)
+        ]
+
+    def read(self, start: dict) -> tuple[list[tuple], dict]:
+        files = self._files()
+        i = start["idx"]
+        return self._rows(files[i:]), {"idx": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> list[tuple]:
+        files = self._files()
+        return self._rows(files[start["idx"]:end["idx"]])
+
+
 class RestJsonDataSource(DataSource):
     """``spark.read.format("rest_json")`` after registration via
     :func:`register_rest_json_source`."""
@@ -140,6 +190,9 @@ class RestJsonDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> RestJsonWriter:
         return RestJsonWriter(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> RestJsonStreamReader:
+        return RestJsonStreamReader(schema, self.options)
 
 
 def register_rest_json_source(spark) -> None:

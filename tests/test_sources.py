@@ -448,3 +448,55 @@ def test_orc_sink_roundtrip(spark, sf_dir, tmp_path):
     assert t.part.subtract(back).count() == 0
     plan = back.where(F.col("p_size") > 25)._jdf.queryExecution().executedPlan().toString()
     assert "p_size" in plan
+
+
+def test_rest_json_streaming_source_incremental(spark, tmp_path):
+    """The rest_json connector's streaming side: an availableNow run
+    consumes all payload files; after a new snapshot file arrives, a
+    checkpoint-resumed run appends ONLY the new file's records
+    (exactly-once, offset-tracked) — the reference's polled REST
+    snapshots as an incremental Structured Streaming source."""
+    import json as _json
+
+    from lakehouse_app_spark.sources.rest_json_source import (
+        register_rest_json_source,
+    )
+
+    register_rest_json_source(spark)
+    src = tmp_path / "payloads"
+    src.mkdir()
+    for i in range(2):
+        (src / f"2024-01-0{i+1}.json").write_text(
+            _json.dumps(
+                {"apps": [{"name": f"app{i}", "status": {"state": "RUNNING"}}]}
+            )
+        )
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        stream = (
+            spark.readStream.format("rest_json")
+            .option("envelope", "apps")
+            .option("columns", "name,status_state")
+            .load(str(src))
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .option("path", out)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            r["name"] for r in spark.read.parquet(out).collect()
+        )
+
+    assert run_once() == ["app0", "app1"]
+    (src / "2024-01-03.json").write_text(
+        _json.dumps({"apps": [{"name": "app2", "status": {"state": "PENDING"}}]})
+    )
+    # resumed run appends ONLY app2 — no reprocessing of consumed files
+    assert run_once() == ["app0", "app1", "app2"]
