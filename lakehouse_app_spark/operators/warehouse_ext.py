@@ -236,3 +236,98 @@ def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("nxt") - 1).alias("gap_end"),
         (F.col("nxt") - F.col("k") - 1).alias("missing"),
     )
+
+
+@query(
+    "q_scd2_lookup",
+    oracle="""
+    WITH dim AS (
+      SELECT custkey, vfrom, status FROM (
+        SELECT o_custkey AS custkey, o_orderdate AS vfrom,
+               o_orderstatus AS status,
+               row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                  ORDER BY o_orderkey DESC) AS rn
+        FROM orders
+      ) WHERE rn = 1
+    ),
+    facts AS (
+      SELECT l_orderkey, l_linenumber, o_custkey AS custkey, l_shipdate
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT f.l_orderkey, f.l_linenumber, f.custkey, f.l_shipdate,
+           d.status AS status_at_ship, d.vfrom AS status_since
+    FROM facts f ASOF LEFT JOIN dim d
+      ON f.custkey = d.custkey AND f.l_shipdate >= d.vfrom
+    """,
+)
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against the [[q_scd2]] dimension: each
+    shipped line item reads the customer's order status AS OF its
+    ship date — the consumption side of a type-2 dimension (joining
+    facts to the version valid at event time, never the current one).
+    The dimension first collapses to one deterministic row per
+    (custkey, change date) (max orderkey wins — DuckDB's ASOF is
+    otherwise free to pick either tie). Executed as the union +
+    running last(ignorenulls) as-of formulation over a (custkey,
+    status) struct payload: one shuffle on the key, one in-partition
+    sort, skew-safe because each customer's fact+dim timeline stays
+    in one partition — a window's cost profile, no range join."""
+    t = load_tables(spark, sf_dir)
+    w_dedup = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.col("o_orderkey").desc()
+    )
+    dim = (
+        t.orders.withColumn("rn", F.row_number().over(w_dedup))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderdate").alias("vfrom"),
+            F.col("o_orderstatus").alias("status"),
+        )
+    )
+    facts = t.lineitem.join(
+        # two-column key projection: ~16B/row, broadcastable at any
+        # realistic orders cardinality per executor — the fact table
+        # never shuffles for the key pickup
+        F.broadcast(t.orders.select("o_orderkey", "o_custkey")),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("o_custkey").alias("custkey"),
+        "l_shipdate",
+    )
+    payload_t = "struct<vfrom:timestamp_ntz,status:string>"
+    lefts = facts.select(
+        "custkey",
+        F.col("l_shipdate").alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        F.struct(*[F.col(c) for c in facts.columns]).alias("_l"),
+        F.lit(None).cast(payload_t).alias("_p"),
+    )
+    rights = dim.select(
+        "custkey",
+        F.col("vfrom").alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        F.lit(None).cast(lefts.schema["_l"].dataType).alias("_l"),
+        F.struct(F.col("vfrom"), F.col("status")).alias("_p"),
+    )
+    w = (
+        Window.partitionBy("custkey")
+        .orderBy(F.col("_ts"), F.col("_is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = lefts.unionByName(rights).withColumn(
+        "_hit", F.last("_p", ignorenulls=True).over(w)
+    )
+    return (
+        merged.where(F.col("_is_left") == 1)
+        .select(
+            F.col("_l.l_orderkey").alias("l_orderkey"),
+            F.col("_l.l_linenumber").alias("l_linenumber"),
+            F.col("_l.custkey").alias("custkey"),
+            F.col("_l.l_shipdate").alias("l_shipdate"),
+            F.col("_hit.status").alias("status_at_ship"),
+            F.col("_hit.vfrom").alias("status_since"),
+        )
+    )

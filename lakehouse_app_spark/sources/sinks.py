@@ -187,6 +187,34 @@ def read_snapshot(
     return spark.read.parquet(_os.path.join(path, f"v={version}"))
 
 
+def expire_snapshots(path: str, keep_last: int = 2) -> list[int]:
+    """Retention: drop all but the newest ``keep_last`` committed
+    versions — Delta `VACUUM` / Iceberg `expireSnapshots` in
+    miniature. The manifest is deleted FIRST (the version becomes
+    invisible at that instant — the inverse of the manifest-last
+    commit), then the data directory; a crash in between leaves only
+    unreferenced data files, never a readable half-deleted version.
+    Also sweeps orphaned ``v=*`` directories with no manifest
+    (crashed writers). Returns the expired version numbers."""
+    import os as _os
+    import shutil as _shutil
+
+    committed = sorted(
+        int(f[2:-5])
+        for f in _os.listdir(path)
+        if f.startswith("_v") and f.endswith(".json")
+    )
+    expired = committed[:-keep_last] if keep_last > 0 else committed
+    for v in expired:
+        _os.remove(_os.path.join(path, f"_v{v}.json"))
+        _shutil.rmtree(_os.path.join(path, f"v={v}"), ignore_errors=True)
+    live = {f"v={v}" for v in committed[-keep_last:]} if keep_last > 0 else set()
+    for d in _os.listdir(path):
+        if d.startswith("v=") and d not in live:
+            _shutil.rmtree(_os.path.join(path, d), ignore_errors=True)
+    return expired
+
+
 def snapshot_history(path: str) -> list[dict]:
     """The table's commit log, oldest first — `DESCRIBE HISTORY`."""
     import json as _json

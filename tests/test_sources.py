@@ -500,3 +500,35 @@ def test_rest_json_streaming_source_incremental(spark, tmp_path):
     )
     # resumed run appends ONLY app2 — no reprocessing of consumed files
     assert run_once() == ["app0", "app1", "app2"]
+
+
+def test_expire_snapshots_retention(spark, sf_dir, tmp_path):
+    """VACUUM-in-miniature: after expiring to keep_last=2, old
+    versions are unreadable AND their files are gone, the survivors
+    read exactly as before, and orphaned uncommitted data dirs are
+    swept."""
+    import os
+
+    import pytest as _pytest
+
+    from lakehouse_app_spark.sources.sinks import (
+        expire_snapshots,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    t = load_tables(spark, sf_dir)
+    path = str(tmp_path / "tbl")
+    for n in (3, 5, 7, 9):
+        write_snapshot(t.orders.limit(n), path, note=f"n={n}")
+    # orphan: data dir without manifest (crashed writer)
+    t.orders.limit(1).write.parquet(os.path.join(path, "v=99"))
+
+    expired = expire_snapshots(path, keep_last=2)
+    assert expired == [0, 1]
+    assert not os.path.exists(os.path.join(path, "v=0"))
+    assert not os.path.exists(os.path.join(path, "v=99"))
+    assert read_snapshot(spark, path, 2).count() == 7
+    assert read_snapshot(spark, path).count() == 9
+    with _pytest.raises(FileNotFoundError):
+        read_snapshot(spark, path, 1)
