@@ -604,3 +604,98 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(ok) / F.count(F.lit(1)).cast("double"), 6
         ).alias("gate_pass_rate"),
     )
+
+
+# --------------------------------------------------- URL canonical dedup
+
+
+@query(
+    "q_url_dedup",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             concat('HTTPS://WWW.Example.COM/docs/page-',
+                    CAST(doc_id % 97 AS VARCHAR),
+                    CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,
+                    '?utm_source=feed&utm_campaign=x&id=',
+                    CAST(doc_id % 97 AS VARCHAR),
+                    CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END) AS url
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '^[a-zA-Z]+://([^/]+)', 1)) AS host,
+             regexp_replace(
+               regexp_extract(url, '^[a-zA-Z]+://[^/]+([^?#]*)', 1),
+               '/$', '') AS path,
+             list_filter(
+               string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+               p -> p != '' AND p NOT LIKE 'utm_%') AS params
+      FROM u
+    ),
+    canon AS (
+      SELECT doc_id, url,
+             concat(host, path,
+                    CASE WHEN len(params) > 0
+                         THEN concat('?', array_to_string(params, '&'))
+                         ELSE '' END) AS canonical
+      FROM parts
+    ),
+    ranked AS (
+      SELECT doc_id, url, canonical,
+             row_number() OVER (PARTITION BY canonical ORDER BY doc_id) AS rn,
+             CAST(count(*) OVER (PARTITION BY canonical) AS BIGINT) AS n_dups
+      FROM canon
+    )
+    SELECT doc_id, url, canonical, (rn = 1) AS keep, n_dups
+    FROM ranked
+    """,
+)
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style URL dedup: canonicalize (lowercase host, strip the
+    fragment, drop utm_* tracking params, drop the then-empty query,
+    drop the trailing slash) and keep the first doc_id per canonical
+    URL. (The corpus ships no URLs, so the fixture synthesizes
+    messy-but-deterministic ones from doc ids — the same page appears
+    with different case, tracking params, trailing slash, and
+    fragment, and only canonicalization reunites the variants.) Param filtering is a
+    split→filter→rejoin over higher-order functions rather than
+    chained regex_replace — engines disagree on replace-all vs
+    replace-first semantics, array ops don't. Scan-local map work
+    plus ONE window keyed by canonical URL — [[q_chunk_dedup]]'s
+    content-keyed keep-first shape, same balanced-exchange argument
+    at 100 TB."""
+    t = load_tables(spark, sf_dir)
+    url = F.concat(
+        F.lit("HTTPS://WWW.Example.COM/docs/page-"),
+        (F.col("doc_id") % 97).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, "/").otherwise(""),
+        F.lit("?utm_source=feed&utm_campaign=x&id="),
+        (F.col("doc_id") % 97).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, "#frag").otherwise(""),
+    )
+    u = t.documents.select("doc_id", url.alias("url"))
+    host = F.lower(F.regexp_extract("url", r"^[a-zA-Z]+://([^/]+)", 1))
+    path = F.regexp_replace(
+        F.regexp_extract("url", r"^[a-zA-Z]+://[^/]+([^?#]*)", 1), r"/$", ""
+    )
+    params = F.filter(
+        F.split(F.regexp_extract("url", r"\?([^#]*)", 1), "&"),
+        lambda p: (p != "") & ~p.startswith("utm_"),
+    )
+    canonical = F.concat(
+        host,
+        path,
+        F.when(
+            F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+        ).otherwise(""),
+    )
+    canon = u.select("doc_id", "url", canonical.alias("canonical"))
+    w = Window.partitionBy("canonical").orderBy("doc_id")
+    return canon.select(
+        "doc_id",
+        "url",
+        "canonical",
+        (F.row_number().over(w) == 1).alias("keep"),
+        F.count(F.lit(1)).over(Window.partitionBy("canonical")).alias("n_dups"),
+    )
