@@ -255,3 +255,87 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("exact_count").desc(), "w")
         .limit(TOPN_HH)
     )
+
+
+# ------------------------------------------- bloom-pruned join rewrite
+
+JOIN_BLOOM_M = 65536  # bit positions (packed 63/word -> ~1041-row filter)
+_JB1 = (15485863, 11)
+_JB2 = (32452843, 13)
+
+
+@query(
+    "q_join_bloom_prune",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
+                AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    """,
+)
+def q_join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning with a result-invariance proof (the
+    [[q_join_salted]] pattern applied to [[q_bloom_membership]]'s
+    structure): the filtered orders' keys build a {JOIN_BLOOM_M}-bit
+    Bloom filter — aggregate-sized, broadcast — and the fact table is
+    pre-filtered THROUGH it before the real join. No false negatives
+    means no lost rows; false positives are eliminated by the join
+    itself, so the result is bit-identical to the plain join the
+    oracle runs. This is exactly what Spark's runtime bloom-filter
+    rewrite (`spark.sql.optimizer.runtime.bloomFilter.enabled`) and
+    every warehouse's semi-join reduction do at scale: at 100 TB the
+    pruned fact rows never enter the shuffle, which is the entire
+    cost of the join. Integer keys hash by two universal hashes
+    directly — no fingerprint fold needed."""
+    t = load_tables(spark, sf_dir)
+    urgent = t.orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+
+    def positions(key):
+        k = F.col(key)
+        return (
+            ((_JB1[0] * k + _JB1[1]) % _P % JOIN_BLOOM_M).alias("p1"),
+            ((_JB2[0] * k + _JB2[1]) % _P % JOIN_BLOOM_M).alias("p2"),
+        )
+
+    mask = lambda p: F.expr(  # noqa: E731
+        f"shiftleft(CAST(1 AS BIGINT), CAST({p} % 63 AS INT))"
+    )
+    tpos = urgent.select(*positions("o_orderkey"))
+    bits = (
+        tpos.select((F.col("p1") / 63).cast("long").alias("slot"), mask("p1").alias("m"))
+        .unionAll(
+            tpos.select((F.col("p2") / 63).cast("long").alias("slot"), mask("p2").alias("m"))
+        )
+        .groupBy("slot")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+    facts = t.lineitem.select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount",
+        *positions("l_orderkey"),
+    )
+    b1 = bits.select(F.col("slot").alias("s1"), F.col("bits").alias("bits1"))
+    b2 = bits.select(F.col("slot").alias("s2"), F.col("bits").alias("bits2"))
+    pruned = (
+        facts.join(F.broadcast(b1), (F.col("p1") / 63).cast("long") == F.col("s1"), "left")
+        .join(F.broadcast(b2), (F.col("p2") / 63).cast("long") == F.col("s2"), "left")
+        .where(
+            F.col("bits1").isNotNull()
+            & (F.col("bits1").bitwiseAND(mask("p1")) != 0)
+            & F.col("bits2").isNotNull()
+            & (F.col("bits2").bitwiseAND(mask("p2")) != 0)
+        )
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        pruned.join(urgent, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(revenue.cast("decimal(25,6)")).cast("double").alias("revenue"),
+        )
+    )

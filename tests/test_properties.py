@@ -356,3 +356,42 @@ def test_bloom_has_no_false_negatives(spark, sf_dir):
         | (F.col("n_false_positives") != F.col("n_claimed") - F.col("n_present"))
     ).count()
     assert bad == 0
+
+
+def test_bloom_prune_keeps_all_matches_drops_some_nonmatches(spark, sf_dir):
+    """The pruned fact set must be a superset of the truly-matching
+    rows (no false negatives) and strictly smaller than the full fact
+    table (the filter actually prunes)."""
+    from lakehouse_app_spark.operators.sketches import (
+        JOIN_BLOOM_M,  # noqa: F401 — import proves the knob is public
+    )
+
+    t = load_tables(spark, sf_dir)
+    urgent_keys = t.orders.where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select(F.col("o_orderkey").alias("k"))
+    total = t.lineitem.count()
+    matching = t.lineitem.join(
+        urgent_keys, F.col("l_orderkey") == F.col("k")
+    ).count()
+    # re-derive the pruned count through the declared query's plan by
+    # comparing its result to the oracle-equivalent plain join: the
+    # parity test already proves value equality; here we check the
+    # prune is real via the bloom-membership structure on keys
+    from lakehouse_app_spark.operators.sketches import _JB1, _JB2, _P
+
+    from pyspark.sql import functions as SF
+
+    def pos(c, ab):
+        return (ab[0] * SF.col(c) + ab[1]) % _P % JOIN_BLOOM_M
+
+    bloom_positions = urgent_keys.select(
+        pos("k", _JB1).alias("p1"), pos("k", _JB2).alias("p2")
+    )
+    set1 = {r["p1"] for r in bloom_positions.select("p1").distinct().collect()}
+    set2 = {r["p2"] for r in bloom_positions.select("p2").distinct().collect()}
+    probe = t.lineitem.select(
+        pos("l_orderkey", _JB1).alias("q1"), pos("l_orderkey", _JB2).alias("q2")
+    ).collect()
+    pruned = sum(1 for r in probe if r["q1"] in set1 and r["q2"] in set2)
+    assert matching <= pruned < total, (matching, pruned, total)
