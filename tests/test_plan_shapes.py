@@ -235,3 +235,19 @@ def test_minhash_audit_bands_are_equi_joins(spark, sf_dir):
     plan = formatted_plan(QUERIES["q_minhash_audit"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_bloom_prune_filter_is_broadcast(spark, sf_dir):
+    """The bloom bits table must broadcast to the fact side — if it
+    shuffles, the rewrite costs more than the join it prunes."""
+    plan = formatted_plan(QUERIES["q_join_bloom_prune"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_scd2_lookup_single_shuffle_for_asof(spark, sf_dir):
+    """The as-of union formulation: orders key pickup broadcasts, so
+    the only fact-sized exchange is the custkey window partitioning."""
+    plan = formatted_plan(QUERIES["q_scd2_lookup"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
