@@ -19,7 +19,7 @@ ORDER BY ... LIMIT carries ``vec_id`` as the final tie-breaker.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakehouse_app_spark.registry import query
@@ -335,3 +335,207 @@ def q_neardup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("a_label") == F.col("b_label")) & (F.col("a_id") < F.col("b_id")),
     ).select("a_id", "b_id", _pair_sim().alias("sim"))
     return pairs.where(F.col("sim") >= 0.35)
+
+
+# ---------------------------------------------- context-window packing
+
+CTX_TOKEN_BUDGET = 1500  # the reference's max_tokens (`app/app.py:14`)
+CTX_CANDIDATES = 20
+
+
+@query(
+    "q_context_pack",
+    oracle=f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id = 0),
+    hits AS (
+      SELECT e.vec_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+               AS sim
+      FROM embeddings e, q
+      ORDER BY sim DESC, e.vec_id
+      LIMIT {CTX_CANDIDATES}
+    ),
+    sized AS (
+      SELECT h.vec_id AS doc_id, h.sim,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+      FROM hits h JOIN documents d ON d.doc_id = h.vec_id
+    ),
+    packed AS (
+      SELECT doc_id, sim, n_tokens,
+             CAST(row_number() OVER w AS BIGINT) AS rank,
+             CAST(SUM(n_tokens) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_tokens
+      FROM sized
+      WINDOW w AS (ORDER BY sim DESC, doc_id)
+    )
+    SELECT rank, doc_id, sim, n_tokens, cum_tokens
+    FROM packed WHERE cum_tokens <= {CTX_TOKEN_BUDGET}
+    """,
+)
+def q_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: the step between retrieval and
+    generation that the reference leaves implicit — its LLM call is
+    capped at max_tokens=1500 (`app/app.py:14` LLM_PARAMS), so the
+    top-{CTX_CANDIDATES} retrieved documents are packed in relevance
+    order until the token budget is spent (prefix packing: stop at
+    the first overflow, deterministic under the sim-then-id total
+    order). One top-k scan, one broadcast-sized join to fetch
+    lengths, one window over {CTX_CANDIDATES} rows — everything after
+    the scan is candidate-sized at any corpus scale."""
+    t = load_tables(spark, sf_dir)
+    hits = topk_cosine(
+        t.embeddings, query_vector(t.embeddings, 0), k=CTX_CANDIDATES
+    )
+    sized = (
+        F.broadcast(hits)
+        .join(t.documents, hits.vec_id == t.documents.doc_id)
+        .select(
+            "doc_id",
+            "sim",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        )
+    )
+    w = Window.orderBy(F.col("sim").desc(), F.col("doc_id"))
+    packed = sized.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id",
+        "sim",
+        "n_tokens",
+        F.sum("n_tokens")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum_tokens"),
+    )
+    return packed.where(F.col("cum_tokens") <= CTX_TOKEN_BUDGET)
+
+
+# ------------------------------------------------- MMR diversification
+
+MMR_LAMBDA = 0.7
+MMR_CANDIDATES = 8
+MMR_K = 4
+
+_COS_DUCK = "round(list_cosine_similarity({a}, {b}), 6)"
+
+
+def _mmr_oracle() -> str:
+    cos = _COS_DUCK
+    score = (
+        f"round({MMR_LAMBDA} * r.sim - {1 - MMR_LAMBDA:.1f} * {{pen}}, 6)"
+    )
+    steps = []
+    for step in range(2, MMR_K + 1):
+        prev = ", ".join(f"s{i}" for i in range(1, step))
+        not_in = " AND ".join(
+            f"r.vec_id != s{i}.vec_id" for i in range(1, step)
+        )
+        pens = ", ".join(
+            cos.format(a="r.emb", b=f"s{i}.emb") for i in range(1, step)
+        )
+        pen = f"greatest({pens})" if step > 2 else pens
+        steps.append(
+            f"""s{step} AS (
+      SELECT r.vec_id, r.emb, r.sim, {score.format(pen=pen)} AS score
+      FROM cands r, {prev}
+      WHERE {not_in}
+      ORDER BY score DESC, r.vec_id LIMIT 1
+    )"""
+        )
+    sep = ",\n    "
+    picks = "\n    UNION ALL\n    ".join(
+        f"SELECT {i} AS pick_rank, vec_id, sim, score FROM s{i}"
+        for i in range(1, MMR_K + 1)
+    )
+    return f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id = 0),
+    cands AS (
+      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb,
+             {cos.format(a="CAST(e.embedding AS DOUBLE[])", b="q.qv")} AS sim
+      FROM embeddings e, q
+      ORDER BY sim DESC, e.vec_id
+      LIMIT {MMR_CANDIDATES}
+    ),
+    s1 AS (
+      SELECT vec_id, emb, sim,
+             round({MMR_LAMBDA} * sim, 6) AS score
+      FROM cands ORDER BY sim DESC, vec_id LIMIT 1
+    ),
+    {sep.join(steps)}
+    SELECT pick_rank, vec_id, sim, score FROM ({picks})
+    """
+
+
+@query("q_mmr_diversify", oracle=_mmr_oracle())
+def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance: re-rank the top-{MMR_CANDIDATES}
+    retrieval so each pick maximizes λ·relevance − (1−λ)·similarity-
+    to-already-picked — the standard diversification pass between
+    [[q_vs_retrieve]]'s raw top-k and the prompt (redundant
+    near-duplicate passages waste the [[q_context_pack]] budget).
+    Greedy selection is inherently sequential, so like [[q_pagerank]]
+    the {MMR_K} rounds are unrolled: each round is candidate-sized
+    DataFrame algebra (anti-join the picked set, broadcast cross-join
+    to compute penalties, argmax on 6-dp-rounded scores with vec_id
+    tie-break — bit-stable across engines), and the oracle is the
+    identical SQL unrolling. Only the initial top-k scan touches the
+    corpus; every round after it is O(k²) on {MMR_CANDIDATES} rows."""
+    t = load_tables(spark, sf_dir)
+    emb = as_double_array("embedding")
+    cands = (
+        t.embeddings.join(F.broadcast(query_vector(t.embeddings, 0)))
+        .select(
+            "vec_id",
+            emb.alias("emb"),
+            F.round(cosine_sim(emb, F.col("qv")), 6).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(MMR_CANDIDATES)
+        .persist()
+    )
+    lam = F.lit(MMR_LAMBDA)
+    first = (
+        cands.orderBy(F.col("sim").desc(), "vec_id")
+        .limit(1)
+        .select(
+            F.lit(1).alias("pick_rank"),
+            "vec_id",
+            "emb",
+            "sim",
+            F.round(lam * F.col("sim"), 6).alias("score"),
+        )
+    )
+    selected = first
+    for step in range(2, MMR_K + 1):
+        picked = selected.select(
+            F.col("vec_id").alias("s_id"), F.col("emb").alias("s_emb")
+        )
+        rem = cands.join(
+            picked.select(F.col("s_id").alias("vec_id")), "vec_id", "left_anti"
+        )
+        pen = (
+            rem.crossJoin(F.broadcast(picked))
+            .select(
+                "vec_id",
+                "emb",
+                "sim",
+                F.round(cosine_sim(F.col("emb"), F.col("s_emb")), 6).alias("p"),
+            )
+            .groupBy("vec_id", "emb", "sim")
+            .agg(F.max("p").alias("pen"))
+        )
+        nxt = (
+            pen.select(
+                F.lit(step).alias("pick_rank"),
+                "vec_id",
+                "emb",
+                "sim",
+                F.round(lam * F.col("sim") - (1 - MMR_LAMBDA) * F.col("pen"), 6)
+                .alias("score"),
+            )
+            .orderBy(F.col("score").desc(), "vec_id")
+            .limit(1)
+        )
+        selected = selected.unionByName(nxt)
+    return selected.select("pick_rank", "vec_id", "sim", "score")
