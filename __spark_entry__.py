@@ -38,34 +38,66 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate samples the first 50 declared
-# queries. Front-load an exact-oracle, breadth-representative
-# showcase (scan/join/agg/window/vector/text/dedup/sketch + IVF/PQ)
-# so every sampled entry carries the strongest check — rows-only
-# sketch ops (MinHash/SimHash/LSH/HLL) and the slow fixed-overhead
-# streaming queries declare after the window.
+# queries. Rounds 2-3 drove 57 distinct keys green; per the round-3
+# verdict the window now ROTATES each round onto keys the driver has
+# never sampled, so the whole 174-query surface accumulates
+# driver-green coverage instead of re-checking a fixed showcase.
+# Round-4 window: 50 never-driver-sampled, exact-oracle keys spanning
+# scalar batteries / TPC-H / corpus-prep / streaming / SQL features /
+# time-series & data-quality.
 _SHOWCASE = [
-    "q_scan_count", "q_project", "q_filter_pred", "q_derived_col",
-    "q_json_extract", "q_join_inner", "q_join_multiway", "q_join_left",
-    "q_join_semi", "q_join_range", "q_join_asof",
-    "q_join_salted", "q_join_interval_bucket", "q_agg_pricing",
-    "q_agg_distinct", "q_agg_rollup", "q_agg_cube", "q_agg_gsets",
-    "q_format_docs", "q_dedup_sources", "q_grouping_id",
-    "q_window_rank", "q_topk_per_group",
-    "q_window_lag", "q_window_sessionize", "q_orderby_limit",
-    "q_set_union", "q_topk_cosine",
-    "q_vs_retrieve", "q_udf_cosine", "q_embed_centroid", "q_knn_join",
-    "q_embed_quantize", "q_neardup_embed", "q_tokenize_wordcount",
-    "q_text_stats", "q_lang_id", "q_quality_score", "q_token_count",
-    "q_fingerprint", "q_tfidf_top_terms",
-    "q_neardup_exact", "q_ngram_jaccard", "q_ann_ivf",
-    "q_chunk_dedup", "q_gopher_repetition", "q_semdedup",
-    "q_minhash_audit", "q_bloom_membership", "q_cms_heavy_hitters",
+    # scalar function batteries
+    "q_string_funcs", "q_date_funcs", "q_math_funcs", "q_array_funcs",
+    "q_map_funcs", "q_try_funcs", "q_bitwise_hash_funcs", "q_array_setops",
+    # TPC-H shapes
+    "q_tpch_q3", "q_tpch_q4", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7",
+    "q_tpch_q8", "q_tpch_q10", "q_tpch_q13", "q_tpch_q14", "q_tpch_q15",
+    "q_tpch_q17", "q_tpch_q18", "q_tpch_q19", "q_tpch_q21", "q_tpch_q22",
+    # LLM corpus-prep pipeline
+    "q_corpus_gate", "q_perplexity", "q_train_split", "q_pack_batches",
+    "q_mix_weights", "q_url_parse", "q_pii_redact", "q_minhash_sig",
+    "q_url_dedup",
+    # structured streaming (batch-parity oracles)
+    "q_stream_tumbling", "q_stream_sliding", "q_stream_user_state",
+    "q_stream_topk",
+    # SQL surface / UDF forms
+    "q_pivot", "q_unpivot", "q_subquery_scalar", "q_union_by_name",
+    "q_null_semantics", "q_udtf_tokens", "q_udaf_grouped_agg",
+    "q_udaf_normalize",
+    # time-series & data-quality
+    "q_funnel", "q_cohort_retention", "q_ewma", "q_anomaly_zscore",
+    "q_dq_checks", "q_profile_table",
+]
+
+# Remaining never-driver-sampled exact-oracle keys declare right after
+# the window so round-5's rotation (and any driver over-sampling)
+# reaches them next.
+_NEXT_UP = [
+    "q_context_pack", "q_mmr_diversify", "q_ann_recall", "q_pq_quantize",
+    "q_multimodal_bytes", "q_media_frames", "q_agg_stats", "q_window_dist",
+    "q_fuzzy_match", "q_stream_static_join", "q_percentile_disc",
+    "q_corr_matrix", "q_upsert", "q_table_diff", "q_dedup_clusters",
+    "q_zorder_stats", "q_scd2", "q_sample_hash", "q_histogram",
+    "q_agg_conditional", "q_sample_weighted", "q_dedup_keep_latest",
+    "q_sequence_gaps", "q_scd2_lookup", "q_window_timerange",
+    "q_attribution", "q_rollup_hypertable", "q_date_spine",
+    "q_concurrency", "q_rolling_median", "q_fill_interp",
+    "q_chunk_documents", "q_bigram_lm", "q_vocab_coverage", "q_bm25",
+    "q_hybrid_retrieve", "q_contamination", "q_pmi_collocations",
+    "q_profile_table", "q_quantiles", "q_sample_stratified",
+    "q_sql_interface", "q_pagerank", "q_entropy_kl", "q_triangles",
+    "q_recursive_cte", "q_variant_json", "q_lateral_topk", "q_regr_trend",
+    "q_twa", "q_ohlc", "q_skyline", "q_markov_transitions",
+    "q_mode_per_group", "q_autocorr", "q_skew_stats", "q_dataset_card",
+    "q_join_bloom_prune", "q_stream_session", "q_stream_join",
+    "q_stream_dedup", "q_stream_join_outer",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     ordered = {k: eng.QUERIES[k] for k in _SHOWCASE}
+    ordered.update({k: eng.QUERIES[k] for k in _NEXT_UP if k not in ordered})
     ordered.update({k: v for k, v in eng.QUERIES.items() if k not in ordered})
     return ordered
 
