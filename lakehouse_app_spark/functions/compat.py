@@ -45,12 +45,19 @@ def r4(col: Column, alias: str | None = None) -> Column:
 
 def fpsum(col: Column | str, alias: str, scale: int = 10000) -> Column:
     """Order-insensitive SUM of a fixed-point-valued double via scaled
-    BIGINT accumulation — ~2× cheaper than the DECIMAL(25,6) path
+    BIGINT accumulation — ~4× cheaper than the DECIMAL(25,6) path
     (plain long adds instead of 128-bit decimal adds) and exactly as
-    deterministic, PROVIDED the operand is fixed-point with at most
-    log10(scale) decimal places (e.g. money columns and their
-    products). Both engines compute the identical double, round it to
-    the same integer, and sum longs exactly.
+    deterministic, PROVIDED the operand is NON-NEGATIVE fixed-point
+    with at most log10(scale) decimal places (e.g. money columns and
+    their products). Both engines land on the identical integer per
+    row and sum longs exactly.
+
+    The per-row integerization is ``CAST(x*scale + 0.5 AS LONG)``
+    (truncate-toward-zero == round-half-up for non-negative x), NOT
+    ``F.round``: Spark's ROUND on doubles goes through BigDecimal
+    per row, which profiling showed doubles the aggregate cost. For
+    a fixed-point x, x*scale is within 1 ulp of an integer n, so
+    truncation of n±ε+0.5 and DuckDB's round(n±ε) both yield n.
 
     Overflow bound: |sum(x)| < 2^63 / scale ≈ 9.2e14 at scale 1e4 —
     per GROUP, not per table; fall back to ``dsum`` for global sums
@@ -59,5 +66,15 @@ def fpsum(col: Column | str, alias: str, scale: int = 10000) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     return (
-        F.sum(F.round(c * scale, 0).cast("long")).cast("double") / float(scale)
+        F.sum((c * scale + F.lit(0.5)).cast("long")).cast("double") / float(scale)
     ).alias(alias)
+
+
+def fpsum_sql(expr: str, alias: str, scale: int = 10000) -> str:
+    """The DuckDB oracle fragment matching :func:`fpsum` bit-for-bit:
+    long sum → double conversion → double division, same two
+    roundings in the same order as the Spark plan."""
+    return (
+        f"CAST(SUM(CAST(round(({expr}) * {scale}) AS BIGINT)) AS DOUBLE)"
+        f" / {float(scale)} AS {alias}"
+    )

@@ -60,8 +60,10 @@ def q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     n = F.count(F.lit(1))
+    # +0.5-truncate == round-half-up for these non-negative operands;
+    # avoids Spark ROUND's per-row BigDecimal path (see compat.fpsum).
     fp = lambda c, scale=10000: F.sum(  # noqa: E731
-        F.round(c * scale, 0).cast("long")
+        (c * scale + F.lit(0.5)).cast("long")
     ).cast("double") / float(scale)
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         fpsum("l_quantity", "sum_qty"),
@@ -109,15 +111,18 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_rollup",
     oracle="""
     SELECT l_returnflag, l_linestatus, count(*) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+           CAST(SUM(CAST(round(l_quantity * 10000) AS BIGINT)) AS DOUBLE) / 10000.0
+             AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
 )
 def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: Expand replicates each row per grouping set, so the
+    cheap scaled-long sum (fpsum) matters ×3 here vs the decimal path."""
     t = load_tables(spark, sf_dir)
     return t.lineitem.rollup("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n"), dsum("l_quantity", "sum_qty")
+        F.count(F.lit(1)).alias("n"), fpsum("l_quantity", "sum_qty")
     )
 
 
@@ -125,7 +130,8 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_cube",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -133,7 +139,7 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return t.orders.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "total")
+        F.count(F.lit(1)).alias("n"), fpsum("o_totalprice", "total", scale=100)
     )
 
 

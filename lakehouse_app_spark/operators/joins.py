@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from lakehouse_app_spark.functions.compat import dsum
+from lakehouse_app_spark.functions.compat import fpsum
 from lakehouse_app_spark.registry import query
 from lakehouse_app_spark.sources.tables import load_tables
 
@@ -41,7 +41,7 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_multiway",
     oracle="""
     SELECT n_name,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0
              AS revenue,
            count(*) AS n_items
     FROM lineitem
@@ -70,7 +70,7 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            dsum(revenue_expr, "revenue"),
+            fpsum(revenue_expr, "revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -138,7 +138,8 @@ PRICE_BANDS = [
     "q_join_range",
     oracle="""
     SELECT band_name, count(*) AS n_items,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total_price
     FROM lineitem
     JOIN (VALUES (0, 'LOW', 0.0, 20000.0),
                  (1, 'MID', 20000.0, 60000.0),
@@ -163,7 +164,7 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band_name")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            dsum("l_extendedprice", "total_price"),
+            fpsum("l_extendedprice", "total_price", scale=100),
         )
     )
 
@@ -248,17 +249,18 @@ def salted_join(
     n_salts: int = 8,
     salt_src: Column | None = None,
 ) -> DataFrame:
-    """Skew-safe equi-join: fan the hot keys of the probe side across
-    ``n_salts`` shuffle partitions.
+    """Skew-safe equi-join: fan the keys of the probe side across
+    ``n_salts`` shuffle partitions (blanket form).
 
     The skewed side gets a deterministic salt in ``[0, n_salts)``
     (hash of ``salt_src``, default the whole row's key column set);
     the build side is exploded ×``n_salts`` so every (key, salt) pair
     exists. The join then shuffles on (key, salt) — a single hot key
     that would land 1/32 of 100 TB on one task is spread over
-    ``n_salts`` tasks. Same result set as the plain join; AQE's
-    skew-join split does this adaptively, this is the explicit form
-    for when the skew is known ahead of time.
+    ``n_salts`` tasks. Same result set as the plain join. Salting
+    EVERY key replicates the whole build side ×``n_salts``; prefer
+    :func:`salted_join_hot` which pays that only for keys that are
+    actually hot.
     """
     if salt_src is None:
         salt_src = F.col(skewed_key)
@@ -272,40 +274,100 @@ def salted_join(
     ).drop("_salt")
 
 
+def salted_join_hot(
+    skewed: DataFrame,
+    small: DataFrame,
+    skewed_key: str,
+    small_key: str,
+    n_salts: int = 8,
+    hot_threshold: int = 1000,
+    salt_src: Column | None = None,
+) -> DataFrame:
+    """Two-path skew join: salt ONLY detected hot keys.
+
+    Production form of :func:`salted_join`. A map-side-combined count
+    finds keys with more than ``hot_threshold`` probe rows — by
+    construction a tiny set, so it broadcasts. Hot probe rows get a
+    deterministic salt and join the ×``n_salts``-exploded hot slice
+    of the build side; the (vast) cold remainder joins plain. The
+    union is result-identical to the plain join (oracle + property
+    test prove it), but the build-side replication cost is paid only
+    for genuinely skewed keys — on unskewed data this degenerates to
+    the plain join plus one cheap partial-aggregated key count.
+    AQE's skew-join split is the runtime analogue; this is the
+    explicit form for known, extreme skew (e.g. a null-key or
+    power-law fact table at 100 TB).
+    """
+    if salt_src is None:
+        salt_src = F.col(skewed_key)
+    hot_keys = (
+        skewed.groupBy(skewed_key)
+        .count()
+        .where(F.col("count") > hot_threshold)
+        .select(F.col(skewed_key).alias("_hot_key"))
+    )
+    hot_b = F.broadcast(hot_keys)
+    is_hot = F.col(skewed_key) == F.col("_hot_key")
+    hot_probe = (
+        skewed.join(hot_b, is_hot, "left_semi")
+        .withColumn("_salt", F.pmod(F.hash(salt_src), F.lit(n_salts)))
+    )
+    cold_probe = skewed.join(hot_b, is_hot, "left_anti")
+    hot_build = (
+        small.join(hot_b, F.col(small_key) == F.col("_hot_key"), "left_semi")
+        .withColumn("_salt", F.explode(F.array([F.lit(i) for i in range(n_salts)])))
+    )
+    hot_joined = hot_probe.join(
+        hot_build,
+        (F.col(skewed_key) == F.col(small_key))
+        & (hot_probe["_salt"] == hot_build["_salt"]),
+    ).drop("_salt")
+    cold_joined = cold_probe.join(
+        small, F.col(skewed_key) == F.col(small_key)
+    )
+    return hot_joined.unionByName(cold_joined)
+
+
 @query(
     "q_join_salted",
     oracle="""
     SELECT o_orderpriority,
            CAST(count(*) AS BIGINT) AS n_items,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0
              AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
     """,
 )
 def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Salted fact-to-dim join, aggregated per order priority.
+    """Hot-key-salted fact-to-dim join, aggregated per order priority.
 
     The oracle is the PLAIN join — salting must be result-invariant;
-    this query proves the rewrite preserves semantics while the plan
-    shuffles on (l_orderkey, salt) instead of the raw key. Salt is
-    derived from (l_orderkey, l_linenumber) so it is deterministic
+    this query runs the two-path rewrite (`salted_join_hot`): detect
+    hot probe keys, salt only those, join the cold majority plain.
+    On TPC-H's unskewed keys the hot set is empty, so the cost is the
+    plain join plus one partial-aggregated key count — exactly the
+    behavior you want from a skew guard that is always left on. Salt
+    is derived from (l_orderkey, l_linenumber) so it is deterministic
     across retries (no rand(): a task retry must re-produce the same
-    partitioning or shuffle readers see phantom rows).
+    partitioning or shuffle readers see phantom rows). The skewed
+    path itself is exercised and proved invariant on a power-law
+    dataset in tests/test_properties.py.
     """
     t = load_tables(spark, sf_dir)
-    joined = salted_join(
+    joined = salted_join_hot(
         t.lineitem,
         t.orders.select("o_orderkey", "o_orderpriority"),
         skewed_key="l_orderkey",
         small_key="o_orderkey",
         n_salts=8,
+        hot_threshold=1000,
         salt_src=F.struct("l_orderkey", "l_linenumber"),
     )
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),
-        dsum(revenue, "revenue"),
+        fpsum(revenue, "revenue"),
     )
 
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lakehouse_app_spark.functions.compat import DEC, dsum
+from lakehouse_app_spark.functions.compat import DEC, dsum, fpsum
 from lakehouse_app_spark.registry import query
 from lakehouse_app_spark.sources.tables import load_tables
 
@@ -32,7 +32,7 @@ from lakehouse_app_spark.sources.tables import load_tables
     "q_tpch_q3",
     oracle="""
     SELECT l_orderkey,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0
              AS revenue,
            o_orderdate, o_orderpriority
     FROM customer
@@ -59,7 +59,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
         .where(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(dsum(revenue, "revenue"))
+        .agg(fpsum(revenue, "revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey"))
         .limit(10)
@@ -70,14 +70,14 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q18",
     oracle="""
     SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS total_qty
+           CAST(SUM(CAST(round(l_quantity * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS total_qty
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
     WHERE o_orderkey IN (
       SELECT l_orderkey FROM lineitem
       GROUP BY l_orderkey
-      HAVING SUM(CAST(l_quantity AS DECIMAL(25,6))) > 140
+      HAVING SUM(CAST(round(l_quantity * 10000) AS BIGINT)) > 1400000
     )
     GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
     """,
@@ -90,8 +90,10 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     big_orders = (
         t.lineitem.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("qty"))
-        .where(F.col("qty") > 140)
+        .agg(
+            F.sum((F.col("l_quantity") * 10000 + F.lit(0.5)).cast("long")).alias("qty")
+        )
+        .where(F.col("qty") > 1400000)
         .select(F.col("l_orderkey").alias("big_orderkey"))
     )
     return (
@@ -101,7 +103,7 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dsum("l_quantity", "total_qty"))
+        .agg(fpsum("l_quantity", "total_qty"))
     )
 
 
@@ -109,7 +111,7 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q5",
     oracle="""
     SELECT n_name,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0
              AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -148,7 +150,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
         .where(F.col("r_name") == "ASIA")
         .groupBy("n_name")
-        .agg(dsum(revenue, "revenue"))
+        .agg(fpsum(revenue, "revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
 
@@ -157,7 +159,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q10",
     oracle="""
     SELECT c_custkey, c_name,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0
              AS revenue,
            c_acctbal, n_name
     FROM customer
@@ -191,7 +193,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(dsum(revenue, "revenue"))
+        .agg(fpsum(revenue, "revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)

@@ -60,6 +60,14 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_event_ts(raw)
 
 
+def _checkpoint_root() -> str | None:
+    """Prefer a RAM-backed dir for the bounded-replay checkpoints:
+    the offset/commit/state WALs are many tiny fsync'd files, pure
+    overhead for a run-to-completion replay. A production stream
+    points this at durable storage — one option, not a code change."""
+    return "/dev/shm" if os.path.isdir("/dev/shm") else None
+
+
 def run_to_memory(
     df: DataFrame, name_prefix: str, output_mode: str = "complete"
 ) -> DataFrame:
@@ -67,21 +75,26 @@ def run_to_memory(
     a memory sink; return the result table.
 
     State-store partition count is pinned per checkpoint at first
-    start; size it to the bounded replay volume (8) rather than the
-    batch shuffle default — at deployment scale this is a per-stream
-    capacity decision, not a global conf.
+    start; size it to the bounded replay volume (2: each store
+    instance carries startup + snapshot cost that dwarfs its share of
+    a 100k-row replay) rather than the batch shuffle default — at
+    deployment scale this is a per-stream capacity decision, not a
+    global conf.
     """
     spark = df.sparkSession
     name = f"{name_prefix}_{next(_counter)}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     try:
         q = (
             df.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
             .trigger(availableNow=True)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix=f"ckpt_{name}_", dir=_checkpoint_root()),
+            )
             .start()
         )
         q.awaitTermination()
@@ -311,7 +324,10 @@ def q_stream_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.writeStream.foreachBatch(write_batch)
         .outputMode("complete")
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_foreach_"))
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="ckpt_foreach_", dir=_checkpoint_root()),
+        )
         .start()
     )
     q.awaitTermination()

@@ -188,6 +188,35 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     assert plain.exceptAll(salted).count() == 0
 
 
+def test_salted_join_hot_on_power_law_keys(spark, sf_dir):
+    """Two-path hot-key salting is result-invariant on genuinely
+    skewed data: one key owns ~90% of probe rows (well past the hot
+    threshold), the rest follow a long tail. Both the hot (salted)
+    and cold (plain) paths carry rows, and the union equals the plain
+    join exactly."""
+    from lakehouse_app_spark.operators.joins import salted_join_hot
+
+    probe = spark.range(0, 5000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("row_id"),
+    )
+    build = spark.range(0, 50).select(
+        F.col("id").alias("bk"), F.concat(F.lit("v"), F.col("id")).alias("payload")
+    )
+    plain = probe.join(build, F.col("k") == F.col("bk")).select(
+        "row_id", "k", "payload"
+    )
+    two_path = salted_join_hot(
+        probe, build, skewed_key="k", small_key="bk",
+        n_salts=4, hot_threshold=100, salt_src=F.col("row_id"),
+    ).select("row_id", "k", "payload")
+    assert plain.count() == two_path.count()
+    assert plain.exceptAll(two_path).count() == 0
+    # the hot path was actually taken: key 7 exceeds the threshold
+    hot_n = probe.groupBy("k").count().where(F.col("count") > 100).count()
+    assert hot_n >= 1
+
+
 def test_skyline_has_no_dominated_point(spark, sf_dir):
     """Every output point survives a brute-force dominance check
     (the O(n²) definition the sweep implementation must equal)."""
