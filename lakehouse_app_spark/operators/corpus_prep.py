@@ -630,7 +630,7 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
                '/$', '') AS path,
              list_filter(
                string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
-               p -> p != '' AND p NOT LIKE 'utm_%') AS params
+               p -> p != '' AND p NOT LIKE 'utm\\_%' ESCAPE '\\') AS params
       FROM u
     ),
     canon AS (

@@ -388,7 +388,7 @@ def q_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", toks.alias("toks"))
         .where(F.size("toks") > 0)
         .select("doc_id", "toks", *sig_cols)
-        .persist()
+        .localCheckpoint(eager=False)
     )
     a = sig.select(
         F.col("doc_id").alias("a_id"),

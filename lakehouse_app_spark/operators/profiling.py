@@ -295,12 +295,12 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("wt"))
     outw = edges.groupBy("w1").agg(F.sum("wt").alias("tot"))
-    e = edges.join(outw, "w1").persist()
+    e = edges.join(outw, "w1").localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("w1").alias("node"))
         .union(edges.select("w2"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
     cnt = nodes.agg(F.count(F.lit(1)).alias("n"))
     r = nodes.crossJoin(F.broadcast(cnt)).select(
@@ -377,7 +377,7 @@ def q_entropy_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     sl = (
         t.documents.groupBy("source", "lang")
         .agg(F.count(F.lit(1)).alias("n"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     stot = sl.groupBy("source").agg(F.sum("n").alias("s_n"))
     ltot = sl.groupBy("lang").agg(F.sum("n").alias("l_n"))
@@ -469,7 +469,7 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("w1", "w2").alias("a"), F.greatest("w1", "w2").alias("b")
         )
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
     e2 = und.select(F.col("a").alias("b2"), F.col("b").alias("c"))
     e3 = und.select(F.col("a").alias("a3"), F.col("b").alias("c3"))

@@ -622,7 +622,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(dsum(revenue, "total_revenue"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     mx = rev0.agg(F.max("total_revenue").alias("mx"))
     return (

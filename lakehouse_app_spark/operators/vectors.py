@@ -413,6 +413,13 @@ def q_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- MMR diversification
 
 MMR_LAMBDA = 0.7
+# The redundancy weight is a standalone literal, NOT computed as
+# 1 - MMR_LAMBDA: the float expression 1 - 0.7 = 0.30000000000000004
+# while the oracle SQL would render the literal 0.3 — a 1-ulp
+# divergence that could flip a 6-dp-rounded score at a boundary and
+# change the greedy pick. One shared constant keeps both engines
+# bit-identical.
+MMR_MU = 0.3
 MMR_CANDIDATES = 8
 MMR_K = 4
 
@@ -422,7 +429,7 @@ _COS_DUCK = "round(list_cosine_similarity({a}, {b}), 6)"
 def _mmr_oracle() -> str:
     cos = _COS_DUCK
     score = (
-        f"round({MMR_LAMBDA} * r.sim - {1 - MMR_LAMBDA:.1f} * {{pen}}, 6)"
+        f"round({MMR_LAMBDA} * r.sim - {MMR_MU} * {{pen}}, 6)"
     )
     steps = []
     for step in range(2, MMR_K + 1):
@@ -492,7 +499,7 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("sim").desc(), "vec_id")
         .limit(MMR_CANDIDATES)
-        .persist()
+        .localCheckpoint(eager=False)
     )
     lam = F.lit(MMR_LAMBDA)
     first = (
@@ -531,7 +538,7 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "vec_id",
                 "emb",
                 "sim",
-                F.round(lam * F.col("sim") - (1 - MMR_LAMBDA) * F.col("pen"), 6)
+                F.round(lam * F.col("sim") - MMR_MU * F.col("pen"), 6)
                 .alias("score"),
             )
             .orderBy(F.col("score").desc(), "vec_id")

@@ -118,13 +118,18 @@ class RestJsonWriter(DataSourceWriter):
 class RestJsonStreamReader(SimpleDataSourceStreamReader):
     """Incremental (streaming) variant of the connector: each
     micro-batch picks up payload files that arrived since the last
-    committed offset. The offset is the count of consumed files in
-    lexicographic order — new snapshots must sort after old ones
-    (timestamped names, the usual snapshot convention), which keeps
-    the offset O(1) regardless of directory size and makes
-    ``readBetweenOffsets`` (failure replay) a pure slice. This is the
-    reference's poll loop (`lakehouse_app_helpers.py:69-75`)
-    re-expressed as an exactly-once Structured Streaming source."""
+    committed offset. The offset stores the NAME of the last consumed
+    file (not a count): a batch consumes exactly the files whose
+    names sort strictly after it, so a late-arriving file that sorts
+    before already-consumed names can never shift indices and cause a
+    silent skip or re-read on checkpoint replay — it is simply picked
+    up (or, if it sorts before the watermark name, surfaced by the
+    strictly-greater rule rather than corrupting the stream). The
+    offset stays O(1) regardless of directory size and
+    ``readBetweenOffsets`` (failure replay) is a pure name-range
+    filter. This is the reference's poll loop
+    (`lakehouse_app_helpers.py:69-75`) re-expressed as an
+    exactly-once Structured Streaming source."""
 
     def __init__(self, schema: StructType, options: dict):
         self.schema = schema
@@ -139,7 +144,15 @@ class RestJsonStreamReader(SimpleDataSourceStreamReader):
         )
 
     def initialOffset(self) -> dict:
-        return {"idx": 0}
+        return {"last": ""}
+
+    def _boundary(self, start: dict, files: list[str]) -> str:
+        """Consumed-watermark name for an offset; legacy ``{"idx": n}``
+        checkpoints (count-based) upgrade via the current listing."""
+        if "last" in start:
+            return start["last"]
+        consumed = files[: start.get("idx", 0)]
+        return os.path.basename(consumed[-1]) if consumed else ""
 
     def _rows(self, paths: list[str]) -> list[tuple]:
         # a LIST, not a generator: the runtime pickles these rows to
@@ -156,12 +169,18 @@ class RestJsonStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict) -> tuple[list[tuple], dict]:
         files = self._files()
-        i = start["idx"]
-        return self._rows(files[i:]), {"idx": len(files)}
+        last = self._boundary(start, files)
+        new = [p for p in files if os.path.basename(p) > last]
+        nxt = os.path.basename(new[-1]) if new else last
+        return self._rows(new), {"last": nxt}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> list[tuple]:
         files = self._files()
-        return self._rows(files[start["idx"]:end["idx"]])
+        lo = self._boundary(start, files)
+        hi = self._boundary(end, files)
+        return self._rows(
+            [p for p in files if lo < os.path.basename(p) <= hi]
+        )
 
 
 class RestJsonDataSource(DataSource):

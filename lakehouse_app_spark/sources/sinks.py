@@ -187,17 +187,25 @@ def read_snapshot(
     return spark.read.parquet(_os.path.join(path, f"v={version}"))
 
 
-def expire_snapshots(path: str, keep_last: int = 2) -> list[int]:
+def expire_snapshots(
+    path: str, keep_last: int = 2, orphan_grace_sec: float = 3600.0
+) -> list[int]:
     """Retention: drop all but the newest ``keep_last`` committed
     versions — Delta `VACUUM` / Iceberg `expireSnapshots` in
     miniature. The manifest is deleted FIRST (the version becomes
     invisible at that instant — the inverse of the manifest-last
     commit), then the data directory; a crash in between leaves only
     unreferenced data files, never a readable half-deleted version.
-    Also sweeps orphaned ``v=*`` directories with no manifest
-    (crashed writers). Returns the expired version numbers."""
+    Also sweeps orphaned ``v=*`` directories with no manifest — but
+    only ones older than ``orphan_grace_sec`` (mtime check), because
+    write_snapshot writes data first and the manifest last: a
+    manifest-less directory younger than the grace window may be an
+    in-flight concurrent commit whose manifest hasn't landed yet
+    (the same retention-vs-writer race Delta's VACUUM guards with its
+    default 7-day horizon). Returns the expired version numbers."""
     import os as _os
     import shutil as _shutil
+    import time as _time
 
     committed = sorted(
         int(f[2:-5])
@@ -209,9 +217,16 @@ def expire_snapshots(path: str, keep_last: int = 2) -> list[int]:
         _os.remove(_os.path.join(path, f"_v{v}.json"))
         _shutil.rmtree(_os.path.join(path, f"v={v}"), ignore_errors=True)
     live = {f"v={v}" for v in committed[-keep_last:]} if keep_last > 0 else set()
+    now = _time.time()
     for d in _os.listdir(path):
         if d.startswith("v=") and d not in live:
-            _shutil.rmtree(_os.path.join(path, d), ignore_errors=True)
+            full = _os.path.join(path, d)
+            try:
+                age = now - _os.path.getmtime(full)
+            except OSError:
+                continue
+            if age >= orphan_grace_sec:
+                _shutil.rmtree(full, ignore_errors=True)
     return expired
 
 
