@@ -9,9 +9,11 @@ the rest. Brute-force exact top-k (operators/vectors.py) is the
 recall baseline; this trades recall for a ~n_clusters/n_probe scan
 reduction.
 
-Determinism: centroids are pinned (vec_id < 8), assignment and probe
-order use rounded similarity + id tie-breaks, so the DuckDB oracle
-replicates the *same algorithm* exactly (SURVEY.md §4.3).
+Determinism: the codebook is LEARNED by deterministic fixed-point
+Lloyd's (operators/ann_index.py) seeded on the first-k vectors;
+assignment and probe order use rounded similarity + id tie-breaks, so
+the DuckDB oracle replicates the *same trained index* exactly
+(SURVEY.md §4.3).
 """
 
 from __future__ import annotations
@@ -19,34 +21,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from lakehouse_app_spark.operators.ann_index import ivf_index, lloyd_sql
 from lakehouse_app_spark.operators.vectors import as_double_array, cosine_sim
 from lakehouse_app_spark.registry import query
 from lakehouse_app_spark.sources.tables import load_tables
 
 N_CENTROIDS = 8
+KM_ITERS = 2
 N_PROBE = 2
 TOP_K = 5
 
 
-def assign_clusters(emb: DataFrame, centroids: DataFrame) -> DataFrame:
-    """argmax-cosine cluster assignment (broadcast centroids — the
-    corpus never shuffles; at scale this becomes the partition/Z-order
-    column written at ingest)."""
-    scored = emb.join(F.broadcast(centroids)).select(
-        "vec_id",
-        "label",
-        "embedding",
-        F.col("cid"),
-        F.round(cosine_sim(as_double_array("embedding"), F.col("cvec")), 6).alias(
-            "csim"
-        ),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cid")
-    )
+_IVF_CHAIN, _IVF_CENTS, _IVF_ASG = lloyd_sql(N_CENTROIDS, KM_ITERS)
 
 
 @query("q_ann_brp_lsh")  # rows-only: MLlib hash-table internals
@@ -83,68 +69,58 @@ def q_ann_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_ann_ivf",
     oracle=f"""
-    WITH cents AS (
-      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
-      FROM embeddings WHERE vec_id < {N_CENTROIDS}
-    ),
-    assign AS (
-      SELECT vec_id, embedding, cid
-      FROM (
-        SELECT e.vec_id, e.embedding, c.cid,
-               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 6)
-                 AS csim,
-               row_number() OVER (PARTITION BY e.vec_id
-                                  ORDER BY round(list_cosine_similarity(
-                                    CAST(e.embedding AS DOUBLE[]), c.cvec), 6) DESC,
-                                  c.cid) AS rn
-        FROM embeddings e, cents c
-      ) WHERE rn = 1
-    ),
+    WITH {_IVF_CHAIN},
     q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
     probed AS (
       SELECT c.cid
-      FROM cents c, q
+      FROM {_IVF_CENTS} c, q
       ORDER BY round(list_cosine_similarity(c.cvec, q.qv), 6) DESC, c.cid
       LIMIT {N_PROBE}
     )
     SELECT a.vec_id,
-           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), q.qv), 6) AS sim
-    FROM assign a JOIN probed p ON a.cid = p.cid, q
+           round(list_cosine_similarity(a.emb, q.qv), 6) AS sim
+    FROM {_IVF_ASG} a JOIN probed p ON a.cid = p.cid, q
     ORDER BY sim DESC, a.vec_id
     LIMIT {TOP_K}
     """,
 )
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF probe: assign → probe top-{N_PROBE} of {N_CENTROIDS}
-    clusters → exact rank within probed clusters only."""
+    """IVF probe against the STORED index: the Lloyd-learned
+    assignment table (built once, partitioned by ``cid`` —
+    operators/ann_index.py) is scanned with a literal partition
+    filter for the top-{N_PROBE} probed clusters, so the scan reads
+    n_probe/{N_CENTROIDS} of the corpus (``PartitionFilters`` —
+    pinned by tests/test_plan_shapes.py). The probe list itself is
+    index METADATA: ranking {N_CENTROIDS} centroids against the query
+    vector is a centroid-sized job whose 2-row result the planner
+    inlines — the same coordinator-side step the reference's
+    server-side index performs before touching shards
+    (`app/vector_search.py:29-33`)."""
+    cents, assigned = ivf_index(spark, sf_dir, "ivf8", N_CENTROIDS, KM_ITERS)
     t = load_tables(spark, sf_dir)
-    centroids = (
-        t.embeddings.where(F.col("vec_id") < N_CENTROIDS)
-        .select(
-            F.col("vec_id").alias("cid"),
-            as_double_array("embedding").alias("cvec"),
-        )
-    )
-    assigned = assign_clusters(t.embeddings, centroids)
     qv = (
         t.embeddings.where(F.col("vec_id") == 0)
         .select(as_double_array("embedding").alias("qv"))
     )
-    probed = (
-        centroids.join(F.broadcast(qv))
-        .select("cid", F.round(cosine_sim(F.col("cvec"), F.col("qv")), 6).alias("psim"))
-        .orderBy(F.col("psim").desc(), F.col("cid"))
-        .limit(N_PROBE)
-        .select("cid")
-    )
+    probes = [
+        r["cid"]
+        for r in (
+            cents.join(F.broadcast(qv))
+            .select(
+                "cid",
+                F.round(cosine_sim(F.col("cvec"), F.col("qv")), 6).alias("psim"),
+            )
+            .orderBy(F.col("psim").desc(), F.col("cid"))
+            .limit(N_PROBE)
+            .collect()
+        )
+    ]
     return (
-        assigned.join(F.broadcast(probed), "cid")
+        assigned.where(F.col("cid").isin(probes))
         .join(F.broadcast(qv))
         .select(
             "vec_id",
-            F.round(cosine_sim(as_double_array("embedding"), F.col("qv")), 6).alias(
-                "sim"
-            ),
+            F.round(cosine_sim(F.col("emb"), F.col("qv")), 6).alias("sim"),
         )
         .orderBy(F.col("sim").desc(), F.col("vec_id"))
         .limit(TOP_K)
@@ -154,22 +130,10 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_ann_recall",
     oracle=f"""
-    WITH cents AS (
-      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
-      FROM embeddings WHERE vec_id < {N_CENTROIDS}
-    ),
+    WITH {_IVF_CHAIN},
     qs AS (
       SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
       FROM embeddings WHERE vec_id % 100 = 1
-    ),
-    assign AS (
-      SELECT vec_id, embedding, cid FROM (
-        SELECT e.vec_id, e.embedding, c.cid,
-               row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY round(list_cosine_similarity(
-                   CAST(e.embedding AS DOUBLE[]), c.cvec), 6) DESC, c.cid) AS rn
-        FROM embeddings e, cents c
-      ) WHERE rn = 1
     ),
     probed AS (
       SELECT qid, cid FROM (
@@ -177,17 +141,16 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                row_number() OVER (PARTITION BY q.qid
                  ORDER BY round(list_cosine_similarity(c.cvec, q.qv), 6) DESC,
                           c.cid) AS rn
-        FROM qs q, cents c
+        FROM qs q, {_IVF_CENTS} c
       ) WHERE rn <= {N_PROBE}
     ),
     ivf AS (
       SELECT qid, vec_id FROM (
         SELECT p.qid, a.vec_id,
                row_number() OVER (PARTITION BY p.qid
-                 ORDER BY round(list_cosine_similarity(
-                   CAST(a.embedding AS DOUBLE[]), q.qv), 6) DESC,
+                 ORDER BY round(list_cosine_similarity(a.emb, q.qv), 6) DESC,
                           a.vec_id) AS rn
-        FROM assign a JOIN probed p ON a.cid = p.cid
+        FROM {_IVF_ASG} a JOIN probed p ON a.cid = p.cid
         JOIN qs q ON q.qid = p.qid
       ) WHERE rn <= {TOP_K}
     ),
@@ -219,14 +182,13 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query WindowGroupLimit; the IVF arm scores only probed
     clusters. At 100 TB you sample queries, never audit all of them
     — the shape is unchanged."""
-    t = load_tables(spark, sf_dir)
-    centroids = t.embeddings.where(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), as_double_array("embedding").alias("cvec")
+    centroids, assigned = ivf_index(
+        spark, sf_dir, "ivf8", N_CENTROIDS, KM_ITERS
     )
+    t = load_tables(spark, sf_dir)
     qs = t.embeddings.where(F.col("vec_id") % 100 == 1).select(
         F.col("vec_id").alias("qid"), as_double_array("embedding").alias("qv")
     )
-    assigned = assign_clusters(t.embeddings, centroids)
 
     wq = Window.partitionBy("qid")
     probed = (
@@ -257,9 +219,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "qid",
             "vec_id",
-            F.round(cosine_sim(as_double_array("embedding"), F.col("qv")), 6).alias(
-                "sim"
-            ),
+            F.round(cosine_sim(F.col("emb"), F.col("qv")), 6).alias("sim"),
         )
     )
     exact = score_rank(

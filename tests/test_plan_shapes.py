@@ -209,13 +209,30 @@ def test_pq_codebook_is_broadcast(spark, sf_dir):
 
 def test_semdedup_self_join_is_equi_on_cluster(spark, sf_dir):
     """SemDeDup's quadratic term is blocked by cluster id: the self
-    join must key on cid (equi-join with residual sim condition) —
-    SortMergeJoin, never a corpus-sized nested loop. (The 8-row
-    broadcast centroid cross-joins inside assign_clusters are the
-    intended bounded exception.)"""
+    join over the STORED assignment layout must key on cid
+    (equi-join with residual sim condition) — never a corpus-sized
+    nested loop — and both sides read the materialized index table,
+    not a recomputed assignment (no window/exchange above the
+    scans)."""
     plan = formatted_plan(QUERIES["q_semdedup"](spark, sf_dir))
-    assert "SortMergeJoin LeftOuter" in plan, plan
+    assert "Join LeftOuter" in plan, plan
     assert "CartesianProduct" not in plan, plan
+    assert "layout_sem64_assign" in plan, plan
+
+
+def test_ann_ivf_probe_prunes_partitions(spark, sf_dir):
+    """The IVF probe must read ONLY the probed clusters from the
+    stored cid-partitioned assignment table: the parquet scan shows a
+    non-empty PartitionFilters on cid (n_probe of n_clusters
+    directories), the on-disk contract that makes the probe
+    ~k/n_probe cheaper at any corpus size."""
+    import re
+
+    df = QUERIES["q_ann_ivf"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*cid[^\]]*IN[^\]]*)\]", plan)
+    assert m, plan
+    assert "layout_ivf8_assign" in plan, plan
 
 
 def test_chunk_dedup_chunks_before_shuffle(spark, sf_dir):
