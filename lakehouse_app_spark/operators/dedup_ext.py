@@ -33,6 +33,7 @@ from lakehouse_app_spark.operators.corpus_prep import (
 )
 from lakehouse_app_spark.operators.vectors import as_double_array, cosine_sim
 from lakehouse_app_spark.registry import query
+from lakehouse_app_spark.sources.layout import derived_table
 from lakehouse_app_spark.sources.tables import load_tables
 
 # ------------------------------------------------- chunk-exact dedup
@@ -414,4 +415,122 @@ def q_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(est, 6).alias("est_jaccard"),
         F.round(exact, 6).alias("exact_jaccard"),
         F.round(F.abs(est - exact), 6).alias("abs_err"),
+    )
+
+
+# --------------------------------------- dedup from the stored layout
+
+
+def _mh_sig_cols() -> list:
+    """The exact-parity MinHash signature columns ([[q_minhash_audit]]
+    recipe): 4 seeded affine hashes over the char-fold fingerprint of
+    each word-trigram shingle."""
+    return [
+        F.expr(
+            f"array_min(transform(toks, w -> "
+            f"({a} * {_FP_SPARK.format(w='w')} + {b}) % {_MH_P}))"
+        ).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_MH_PARAMS)
+    ]
+
+
+def minhash_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The signature table as STORED LAYOUT: (doc_id, mh0..mh3)
+    materialized once per corpus via
+    :func:`~lakehouse_app_spark.sources.layout.derived_table` — the
+    ingest-time half of MinHash dedup (16 bytes of signature per
+    document; at 100 TB this column travels with the table and no
+    dedup run ever re-shingles the text)."""
+    from lakehouse_app_spark.operators.dedup import spread, word_shingles
+
+    def build() -> DataFrame:
+        t = load_tables(spark, sf_dir)
+        return (
+            spread(t.documents)
+            .select("doc_id", F.lower(F.col("text")).alias("text"))
+            .select("doc_id", word_shingles(3).alias("toks"))
+            .where(F.size("toks") > 0)
+            .select("doc_id", *_mh_sig_cols())
+        )
+
+    return derived_table(spark, "mh_sig", sf_dir, build)
+
+
+def _from_layout_oracle() -> str:
+    fp = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split(w, ''), "
+        "c -> CAST(ascii(c) AS BIGINT))), "
+        "(acc, c) -> (acc * 31 + c) % 2147483647)"
+    )
+    sig_cols = ", ".join(
+        f"list_min(list_transform(toks, w -> ({a} * ({fp}) + {b}) % {_MH_P})) AS mh{i}"
+        for i, (a, b) in enumerate(_MH_PARAMS)
+    )
+    eq = " + ".join(
+        f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(4)
+    )
+    return f"""
+    WITH sig AS (
+      SELECT doc_id, {sig_cols}
+      FROM (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(tk) - 1),
+                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS toks
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk
+              FROM documents)
+        WHERE len(tk) >= 3
+      )
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           round(({eq}) / 4.0, 6) AS est_jaccard
+    FROM sig a JOIN sig b
+      ON a.doc_id < b.doc_id
+     AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1)
+          OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3))
+    """
+
+
+@query("q_dedup_from_layout", oracle=_from_layout_oracle())
+def q_dedup_from_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash candidate generation as PURE EQUI-JOINS on the stored
+    signature layout — the SCALE.md ingest-time story exercised
+    end-to-end, and [[q_minhash_audit]]'s cheap twin: the audit
+    re-shingles and re-hashes the corpus every run; this query reads
+    16 bytes/doc of stored signature and performs two band
+    equi-joins, nothing else. The DuckDB oracle recomputes the
+    signatures from text — the hash-match proves the STORED columns
+    are bit-identical to a from-scratch recompute (write-path
+    integrity), while the Spark plan never touches document text."""
+    sig = minhash_sig_table(spark, sf_dir)
+    a = sig.select(
+        F.col("doc_id").alias("a_id"),
+        *[F.col(f"mh{i}").alias(f"a_mh{i}") for i in range(4)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("b_id"),
+        *[F.col(f"mh{i}").alias(f"b_mh{i}") for i in range(4)],
+    )
+    band1 = a.join(
+        b,
+        (F.col("a_mh0") == F.col("b_mh0"))
+        & (F.col("a_mh1") == F.col("b_mh1"))
+        & (F.col("a_id") < F.col("b_id")),
+    )
+    band2 = a.join(
+        b,
+        (F.col("a_mh2") == F.col("b_mh2"))
+        & (F.col("a_mh3") == F.col("b_mh3"))
+        & (F.col("a_id") < F.col("b_id")),
+    )
+    pairs = band1.unionAll(band2).dropDuplicates(["a_id", "b_id"])
+    est = (
+        sum(
+            F.when(F.col(f"a_mh{i}") == F.col(f"b_mh{i}"), 1).otherwise(0)
+            for i in range(4)
+        )
+        / F.lit(4.0)
+    )
+    return pairs.select(
+        "a_id", "b_id", F.round(est, 6).alias("est_jaccard")
     )

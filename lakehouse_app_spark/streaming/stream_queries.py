@@ -111,6 +111,20 @@ def _flatten_window(df: DataFrame, win_col: str = "window") -> DataFrame:
     )
 
 
+def tumbling_agg(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour windows × event_type over ANY (ts, event_type,
+    value) stream — the transformation is source-agnostic; swapping
+    the bounded parquet replay for a live ``rate``/Kafka source
+    changes only the source line (tests/test_streaming_semantics.py
+    proves it on Spark's rate source)."""
+    return events.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias(
+            "total_value"
+        ),
+    )
+
+
 @query(
     "q_stream_tumbling",
     oracle="""
@@ -125,16 +139,7 @@ def _flatten_window(df: DataFrame, win_col: str = "window") -> DataFrame:
 )
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windows × event_type (stream == batch check)."""
-    agg = (
-        events_stream(spark, sf_dir)
-        .groupBy(F.window("ts", "1 hour"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias(
-                "total_value"
-            ),
-        )
-    )
+    agg = tumbling_agg(events_stream(spark, sf_dir))
     return _flatten_window(run_to_memory(agg, "tumbling"))
 
 

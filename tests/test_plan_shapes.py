@@ -268,3 +268,55 @@ def test_scd2_lookup_single_shuffle_for_asof(spark, sf_dir):
     plan = formatted_plan(QUERIES["q_scd2_lookup"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def _mmr_cands(spark, sf_dir):
+    from lakehouse_app_spark.operators.vectors import (
+        as_double_array,
+        cosine_sim,
+        query_vector,
+    )
+
+    t = load_tables(spark, sf_dir)
+    emb = as_double_array("embedding")
+    return (
+        t.embeddings.join(F.broadcast(query_vector(t.embeddings, 0)))
+        .select(
+            "vec_id",
+            emb.alias("emb"),
+            F.round(cosine_sim(emb, F.col("qv")), 6).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(8)
+    )
+
+
+def test_mmr_plan_size_constant_in_k(spark, sf_dir):
+    """The iterative MMR frontier is materialized per round, so the
+    FINAL plan holds one round's joins regardless of k — the
+    round-3-verdict fix for the unrolled ladder whose plan grew
+    linearly in k."""
+    from lakehouse_app_spark.operators.vectors import mmr_select
+
+    p4 = formatted_plan(mmr_select(_mmr_cands(spark, sf_dir), 4))
+    p8 = formatted_plan(mmr_select(_mmr_cands(spark, sf_dir), 8))
+    assert p4.count("Join") == p8.count("Join"), (p4, p8)
+
+
+def test_mmr_greedy_is_prefix_stable(spark, sf_dir):
+    """Greedy MMR at k=6 must agree with k=4 on the first 4 picks
+    (greedy selections are prefix-stable) — pins the k-parameterized
+    loop to the oracle-checked k=4 unrolling."""
+    from lakehouse_app_spark.operators.vectors import mmr_select
+
+    k6 = {
+        r["pick_rank"]: (r["vec_id"], r["score"])
+        for r in mmr_select(_mmr_cands(spark, sf_dir), 6).collect()
+    }
+    k4 = {
+        r["pick_rank"]: (r["vec_id"], r["score"])
+        for r in mmr_select(_mmr_cands(spark, sf_dir), 4).collect()
+    }
+    assert len(k6) == 6 and len(k4) == 4
+    assert {rk: k6[rk] for rk in (1, 2, 3, 4)} == k4
+    assert len({v for v, _ in k6.values()}) == 6  # distinct picks

@@ -5,6 +5,7 @@ checkpoint: run 1 advances the watermark, run 2 delivers a too-late
 row that must be dropped from the append-mode output."""
 
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -227,3 +228,48 @@ def test_streaming_query_listener_reports_progress(spark, tmp_path):
     assert events["started"] >= 1
     assert events["terminated"] >= 1
     assert sum(events["progress_rows"]) == 7, events["progress_rows"]
+
+
+def test_tumbling_agg_over_rate_source(spark, tmp_path):
+    """SCALE.md's 'only the source line changes' claim, demonstrated:
+    the SAME tumbling_agg transformation that q_stream_tumbling runs
+    over the bounded parquet replay here consumes Spark's built-in
+    `rate` source (a live unbounded stream, the stand-in for Kafka —
+    the reference's token stream, app/app.py:132-139), mapped to the
+    (ts, event_type, value) event schema. One micro-batch is enough
+    to prove the plan binds and aggregates."""
+    from lakehouse_app_spark.streaming.stream_queries import tumbling_agg
+
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "500")
+        .load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            F.concat(F.lit("type_"), (F.col("value") % 3)).alias("event_type"),
+            (F.col("value") % 100).cast("double").alias("value"),
+        )
+    )
+    q = (
+        tumbling_agg(rate)
+        .writeStream.format("memory")
+        .queryName("rate_tumbling")
+        .outputMode("complete")
+        .trigger(processingTime="1 second")
+        .option("checkpointLocation", str(tmp_path / "rate_ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        rows = []
+        while time.time() < deadline:
+            rows = spark.table("rate_tumbling").collect()
+            if rows:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert rows, "rate-source stream produced no aggregated rows"
+    assert {"window", "event_type", "n", "total_value"} <= set(
+        rows[0].asDict()
+    ), rows[0]
