@@ -44,6 +44,9 @@ def time_spark_query(spark, name: str, fn) -> float:
         df = fn(spark, SF_DIR)
         df.write.mode("overwrite").format("noop").save()
         best = min(best, time.perf_counter() - t0)
+    # scoped caches (signature/posting tables) are per-query; release
+    # so one query's blocks never linger under the rest of the session
+    eng.release_caches()
     return round(best, 4)
 
 

@@ -16,6 +16,7 @@ Tungsten pick the physical strategy.
 from lakehouse_app_spark.session import get_spark, ensure_runtime_confs
 from lakehouse_app_spark.sources.tables import load_tables, TABLE_NAMES
 from lakehouse_app_spark.registry import QUERIES, ORACLES, query
+from lakehouse_app_spark.runtime_cache import release_caches
 
 __all__ = [
     "get_spark",

@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lakehouse_app_spark.registry import query
+from lakehouse_app_spark.runtime_cache import scoped_persist
 from lakehouse_app_spark.sources.tables import load_tables
 
 # ---------------------------------------------------------------- helpers
@@ -169,7 +170,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the capped posting list feeds three consumers (sizes + both join
     # sides); persist so the explode+cap runs once, not three times
-    sh = sh_all.join(F.broadcast(rare), "s").localCheckpoint(eager=False)
+    sh = sh_all.join(F.broadcast(rare), "s").transform(scoped_persist)
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("a_id"), "s")
     b = sh.select(F.col("doc_id").alias("b_id"), "s")
@@ -216,7 +217,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumers (both join sides + sizes) — persist, don't re-explode
     toks = rep_docs(spread(t.documents)).select(
         "doc_id", F.explode(word_shingles(3)).alias("token")
-    ).localCheckpoint(eager=False)
+    ).transform(scoped_persist)
     sig = toks.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64(F.lit(i), F.col("token"))).alias(f"h{i}")
@@ -233,7 +234,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for j in range(N_HASHES // BAND_SIZE)
     ]
-    buckets = reduce(DataFrame.unionAll, bands).localCheckpoint(eager=False)
+    buckets = reduce(DataFrame.unionAll, bands).transform(scoped_persist)
     a = buckets.select(F.col("doc_id").alias("a_id"), "band", "bucket")
     b = buckets.select(F.col("doc_id").alias("b_id"), "band", "bucket")
     cand = (
@@ -309,7 +310,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     # the signature table feeds both self-join sides — persist it or
     # the whole shingle→vote pipeline executes twice
-    sh = simhash(rep_docs(spread(t.documents))).localCheckpoint(eager=False)
+    sh = simhash(rep_docs(spread(t.documents))).transform(scoped_persist)
     chunks = reduce(
         DataFrame.unionAll,
         [
@@ -360,7 +361,7 @@ def q_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = NGram(n=3, inputCol="words", outputCol="grams").transform(tokenized)
     tf = HashingTF(
         inputCol="grams", outputCol="features", numFeatures=1 << 17, binary=True
-    ).transform(grams).localCheckpoint(eager=False)
+    ).transform(grams).transform(scoped_persist)
     model = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=8, seed=42
     ).fit(tf)

@@ -33,6 +33,7 @@ from lakehouse_app_spark.operators.corpus_prep import (
 )
 from lakehouse_app_spark.operators.vectors import as_double_array, cosine_sim
 from lakehouse_app_spark.registry import query
+from lakehouse_app_spark.runtime_cache import scoped_persist
 from lakehouse_app_spark.sources.layout import derived_table
 from lakehouse_app_spark.sources.tables import load_tables
 
@@ -374,7 +375,7 @@ def q_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", toks.alias("toks"))
         .where(F.size("toks") > 0)
         .select("doc_id", "toks", *sig_cols)
-        .localCheckpoint(eager=False)
+        .transform(scoped_persist)
     )
     a = sig.select(
         F.col("doc_id").alias("a_id"),

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lakehouse_app_spark.registry import query
+from lakehouse_app_spark.runtime_cache import scoped_persist
 from lakehouse_app_spark.sources.tables import load_tables
 
 # ---------------------------------------------------------------- profile
@@ -295,12 +296,12 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("wt"))
     outw = edges.groupBy("w1").agg(F.sum("wt").alias("tot"))
-    e = edges.join(outw, "w1").localCheckpoint(eager=False)
+    e = edges.join(outw, "w1").transform(scoped_persist)
     nodes = (
         edges.select(F.col("w1").alias("node"))
         .union(edges.select("w2"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(scoped_persist)
     )
     cnt = nodes.agg(F.count(F.lit(1)).alias("n"))
     r = nodes.crossJoin(F.broadcast(cnt)).select(
@@ -377,7 +378,7 @@ def q_entropy_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     sl = (
         t.documents.groupBy("source", "lang")
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=False)
+        .transform(scoped_persist)
     )
     stot = sl.groupBy("source").agg(F.sum("n").alias("s_n"))
     ltot = sl.groupBy("lang").agg(F.sum("n").alias("l_n"))
@@ -469,7 +470,7 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("w1", "w2").alias("a"), F.greatest("w1", "w2").alias("b")
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(scoped_persist)
     )
     e2 = und.select(F.col("a").alias("b2"), F.col("b").alias("c"))
     e3 = und.select(F.col("a").alias("a3"), F.col("b").alias("c3"))

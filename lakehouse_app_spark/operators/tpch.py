@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from lakehouse_app_spark.functions.compat import DEC, dsum, fpsum
 from lakehouse_app_spark.registry import query
+from lakehouse_app_spark.runtime_cache import scoped_persist
 from lakehouse_app_spark.sources.tables import load_tables
 
 
@@ -622,7 +623,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(dsum(revenue, "total_revenue"))
-        .localCheckpoint(eager=False)
+        .transform(scoped_persist)
     )
     mx = rev0.agg(F.max("total_revenue").alias("mx"))
     return (

@@ -505,8 +505,10 @@ def test_rest_json_streaming_source_incremental(spark, tmp_path):
 def test_expire_snapshots_retention(spark, sf_dir, tmp_path):
     """VACUUM-in-miniature: after expiring to keep_last=2, old
     versions are unreadable AND their files are gone, the survivors
-    read exactly as before, and orphaned uncommitted data dirs are
-    swept."""
+    read exactly as before. Orphaned uncommitted data dirs are swept
+    only once older than the grace window — a young manifest-less dir
+    may be an in-flight concurrent commit (data lands before the
+    manifest), so the default sweep must leave it alone."""
     import os
 
     import pytest as _pytest
@@ -527,6 +529,12 @@ def test_expire_snapshots_retention(spark, sf_dir, tmp_path):
     expired = expire_snapshots(path, keep_last=2)
     assert expired == [0, 1]
     assert not os.path.exists(os.path.join(path, "v=0"))
+    # the orphan is YOUNGER than the default grace window: it must
+    # survive (could be a concurrent writer whose manifest hasn't
+    # landed yet)...
+    assert os.path.exists(os.path.join(path, "v=99"))
+    # ...and is swept once the grace window has elapsed (grace=0)
+    expire_snapshots(path, keep_last=2, orphan_grace_sec=0.0)
     assert not os.path.exists(os.path.join(path, "v=99"))
     assert read_snapshot(spark, path, 2).count() == 7
     assert read_snapshot(spark, path).count() == 9
