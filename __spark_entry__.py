@@ -91,6 +91,8 @@ _NEXT_UP = [
     "q_mode_per_group", "q_autocorr", "q_skew_stats", "q_dataset_card",
     "q_join_bloom_prune", "q_stream_session", "q_stream_join",
     "q_stream_dedup", "q_stream_join_outer",
+    # round-4 additions (never driver-sampled yet)
+    "q_dedup_from_layout", "q_join_bucketed",
 ]
 
 

@@ -437,3 +437,72 @@ def interval_bucket_pairs(ev: DataFrame, w_us: int) -> DataFrame:
         )
         .dropDuplicates(["a_id", "b_id"])
     )
+
+
+# ------------------------------------------------ bucketed co-located join
+
+_BUCKETED_BUILT: set[str] = set()
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str):
+    """lineitem+orders written ONCE per corpus as bucketed managed
+    tables (8 buckets on the order key, sorted within buckets) — the
+    write-side half of SURVEY.md §7.6's shuffle-free fact-fact join.
+    At 100 TB this is how the daily lineitem/orders ingest lands;
+    every subsequent orderkey join skips both exchanges forever."""
+    import re as _re
+
+    from lakehouse_app_spark.sources.sinks import write_bucketed_table
+
+    suffix = _re.sub(r"\W+", "_", sf_dir).strip("_")
+    li, od = f"li_bkt_{suffix}", f"od_bkt_{suffix}"
+    if sf_dir not in _BUCKETED_BUILT:
+        t = load_tables(spark, sf_dir)
+        write_bucketed_table(
+            t.lineitem.select("l_orderkey", "l_extendedprice", "l_discount"),
+            li,
+            "l_orderkey",
+            n_buckets=8,
+        )
+        write_bucketed_table(
+            t.orders.select("o_orderkey", "o_orderstatus"),
+            od,
+            "o_orderkey",
+            n_buckets=8,
+        )
+        _BUCKETED_BUILT.add(sf_dir)
+    return spark.table(li), spark.table(od)
+
+
+@query(
+    "q_join_bucketed",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0
+             AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact equi-join over BUCKETED tables: both sides were
+    written bucketed (and sorted) on the order key, so the sort-merge
+    join reads co-located buckets directly — NO exchange on the join
+    key on either side (pinned by tests/test_plan_shapes.py); the
+    only shuffle in the whole plan is the 3-group aggregate. The
+    merge hint keeps AQE from hiding the point behind a broadcast:
+    at 100 TB neither fact side broadcasts, and this bucket layout is
+    what replaces the two largest exchanges in the workload. Results
+    are layout-invariant — the oracle joins the raw tables."""
+    li, od = _bucketed_tables(spark, sf_dir)
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.hint("merge")
+        .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+            fpsum(revenue, "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

