@@ -92,7 +92,8 @@ _NEXT_UP = [
     "q_join_bloom_prune", "q_stream_session", "q_stream_join",
     "q_stream_dedup", "q_stream_join_outer",
     # round-4 additions (never driver-sampled yet)
-    "q_dedup_from_layout", "q_join_bucketed",
+    "q_dedup_from_layout", "q_join_bucketed", "q_bpe_merges",
+    "q_tpch_q9", "q_tpch_q12", "q_tpch_q16", "q_tpch_q20",
 ]
 
 

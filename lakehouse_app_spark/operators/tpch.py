@@ -731,3 +731,183 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# ---- round-4: the remaining TPC-H shapes expressible on this schema
+# (q2/q11 are partsupp-central and the fixtures ship no partsupp table
+# — SURVEY.md §2's TPC-H tier is complete modulo that documented gap)
+
+
+@query(
+    "q_tpch_q12",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_shipdate > o_orderdate
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shipping-modes-and-priority shape (adapted: no l_shipmode /
+    commit/receipt dates in the fixtures, so the mode group becomes
+    l_returnflag and the lateness predicate becomes shipped-after-
+    order). The load-bearing shape survives: fact-fact equi-join with
+    a residual date inequality feeding conditional CASE sums — one
+    shuffle on the join key, priority classification map-side."""
+    t = load_tables(spark, sf_dir)
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t.orders.join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") > F.col("o_orderdate"))
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q9",
+    oracle="""
+    SELECT nation, o_year,
+           CAST(SUM(CAST(amount AS DECIMAL(25,6))) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - 0.01 * p_retailprice * l_quantity AS amount
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 product-type-profit shape (adapted: no partsupp, so supply
+    cost is proxied as 1% of p_retailprice per unit — the algebra and
+    plan shape are Q9's: part-filtered 5-way join, profit expression,
+    (nation, year) rollup). Profit can be negative, so the sum is the
+    exact DECIMAL path (dsum), not fpsum. Dims broadcast; the only
+    large shuffles are the two fact joins."""
+    t = load_tables(spark, sf_dir)
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.01 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        t.part.where(F.col("p_name").like("%red%"))
+        .join(t.lineitem, F.col("p_partkey") == F.col("l_partkey"))
+        .join(t.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(dsum("amount", "sum_profit"))
+    )
+
+
+@query(
+    "q_tpch_q16",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#11'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 parts/supplier-relationship shape (adapted: the
+    part↔supplier relation comes from lineitem instead of the absent
+    partsupp, and the 'customer complaints' supplier exclusion
+    becomes negative-balance suppliers). The Q16 algebra survives
+    intact: NOT IN anti-join against a subquery, multi-predicate dim
+    filter, COUNT(DISTINCT) per group."""
+    t = load_tables(spark, sf_dir)
+    bad = t.supplier.where(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        t.part.where(
+            (F.col("p_brand") != "Brand#11")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+        )
+        .join(t.lineitem, F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q_tpch_q20",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(round(l_quantity * 10000) AS BIGINT)) AS DOUBLE)
+               / 10000.0 AS qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'small%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (SELECT l_suppkey FROM shipped WHERE qty > 100)
+    ORDER BY s_name
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 potential-part-promotion shape (adapted: the availqty
+    threshold over the absent partsupp becomes a shipped-quantity
+    threshold derived from lineitem). The Q20 plan skeleton is
+    intact: an aggregated scalar per supplier feeding an IN
+    (semi-join) filter over the supplier dimension, nation joined
+    for the report. The fact aggregate uses fpsum; the semi probe
+    broadcasts the small qualified-supplier set."""
+    t = load_tables(spark, sf_dir)
+    shipped = (
+        t.lineitem.join(
+            F.broadcast(t.part.where(F.col("p_name").like("small%"))),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .groupBy("l_suppkey")
+        .agg(fpsum("l_quantity", "qty"))
+        .where(F.col("qty") > 100)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    return (
+        t.supplier.join(F.broadcast(shipped), "s_suppkey", "left_semi")
+        .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+    )
