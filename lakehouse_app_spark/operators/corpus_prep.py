@@ -151,11 +151,16 @@ def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     smaller than the corpus, and broadcastable). The per-doc log-prob
     sum is decimal-cast so accumulation order can't diverge between
     engines ([[q_entropy_kl]] convention)."""
+    from lakehouse_app_spark.operators.dedup import spread
+    from lakehouse_app_spark.runtime_cache import scoped_persist
+
     t = load_tables(spark, sf_dir)
+    # the bigram explode feeds the LM build AND the scoring probe —
+    # spread it across cores (single-row-group input) and persist so
+    # the explode runs once
     pairs = (
-        t.documents.select(
-            "doc_id", F.split(F.lower(F.col("text")), " ").alias("ts")
-        )
+        spread(t.documents)
+        .select("doc_id", F.split(F.lower(F.col("text")), " ").alias("ts"))
         .where(F.size("ts") >= 2)
         .select(
             "doc_id",
@@ -167,6 +172,7 @@ def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p"),
         )
         .select("doc_id", "p.w1", "p.w2")
+        .transform(scoped_persist)
     )
     c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
     c1 = c2.groupBy("w1").agg(F.sum("c").alias("tot"))

@@ -18,6 +18,7 @@ mapInPandas streams Arrow batches without materializing a partition.
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Iterator
 from typing import Any
 
@@ -49,6 +50,31 @@ def attach_media_columns(docs: DataFrame) -> DataFrame:
     )
 
 
+_PIL_ABSENT = False  # sticky negative: failed imports aren't cached
+# by Python itself, and re-raising ImportError per frame costs a full
+# sys.path search each call (~ms × 20k frames dominated q_media_frames)
+
+
+def _image_codec() -> Any:
+    """The PIL.Image module if a codec is present, else None. The
+    negative result is cached per-process, but sys.modules is always
+    consulted first so a codec installed (or injected) after the
+    first failure is still picked up — a dict lookup, not an import."""
+    global _PIL_ABSENT
+    mod = sys.modules.get("PIL")
+    if mod is not None:
+        return getattr(mod, "Image", None)
+    if _PIL_ABSENT:
+        return None
+    try:
+        from PIL import Image  # type: ignore[import-not-found]
+
+        return Image
+    except ImportError:
+        _PIL_ABSENT = True
+        return None
+
+
 def decode_image(payload: bytes) -> Any:
     """Codec adapter, import-gated (SURVEY.md §7.5): returns a decoded
     image object when an image codec (PIL) is installed, or ``None``
@@ -59,13 +85,12 @@ def decode_image(payload: bytes) -> Any:
     deployment enables real decode with no code change
     (tests/test_multimodal.py proves the decoded branch with a stub
     codec)."""
+    Image = _image_codec()
+    if Image is None:
+        return None
     try:
         import io
 
-        from PIL import Image  # type: ignore[import-not-found]
-    except ImportError:
-        return None
-    try:
         return Image.open(io.BytesIO(payload))
     except Exception:
         return None  # payload isn't a decodable image
@@ -144,8 +169,10 @@ def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column pipeline end-to-end: attach payloads → Arrow UDF
     feature extraction. ASCII text makes byte == codepoint, so the
     oracle can verify the UDF's byte math in pure SQL."""
+    from lakehouse_app_spark.operators.dedup import spread
+
     t = load_tables(spark, sf_dir)
-    return byte_features(attach_media_columns(t.documents))
+    return byte_features(attach_media_columns(spread(t.documents)))
 
 
 @query(
@@ -173,16 +200,22 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling fan-out: each opaque media payload explodes to 4
     evenly spaced fixed-size frames inside ONE `mapInPandas` pass —
     the video keyframe-extraction shape (1 row in, N small rows out,
-    payload bytes never shuffled). The deterministic sampler
-    (`sample_frames`) stands in for the codec; per-frame first-byte +
-    checksum make the fan-out byte-exactly verifiable in SQL. At
-    100 TB the per-frame features are ~1/1000th the payload bytes,
-    so everything downstream of this operator shuffles features, not
-    media."""
+    payload bytes never shuffled past the spread exchange). The
+    deterministic sampler (`sample_frames`) stands in for the codec;
+    per-frame first-byte + checksum make the fan-out byte-exactly
+    verifiable in SQL. At 100 TB the per-frame features are ~1/1000th
+    the payload bytes, so everything downstream of this operator
+    shuffles features, not media."""
     import numpy as np
 
+    from lakehouse_app_spark.operators.dedup import spread
+
     t = load_tables(spark, sf_dir)
-    media = attach_media_columns(t.documents.where(F.col("n_chars") >= 35))
+    # the sampler is Python-side work: spread the single-row-group
+    # input across cores so the pandas workers run in parallel
+    media = attach_media_columns(
+        spread(t.documents.where(F.col("n_chars") >= 35))
+    )
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

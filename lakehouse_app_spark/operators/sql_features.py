@@ -43,24 +43,39 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     a driver loop. UNION ALL recursion (the variant Spark 4
     supports) enumerates hop-stamped paths; the hop cap bounds the
     expansion and the min-hop aggregate is path-multiplicity
-    invariant, so both engines agree exactly. The identical text
-    runs on both engines."""
-    load_tables(spark, sf_dir)
+    invariant, so both engines agree exactly.
+
+    The edge list is materialized (persisted temp view) before the
+    recursion starts: Spark's UnionLoop re-evaluates the step plan
+    every iteration, so an inline ``edges`` CTE would re-run the
+    explode+DISTINCT once per hop — the graph is built once, the
+    loop only joins against it."""
+    from lakehouse_app_spark.runtime_cache import scoped_persist
+
+    t = load_tables(spark, sf_dir)
+    edges = (
+        t.documents.select(F.split(F.lower(F.col("text")), " ").alias("ts"))
+        .where(F.size("ts") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ts) - 1),"
+                    " i -> struct(ts[i-1] AS w1, ts[i] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .distinct()
+        .transform(scoped_persist)
+    )
+    edges.createOrReplaceTempView("bigram_edges")
     return spark.sql(
         """
-        WITH RECURSIVE edges AS (
-          SELECT DISTINCT p.w1, p.w2
-          FROM (
-            SELECT explode(transform(sequence(1, size(ts) - 1),
-                           i -> struct(ts[i-1] AS w1, ts[i] AS w2))) AS p
-            FROM (SELECT split(lower(text), ' ') AS ts FROM documents)
-            WHERE size(ts) >= 2
-          )
-        ), reach(node, hop) AS (
+        WITH RECURSIVE reach(node, hop) AS (
           SELECT 'join' AS node, 0 AS hop
           UNION ALL
           SELECT e.w2, r.hop + 1
-          FROM reach r JOIN edges e ON e.w1 = r.node
+          FROM reach r JOIN bigram_edges e ON e.w1 = r.node
           WHERE r.hop < 3
         )
         SELECT node, CAST(min(hop) AS INT) AS min_hops

@@ -388,11 +388,14 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size; the train set is the join's build side and shrinks
     further under [[q_neardup_exact]]-style dedup at ingest."""
     from lakehouse_app_spark.operators.dedup import spread, word_shingles
+    from lakehouse_app_spark.runtime_cache import scoped_persist
 
     t = load_tables(spark, sf_dir)
+    # the 5-gram explode feeds both splits (train-distinct build side
+    # and the eval probe side) — persist so it runs once, not twice
     sh = spread(t.documents).select(
         "doc_id", F.explode(word_shingles(5)).alias("s")
-    )
+    ).transform(scoped_persist)
     train = sh.where(F.col("doc_id") % 2 == 0).select("s").distinct()
     ev = sh.where(F.col("doc_id") % 2 == 1)
     hits = (
