@@ -280,9 +280,16 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, never the corpus. The oracle is the SAME recurrence
     unrolled as SQL, with each iteration's mass sum decimal-exact so
     accumulation order can't diverge between engines."""
+    from lakehouse_app_spark.operators.dedup import spread
+
     t = load_tables(spark, sf_dir)
+    # spread pays here (unlike the vocab-sized single-agg queries,
+    # where the extra exchange outweighs ~100ms of serial map work):
+    # the persisted edge build feeds 3 iterations, so parallelizing
+    # it is amortized 3x — measured ~0.3s at sf0.1
     pairs = (
-        t.documents.select(F.split(F.lower(F.col("text")), " ").alias("ts"))
+        spread(t.documents)
+        .select(F.split(F.lower(F.col("text")), " ").alias("ts"))
         .where(F.size("ts") >= 2)
         .select(
             F.explode(
