@@ -58,7 +58,7 @@ def _word_table(docs: DataFrame) -> DataFrame:
         F.array_join(F.split(F.col("w"), ""), "]["),
         F.lit("]"),
     )
-    return words.select(syms.alias("s"), "freq")
+    return words.select("w", syms.alias("s"), "freq")
 
 
 def _pair_counts(wt: DataFrame) -> DataFrame:
@@ -160,8 +160,129 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         wt = scoped_persist(
             wt.crossJoin(F.broadcast(rule)).select(
-                F.expr("replace(s, pat, rep)").alias("s"), "freq"
+                "w", F.expr("replace(s, pat, rep)").alias("s"), "freq"
             )
         )
         out = best if out is None else out.unionByName(best)
     return out
+
+
+def _encode_oracle(k: int = BPE_MERGES) -> str:
+    """Oracle for [[q_bpe_encode]]: the training replay of
+    :func:`_bpe_oracle` carried one merge further (wt{k} applies the
+    k-th rule) plus the per-word symbol count and the document join."""
+    best = """best{i} AS (
+      SELECT l, r FROM (
+        SELECT p.l, p.r, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM (
+          SELECT freq,
+                 unnest(list_transform(range(1, len(sy)),
+                        i -> struct_pack(l := sy[i], r := sy[i+1]))) AS p
+          FROM (SELECT freq,
+                       string_split(substring(s, 2, length(s) - 2), '][') AS sy
+                FROM wt{prev})
+          WHERE len(sy) >= 2
+        )
+        GROUP BY p.l, p.r
+      ) ORDER BY cnt DESC, l, r LIMIT 1
+    )"""
+    merge = """wt{i} AS (
+      SELECT w,
+             replace(s, '[' || b.l || '][' || b.r || ']',
+                     '[' || b.l || b.r || ']') AS s, freq
+      FROM wt{prev}, best{i} b
+    )"""
+    parts = [
+        """wt0 AS (
+      SELECT w,
+             '[' || array_to_string(string_split(w, ''), '][') || ']' AS s,
+             CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+      WHERE w != '' AND NOT regexp_matches(w, '[\\[\\]]')
+      GROUP BY w
+    )"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(best.format(i=i, prev=i - 1))
+        parts.append(merge.format(i=i, prev=i - 1))
+    parts.append(
+        f"""vocab AS (
+      SELECT w,
+             CAST(len(string_split(substring(s, 2, length(s) - 2), ']['))
+                  AS BIGINT) AS n_sym
+      FROM wt{k}
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + """
+    SELECT d.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(SUM(v.n_sym) AS BIGINT) AS n_bpe_tokens,
+           round(SUM(v.n_sym) / CAST(count(*) AS DOUBLE), 6)
+             AS tokens_per_word
+    FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+          FROM documents) d
+    JOIN vocab v USING (w)
+    GROUP BY d.doc_id
+    """
+    )
+
+
+@query("q_bpe_encode", oracle=_encode_oracle())
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with the {BPE_MERGES}-rule BPE vocabulary
+    trained by [[q_bpe_merges]]: per document, whitespace word count,
+    BPE token count under the trained merges, and tokens-per-word —
+    the fertility statistic that drives vocab-size decisions and the
+    token accounting [[q_pack_batches]] budgets with.
+
+    Scale shape: encoding never touches document text with the merge
+    rules — the rules apply to the DISTINCT-word table (vocab-sized),
+    and documents join the resulting word→token-count map on the
+    word key (broadcastable at any corpus size, since vocabularies
+    are millions of rows while corpora are billions of documents).
+    This is how production tokenizer pipelines amortize BPE: encode
+    the vocab once, then the corpus pass is a hash join."""
+    t = load_tables(spark, sf_dir)
+    wt = scoped_persist(_word_table(t.documents))
+    for step in range(1, BPE_MERGES + 1):
+        best = (
+            _pair_counts(wt)
+            .orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+        )
+        rule = scoped_persist(
+            best.select(
+                F.concat(F.lit("["), "l", F.lit("]["), "r", F.lit("]")).alias(
+                    "pat"
+                ),
+                F.concat(F.lit("["), "l", "r", F.lit("]")).alias("rep"),
+            )
+        )
+        wt = scoped_persist(
+            wt.crossJoin(F.broadcast(rule)).select(
+                "w", F.expr("replace(s, pat, rep)").alias("s"), "freq"
+            )
+        )
+    vocab = wt.select(
+        "w",
+        F.size(
+            F.split(F.expr("substring(s, 2, length(s) - 2)"), r"\]\[")
+        ).cast("bigint").alias("n_sym"),
+    )
+    doc_words = t.documents.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    return (
+        doc_words.join(F.broadcast(vocab), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("n_sym") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("tokens_per_word"),
+        )
+    )

