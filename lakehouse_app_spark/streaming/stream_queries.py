@@ -448,13 +448,16 @@ _OUTER_DIRS: dict[str, str] = {}
 
 
 def _staged_events_with_sentinel(spark: SparkSession, sf_dir: str) -> str:
-    """Events staged as TWO files: the corpus, then a single far-
-    future sentinel event in its own file (later mtime). With
-    maxFilesPerTrigger=1 the sentinel becomes a second micro-batch
-    whose only job is to advance the watermark past every real event
-    — the standard flush trick for outer stream-stream joins, whose
-    null-extended results emit only when a LATER batch's watermark
-    expires the join window."""
+    """Events staged WITH one far-future sentinel file (one purchase +
+    one click, ids < 0, user_id = -1) so the data batch itself lifts
+    both sides' watermark past every real event. Watermarks advance
+    BETWEEN micro-batches, so the null-extended outer results then
+    flush in the engine's automatic no-data batch — 2 batches total.
+    (The first cut forced the sentinels into their own batches via
+    maxFilesPerTrigger=1 + two sentinel files = 4 batches; the
+    per-batch planning + state-commit cost was ~2× the query, and the
+    extra batches buy nothing: eviction only needs SOME batch to run
+    after the watermark moved, which the no-data batch provides.)"""
     if sf_dir not in _OUTER_DIRS:
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -481,24 +484,20 @@ def _staged_events_with_sentinel(spark: SparkSession, sf_dir: str) -> str:
         # processing a batch). Sentinel rows use user_id = -1 (never
         # matches) and negative event_ids, filtered AFTER the join so
         # they cannot lower either side's watermark.
-        st = os.stat(dst)
-        for k in (1, 2):
-            far = max_raw + k * 10 * 3600 * unit_per_sec
-            cols = {
-                "event_id": pa.array([-(2 * k - 1), -(2 * k)], pa.int64()),
-                "ts": pa.array([far, far], pa.int64()).cast(ts_type),
-                "user_id": pa.array([-1, -1], pa.int64()),
-                "event_type": pa.array(["purchase", "click"], pa.string()),
-                "value": pa.array([0.0, 0.0], pa.float64()),
-                "props": pa.array(["{}", "{}"], pa.string()),
-            }
-            sentinel = pa.table(
-                {f.name: cols[f.name].cast(f.type) for f in src_schema},
-                schema=src_schema,
-            )
-            spath = f"{d}/zz_flush_{k}.parquet"
-            pq.write_table(sentinel, spath)
-            os.utime(spath, (st.st_atime + 120 * k, st.st_mtime + 120 * k))
+        far = max_raw + 10 * 3600 * unit_per_sec
+        cols = {
+            "event_id": pa.array([-1, -2], pa.int64()),
+            "ts": pa.array([far, far], pa.int64()).cast(ts_type),
+            "user_id": pa.array([-1, -1], pa.int64()),
+            "event_type": pa.array(["purchase", "click"], pa.string()),
+            "value": pa.array([0.0, 0.0], pa.float64()),
+            "props": pa.array(["{}", "{}"], pa.string()),
+        }
+        sentinel = pa.table(
+            {f.name: cols[f.name].cast(f.type) for f in src_schema},
+            schema=src_schema,
+        )
+        pq.write_table(sentinel, f"{d}/zz_flush.parquet")
         _OUTER_DIRS[sf_dir] = d
     return _OUTER_DIRS[sf_dir]
 
@@ -524,8 +523,10 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     otherwise. Two load-bearing semantics beyond [[q_stream_join]]:
     (1) outer (null-extended) results emit only when the watermark
     passes a row's join window, which in a bounded availableNow run
-    requires batches AFTER the data — provided by the staged sentinel
-    files; (2) the global watermark is the MIN over both sides'
+    requires a batch AFTER the data — the staged sentinel file lifts
+    the watermark in the data batch and the engine's automatic
+    no-data batch performs the eviction; (2) the global watermark is
+    the MIN over both sides'
     watermark nodes, so nothing may filter either side's event flow
     above its watermark node (a pre-join filter that drops the latest
     purchases would freeze the purchase-side watermark and the last
@@ -534,10 +535,8 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     as in the inner variant."""
     ensure_runtime_confs(spark)
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    raw = (
-        spark.readStream.schema(raw_schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(_staged_events_with_sentinel(spark, sf_dir))
+    raw = spark.readStream.schema(raw_schema).parquet(
+        _staged_events_with_sentinel(spark, sf_dir)
     )
     src = normalize_event_ts(raw).withColumn("ts_l", F.col("ts").cast("timestamp"))
     purchases = (
