@@ -332,3 +332,23 @@ def test_bucketed_join_has_no_join_key_exchange(spark, sf_dir):
     assert "hashpartitioning(l_orderkey" not in plan, plan
     assert "hashpartitioning(o_orderkey" not in plan, plan
     assert "hashpartitioning(o_orderstatus" in plan, plan
+
+
+def test_results_are_aqe_invariant(spark, sf_dir):
+    """AQE is a deployment-profile conf (cluster on, local bench off —
+    SCALE.md): prove a join+agg+window query returns identical rows
+    under both settings, so the profile switch can never change an
+    oracle result."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    def rows(name):
+        return sorted(
+            map(tuple, QUERIES[name](spark, sf_dir).collect())
+        )
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        on = {n: rows(n) for n in ("q_join_multiway", "q_topk_per_group")}
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        off = {n: rows(n) for n in ("q_join_multiway", "q_topk_per_group")}
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert on == off
