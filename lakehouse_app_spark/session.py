@@ -13,16 +13,15 @@ import os
 
 from pyspark.sql import SparkSession
 
-# AQE is the CLUSTER-profile default: runtime re-planning (skew-join
-# splitting, partition coalescing, join-strategy switches) pays for
-# its shuffle-stage barriers when stages move gigabytes. At the local
-# bench floor the per-stage materialization + re-optimization adds
-# 30-50% to sub-second queries (measured: 43-query subset 18.1s → \
-# 15.8s with AQE off at sf0.1), so the local profile disables it.
-# This is a deployment-profile conf, not a semantic switch — every
-# oracle result is AQE-invariant, and a cluster submit sets
-# SPARK_GRAFT_AQE=true (or plain --conf) with no code change.
-_AQE_DEFAULT = os.environ.get("SPARK_GRAFT_AQE", "false")
+# AQE default ON, overridable per deployment profile. Measured both
+# ways at sf0.1: single-shuffle floor queries run 30-50% faster
+# without AQE (the stage barrier dominates), but multi-shuffle
+# queries (chained windows/aggregates: scd2_lookup, bm25, count-min)
+# REGRESS ~2× without it — un-coalesced 32-task stages beat the
+# barrier saving — and the full 182-query suite is net faster with
+# AQE on. Results are AQE-invariant (tests/test_plan_shapes.py), so
+# the env knob is pure deployment configuration.
+_AQE_DEFAULT = os.environ.get("SPARK_GRAFT_AQE", "true")
 
 # Runtime-settable SQL confs that every entry point must guarantee,
 # even when handed a SparkSession it did not create (the driver's).

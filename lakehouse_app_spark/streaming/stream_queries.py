@@ -315,8 +315,11 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch sink (ref R15's finalize-per-batch commit,
     `app/app.py:141`): each micro-batch lands as an atomic parquet
-    append keyed by batch id; returns the read-back aggregate."""
-    out_dir = tempfile.mkdtemp(prefix="foreach_sink_")
+    append keyed by batch id; returns the read-back aggregate. The
+    bounded-replay demo writes to the same RAM-backed scratch root as
+    the checkpoints (_checkpoint_root); a production stream passes a
+    durable path — one argument, not a code change."""
+    out_dir = tempfile.mkdtemp(prefix="foreach_sink_", dir=_checkpoint_root())
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         (
