@@ -289,23 +289,42 @@ def simhash(df: DataFrame) -> DataFrame:
     # needed. One hash-aggregate pass with 63 conditional-sum columns
     # beats exploding |shingles|×63 vote rows (40M+ at sf0.1) through
     # two extra shuffles — the aggregate is map-side-combined per doc
+    # Lane-packed accumulation: the ±1 vote for bit b is equivalent
+    # to a popcount test (votes_b > 0  ⟺  2·count_of_ones_b > n), so
+    # pack 4 per-bit counters into 16-bit lanes of one long and sum
+    # 16 packed longs instead of 63 scalar columns — bit-identical
+    # output (A/B verified), same local wall-clock, 4× narrower
+    # aggregation buffer (the term that matters once the hash
+    # aggregate spills at real corpus sizes). Lane capacity 65535
+    # shingles/doc; word-shingled docs are orders of magnitude below.
+    lanes = 4
+    nlongs = (SIMHASH_BITS + lanes - 1) // lanes
     tok_h = df.select(
         "doc_id", F.explode(word_shingles(3)).alias("token")
     ).select("doc_id", F.xxhash64("token").alias("th"))
-    votes = tok_h.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1,
-                    F.lit(1),
-                ).otherwise(-1)
-            ).alias(f"v{b}")
-            for b in range(SIMHASH_BITS)
+
+    def packed(g: int):
+        parts = [
+            F.shiftleft(
+                F.shiftright(F.col("th"), g * lanes + lane).bitwiseAND(F.lit(1)),
+                16 * lane,
+            )
+            for lane in range(lanes)
+            if g * lanes + lane < SIMHASH_BITS
         ]
+        return F.sum(reduce(lambda x, y: x + y, parts)).alias(f"p{g}")
+
+    votes = tok_h.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"), *[packed(g) for g in range(nlongs)]
     )
-    bit = lambda b: F.when(  # noqa: E731
-        F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")
-    ).otherwise(F.lit(0).cast("long"))
+
+    def bit(b: int):
+        g, lane = divmod(b, lanes)
+        cnt = F.shiftright(F.col(f"p{g}"), 16 * lane).bitwiseAND(F.lit(0xFFFF))
+        return F.when(
+            cnt * 2 > F.col("n"), F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+
     sh = reduce(lambda x, y: x + y, [bit(b) for b in range(SIMHASH_BITS)])
     return votes.select("doc_id", sh.alias("sh"))
 

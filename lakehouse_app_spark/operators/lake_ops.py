@@ -170,6 +170,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = adj.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
+    cached = None  # the persisted frame behind `labels`, for unpersist
     for _ in range(10):  # ≥ log2(max component size) rounds
         # propagate: candidate label = min over neighbors' labels
         neigh = (
@@ -179,27 +180,33 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # persist BEFORE the convergence probe: the probe is an
         # action, and an unpersisted new_labels would re-execute its
-        # whole lineage again next round (2× work per iteration)
+        # whole lineage again next round (2× work per iteration).
+        # The improvement flag rides along in the same pass, so the
+        # probe is a filter on the persisted rows — no extra join
+        # against the previous labels.
         new_labels = (
             labels.join(neigh, labels["node"] == neigh["src"], "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+                (F.col("nlabel") < F.col("label")).alias("improved"),
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = new_labels.where("improved").limit(1).count()
+        if cached is not None:
+            cached.unpersist()
+        cached = new_labels
+        labels = new_labels.drop("improved")
         if changed == 0:
             break
     adj.unpersist()
+    if cached is not None:
+        # final round's labels stay pinned until the harness releases
+        # query-scoped caches (the result still reads from them)
+        from lakehouse_app_spark.runtime_cache import _SCOPED
+
+        _SCOPED.append(cached)
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
