@@ -351,3 +351,180 @@ def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("shiftleft(cid, CAST(4 * j AS INT))")).cast("long").alias("pq_code"),
         F.sum(F.col("dist").cast("decimal(25,6)")).cast("double").alias("recon_err"),
     )
+
+
+# ------------------------------------------------------- IVF-PQ search
+
+SHORTLIST = 3 * TOP_K
+
+
+@query(
+    "q_ann_ivfpq",
+    oracle=f"""
+    WITH {_IVF_CHAIN},
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id = 0),
+    probed AS (
+      SELECT c.cid FROM {_IVF_CENTS} c, q
+      ORDER BY round(list_cosine_similarity(c.cvec, q.qv), 6) DESC, c.cid
+      LIMIT {N_PROBE}
+    ),
+    pv AS (
+      SELECT a.vec_id, a.emb
+      FROM {_IVF_ASG} a JOIN probed p ON a.cid = p.cid
+    ),
+    pqcents AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings WHERE vec_id < {PQ_K}
+    ),
+    subc AS (
+      SELECT cid, t.j,
+             list_slice(cvec, t.j * {PQ_DSUB} + 1,
+                        t.j * {PQ_DSUB} + {PQ_DSUB}) AS csub
+      FROM pqcents, (SELECT unnest(range(0, {PQ_M})) AS j) t
+    ),
+    subv AS (
+      SELECT vec_id, t.j,
+             list_slice(emb, t.j * {PQ_DSUB} + 1,
+                        t.j * {PQ_DSUB} + {PQ_DSUB}) AS vsub
+      FROM pv, (SELECT unnest(range(0, {PQ_M})) AS j) t
+    ),
+    codes AS (
+      SELECT vec_id, j, cid FROM (
+        SELECT v.vec_id, v.j, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id, v.j
+                 ORDER BY {_SQDIST_DUCK.format(n=PQ_DSUB + 1)}, c.cid) AS rn
+        FROM subv v JOIN subc c ON v.j = c.j
+      ) WHERE rn = 1
+    ),
+    qsub AS (
+      SELECT t.j, list_slice(q.qv, t.j * {PQ_DSUB} + 1,
+                             t.j * {PQ_DSUB} + {PQ_DSUB}) AS vsub
+      FROM q, (SELECT unnest(range(0, {PQ_M})) AS j) t
+    ),
+    lut AS (
+      SELECT s.j, c.cid, {_SQDIST_DUCK.format(n=PQ_DSUB + 1)} AS ld
+      FROM qsub s JOIN subc c ON s.j = c.j
+    ),
+    adists AS (
+      SELECT k.vec_id,
+             CAST(SUM(CAST(l.ld AS DECIMAL(25,6))) AS DOUBLE) AS adist
+      FROM codes k JOIN lut l ON l.j = k.j AND l.cid = k.cid
+      GROUP BY k.vec_id
+    ),
+    short AS (
+      SELECT vec_id, adist FROM adists
+      ORDER BY adist, vec_id LIMIT {SHORTLIST}
+    )
+    SELECT s.vec_id, s.adist,
+           round(list_cosine_similarity(p.emb, q.qv), 6) AS sim
+    FROM short s JOIN pv p ON p.vec_id = s.vec_id, q
+    ORDER BY sim DESC, s.vec_id LIMIT {TOP_K}
+    """,
+)
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IVF-PQ search — the two stored-index halves
+    (q_ann_ivf's learned partition-pruned probe, q_pq_quantize's
+    4-bit product codes) composed into the billion-scale query shape:
+
+    1. rank centroids, probe the top-2 clusters (index metadata, an
+       8-row job inlined as a literal partition filter);
+    2. PQ-code the PROBED vectors only and score them by asymmetric
+       distance — the query builds one 8×16 lookup table of subspace
+       distances (broadcast), each candidate's approximate distance
+       is 8 table lookups summed decimal-exact, no full-dimension
+       math on the corpus side;
+    3. shortlist 3k candidates by approximate distance (TakeOrdered),
+       exact-rerank the shortlist by cosine, return the top-5.
+
+    At scale the codes are stored next to ``cid`` at ingest (the same
+    ``derived_table`` layout); only step 3 ever touches full vectors,
+    so RAM holds 32-bit codes instead of 256-byte vectors — the
+    classic 64× memory cut. Deterministic end-to-end
+    (6-dp rounds, cid/vec_id tie-breaks, decimal ADC sums), so the
+    whole pipeline — Lloyd's training included — replays exactly in
+    the DuckDB oracle."""
+    cents, assigned = ivf_index(spark, sf_dir, "ivf8", N_CENTROIDS, KM_ITERS)
+    t = load_tables(spark, sf_dir)
+    qv = (
+        t.embeddings.where(F.col("vec_id") == 0)
+        .select(as_double_array("embedding").alias("qv"))
+    )
+    probes = [
+        r["cid"]
+        for r in (
+            cents.join(F.broadcast(qv))
+            .select(
+                "cid",
+                F.round(cosine_sim(F.col("cvec"), F.col("qv")), 6).alias("psim"),
+            )
+            .orderBy(F.col("psim").desc(), F.col("cid"))
+            .limit(N_PROBE)
+            .collect()
+        )
+    ]
+    pv = assigned.where(F.col("cid").isin(probes)).select("vec_id", "emb")
+
+    sub = lambda c, j: F.slice(c, j * PQ_DSUB + 1, PQ_DSUB)  # noqa: E731
+    jseq = F.sequence(F.lit(0), F.lit(PQ_M - 1))
+    explode_subs = lambda df, vcol, out: df.select(  # noqa: E731
+        *[c for c in df.columns if c != vcol],
+        F.explode(
+            F.transform(
+                jseq,
+                lambda j: F.struct(
+                    j.alias("j"), sub(F.col(vcol), j).alias(out)
+                ),
+            )
+        ).alias("s"),
+    ).select(
+        *[c for c in df.columns if c != vcol],
+        F.col("s.j").alias("j"),
+        F.col(f"s.{out}").alias(out),
+    )
+    sqd = lambda a, b: F.round(  # noqa: E731
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+
+    pqc = t.embeddings.where(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        as_double_array("embedding").alias("cvec"),
+    )
+    subc = explode_subs(pqc, "cvec", "csub")
+    subv = explode_subs(pv, "emb", "vsub")
+    w = Window.partitionBy("vec_id", "j").orderBy("dist", "cid")
+    codes = (
+        subv.join(F.broadcast(subc), "j")
+        .select("vec_id", "j", "cid", sqd(F.col("vsub"), F.col("csub")).alias("dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "j", "cid")
+    )
+    qsub = explode_subs(qv, "qv", "qsubv")
+    lut = qsub.join(subc, "j").select(
+        "j", "cid", sqd(F.col("qsubv"), F.col("csub")).alias("ld")
+    )
+    adists = (
+        codes.join(F.broadcast(lut), ["j", "cid"])
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("ld").cast("decimal(25,6)")).cast("double").alias("adist")
+        )
+    )
+    short = adists.orderBy("adist", "vec_id").limit(SHORTLIST)
+    return (
+        short.join(pv, "vec_id")
+        .join(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "adist",
+            F.round(cosine_sim(F.col("emb"), F.col("qv")), 6).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(TOP_K)
+    )

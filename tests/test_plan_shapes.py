@@ -352,3 +352,20 @@ def test_results_are_aqe_invariant(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
     assert on == off
+
+
+def test_ann_ivfpq_prunes_and_broadcasts_lut(spark, sf_dir):
+    """IVF-PQ end-to-end: the candidate side reads only probed
+    partitions of the stored assignment (PartitionFilters on cid),
+    and the ADC lookup table joins in as a broadcast — the corpus
+    side never shuffles for scoring, and nothing degenerates to a
+    nested loop."""
+    import re
+
+    df = QUERIES["q_ann_ivfpq"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*cid[^\]]*IN[^\]]*)\]", plan)
+    assert m, plan
+    assert "layout_ivf8_assign" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
