@@ -528,3 +528,167 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sim").desc(), "vec_id")
         .limit(TOP_K)
     )
+
+
+# --------------------------------------------- retrieval rank quality
+
+
+@query(
+    "q_retrieval_ndcg",
+    oracle=f"""
+    WITH {_IVF_CHAIN},
+    qs AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id % 100 = 1
+    ),
+    probed AS (
+      SELECT qid, cid FROM (
+        SELECT q.qid, c.cid,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY round(list_cosine_similarity(c.cvec, q.qv), 6) DESC,
+                          c.cid) AS rn
+        FROM qs q, {_IVF_CENTS} c
+      ) WHERE rn <= {N_PROBE}
+    ),
+    ivf AS (
+      SELECT qid, vec_id, rn FROM (
+        SELECT p.qid, a.vec_id,
+               row_number() OVER (PARTITION BY p.qid
+                 ORDER BY round(list_cosine_similarity(a.emb, q.qv), 6) DESC,
+                          a.vec_id) AS rn
+        FROM {_IVF_ASG} a JOIN probed p ON a.cid = p.cid
+        JOIN qs q ON q.qid = p.qid
+      ) WHERE rn <= {TOP_K}
+    ),
+    exact AS (
+      SELECT qid, vec_id, rn, {TOP_K} + 1 - rn AS rel FROM (
+        SELECT q.qid, e.vec_id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY round(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]), q.qv), 6) DESC,
+                          e.vec_id) AS rn
+        FROM embeddings e, qs q
+      ) WHERE rn <= {TOP_K}
+    ),
+    dcg AS (
+      SELECT i.qid,
+             CAST(SUM(CAST(round(COALESCE(x.rel, 0) / log2(i.rn + 1), 6)
+                           AS DECIMAL(25,6))) AS DOUBLE) AS dcg,
+             COALESCE(round(CAST(1.0 AS DOUBLE) /
+                            MIN(CASE WHEN x.rel IS NOT NULL
+                                     THEN i.rn END), 6), 0.0) AS mrr
+      FROM ivf i LEFT JOIN exact x ON x.qid = i.qid AND x.vec_id = i.vec_id
+      GROUP BY i.qid
+    ),
+    idcg AS (
+      SELECT qid,
+             CAST(SUM(CAST(round(rel / log2(rn + 1), 6)
+                           AS DECIMAL(25,6))) AS DOUBLE) AS idcg
+      FROM exact GROUP BY qid
+    )
+    SELECT d.qid AS query_id,
+           round(d.dcg / x.idcg, 6) AS ndcg_at_k,
+           d.mrr
+    FROM dcg d JOIN idcg x ON x.qid = d.qid
+    """,
+)
+def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-quality audit of the IVF probe: nDCG@5 and MRR per query,
+    graded relevance = position in the exhaustive top-5 (rel 5..1).
+    Completes the retrieval scorecard next to q_ann_recall's set
+    overlap — nDCG punishes the probe for returning right documents
+    in the wrong ORDER, which recall cannot see; MRR is the
+    time-to-first-relevant metric chat retrieval cares about
+    (`app/vector_search.py:29-33` feeds top-3 straight into a
+    prompt, so rank 1 vs rank 3 matters).
+
+    Determinism across engines: per-position gains are rounded to
+    6 dp BEFORE the decimal-exact sum, so double log2 noise cannot
+    flip the aggregate; ranks carry vec_id tie-breaks. Plan shape:
+    both arms reuse q_ann_recall's (broadcast query set, probed
+    partitions vs one full scored pass with WindowGroupLimit);
+    the metric rollup is a qid-keyed aggregate over ≤5 rows each."""
+    cents, assigned = ivf_index(spark, sf_dir, "ivf8", N_CENTROIDS, KM_ITERS)
+    t = load_tables(spark, sf_dir)
+    qs = t.embeddings.where(F.col("vec_id") % 100 == 1).select(
+        F.col("vec_id").alias("qid"), as_double_array("embedding").alias("qv")
+    )
+    wq = Window.partitionBy("qid")
+    probed = (
+        qs.join(F.broadcast(cents))
+        .select(
+            "qid",
+            "cid",
+            F.round(cosine_sim(F.col("cvec"), F.col("qv")), 6).alias("psim"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(wq.orderBy(F.col("psim").desc(), F.col("cid"))),
+        )
+        .where(F.col("rn") <= N_PROBE)
+        .select("qid", "cid")
+    )
+    rank = lambda df: (  # noqa: E731
+        df.withColumn(
+            "rn",
+            F.row_number().over(wq.orderBy(F.col("sim").desc(), F.col("vec_id"))),
+        )
+        .where(F.col("rn") <= TOP_K)
+        .select("qid", "vec_id", "rn")
+    )
+    ivf = rank(
+        assigned.join(F.broadcast(probed), "cid")
+        .join(F.broadcast(qs), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine_sim(F.col("emb"), F.col("qv")), 6).alias("sim"),
+        )
+    )
+    exact = rank(
+        t.embeddings.join(F.broadcast(qs)).select(
+            "qid",
+            "vec_id",
+            F.round(cosine_sim(as_double_array("embedding"), F.col("qv")), 6).alias(
+                "sim"
+            ),
+        )
+    ).withColumn("rel", F.lit(TOP_K + 1) - F.col("rn"))
+
+    gain = F.round(
+        F.coalesce(F.col("rel"), F.lit(0)) / F.log2(F.col("i.rn") + 1), 6
+    ).cast("decimal(25,6)")
+    dcg = (
+        ivf.alias("i")
+        .join(
+            exact.select("qid", "vec_id", "rel").alias("x"),
+            ["qid", "vec_id"],
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.sum(gain).cast("double").alias("dcg"),
+            F.coalesce(
+                F.round(
+                    1.0
+                    / F.min(
+                        F.when(F.col("rel").isNotNull(), F.col("i.rn"))
+                    ),
+                    6,
+                ),
+                F.lit(0.0),
+            ).alias("mrr"),
+        )
+    )
+    igain = F.round(F.col("rel") / F.log2(F.col("rn") + 1), 6).cast(
+        "decimal(25,6)"
+    )
+    idcg = exact.groupBy("qid").agg(F.sum(igain).cast("double").alias("idcg"))
+    return (
+        dcg.join(idcg, "qid")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_k"),
+            "mrr",
+        )
+    )

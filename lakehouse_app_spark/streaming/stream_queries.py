@@ -575,3 +575,113 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         F.col("c_ts").cast("timestamp_ntz").alias("click_ts"),
     )
+
+
+def _twsp_available() -> bool:
+    """transformWithStateInPandas needs the protobuf wire between the
+    JVM state server and the Python worker; this container ships
+    pyspark without the ``protobuf`` package, so the v2 API raises at
+    query start (verified: STREAMING_PYTHON_RUNNER_INITIALIZATION
+    → ``No module named 'google'``). Gate registration on the
+    import so environments WITH protobuf get the query and this one
+    skips it — same policy as the multimodal codec gate."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+_state_v2_query = (
+    query(
+        "q_stream_state_v2",
+        oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           round(max(value), 4) AS max_value
+    FROM events GROUP BY user_id
+    """,
+    )
+    if _twsp_available()
+    else (lambda f: f)
+)
+
+
+@_state_v2_query
+def q_stream_state_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key state on the transformWithStateInPandas API (Spark 4
+    arbitrary-state v2) — the successor to q_stream_user_state's
+    applyInPandasWithState, exercising what the old API cannot
+    express: MULTIPLE named state variables per key with independent
+    types and lifetimes (here a ValueState running summary plus a
+    MapState of per-event-type counts, the chat-session analog of
+    `app/app.py:85-94` keeping both history and per-tool counters).
+    Requires the RocksDB state store provider (bundled rocksdbjni)
+    — set per query, restored after; HDFS-backed stores keep serving
+    every other stream. Deterministic (counts, distinct-count, max),
+    so the batch-duality oracle is exact."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class UserSummary(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.agg = handle.getValueState("agg", "n long, mx double")
+            self.counts = handle.getMapState(
+                "counts", "event_type string", "n long"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, mx = 0, None
+            if self.agg.exists():
+                n, mx = self.agg.get()
+            for pdf in rows:
+                n += len(pdf)
+                bmx = float(pdf["value"].max())
+                mx = bmx if mx is None or bmx > mx else mx
+                for etype, cnt in pdf["event_type"].value_counts().items():
+                    prev = (
+                        self.counts.getValue((etype,))[0]
+                        if self.counts.containsKey((etype,))
+                        else 0
+                    )
+                    self.counts.updateValue((etype,), (prev + int(cnt),))
+            self.agg.update((n, float(mx)))
+            n_types = sum(1 for _ in self.counts.keys())
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "n_types": [n_types],
+                    "max_value": [round(float(mx), 4)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    stream = events_stream(spark, sf_dir)
+    stateful = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserSummary(),
+        outputStructType="user_id long, n_events long, n_types long, "
+        "max_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        return run_to_memory(
+            stateful, "state_v2", output_mode="update", partitions=16
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )

@@ -273,3 +273,36 @@ def test_tumbling_agg_over_rate_source(spark, tmp_path):
     assert {"window", "event_type", "n", "total_value"} <= set(
         rows[0].asDict()
     ), rows[0]
+
+
+def test_stream_state_v2_gated_or_green(spark, sf_dir):
+    """transformWithStateInPandas (arbitrary state v2) is gated on
+    the protobuf package this container lacks; with protobuf present
+    the query must match its batch duality."""
+    import pytest
+
+    from lakehouse_app_spark.streaming.stream_queries import _twsp_available
+
+    if not _twsp_available():
+        from lakehouse_app_spark.registry import QUERIES
+
+        assert "q_stream_state_v2" not in QUERIES
+        pytest.skip("protobuf absent: transformWithState unavailable here")
+    from lakehouse_app_spark.streaming.stream_queries import q_stream_state_v2
+
+    got = {
+        r["user_id"]: (r["n_events"], r["n_types"])
+        for r in q_stream_state_v2(spark, sf_dir).collect()
+    }
+    from lakehouse_app_spark.sources.tables import load_tables
+    from pyspark.sql import functions as F
+
+    want = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in load_tables(spark, sf_dir)
+        .events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.countDistinct("event_type").alias("t"))
+        .collect()
+    }
+    assert got == want
