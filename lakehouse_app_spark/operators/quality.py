@@ -459,3 +459,95 @@ def q_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_hot_keys"))
     )
     return stats.drop("_avg_raw").crossJoin(F.broadcast(hot))
+
+
+# ------------------------------------- model-based quality classifier
+
+_QC_D = 1024          # hashed feature space
+_QC_A = 2654435761    # Knuth multiplicative constant → pseudo-weights
+_QC_M = 1000003
+_QC_SCALE = 501001    # centers the weight range at zero
+
+from lakehouse_app_spark.operators.corpus_prep import (  # noqa: E402
+    _FP_DUCK,
+    _FP_SPARK,
+)
+
+
+@query(
+    "q_quality_classifier",
+    oracle=f"""
+    WITH w AS (
+      SELECT i AS fid, (i * {_QC_A}) % {_QC_M} - {_QC_SCALE} AS wt
+      FROM (SELECT unnest(range(0, {_QC_D})) AS i)
+    ),
+    tok AS (
+      SELECT doc_id,
+             unnest(list_distinct(string_split(lower(text), ' '))) AS tk
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             {_FP_DUCK.format(w="tk")} % {_QC_D} AS fid
+      FROM tok
+    ),
+    s AS (
+      SELECT f.doc_id, CAST(SUM(w.wt) AS BIGINT) AS raw,
+             CAST(COUNT(*) AS BIGINT) AS n_feats
+      FROM feat f JOIN w ON w.fid = f.fid
+      GROUP BY f.doc_id
+    )
+    SELECT doc_id, n_feats,
+           round(CAST(raw AS DOUBLE)
+                 / (CAST(n_feats AS DOUBLE) * CAST({_QC_SCALE} AS DOUBLE)),
+                 6) AS logit,
+           (raw > 0) AS keep
+    FROM s
+    """,
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering — the fastText-style linear
+    classifier tier (CCNet/LLaMA corpus pipelines) that sits after
+    the rule gates ([[q_corpus_gate]]): each document scores as a
+    mean of learned weights over HASHED bag-of-words features, and
+    the keep decision thresholds the logit at 0.
+
+    The model ships as a TABLE, not code: 1024 (feature-id, weight)
+    rows broadcast to every executor, feature extraction is the
+    scan-local portable Karp-Rabin fingerprint mod 1024 (same fold as
+    [[q_minhash_sig]] — bit-identical in any engine), scoring is one
+    broadcast hash join + an exact integer sum per document. At
+    100 TB the weights of a real trained model load from parquet
+    into the same join — swap the table, not the plan. Weights here
+    are a deterministic integer spread (Knuth multiplicative hash of
+    the feature id) standing in for trained values, which is what
+    makes the oracle exact: integer sums have no float order
+    sensitivity, and the single final division is IEEE-identical
+    everywhere. The logit is monotone in the sigmoid probability, so
+    thresholding it at 0 IS the p>0.5 decision without touching
+    libm exp() (whose last-ulp behavior differs across engines)."""
+    t = load_tables(spark, sf_dir)
+    w = spark.range(_QC_D).select(
+        F.col("id").alias("fid"),
+        ((F.col("id") * _QC_A) % _QC_M - _QC_SCALE).alias("wt"),
+    )
+    tok = t.documents.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("tk"),
+    )
+    feat = tok.select(
+        "doc_id", (F.expr(_FP_SPARK.format(w="tk")) % _QC_D).alias("fid")
+    )
+    s = feat.join(F.broadcast(w), "fid").groupBy("doc_id").agg(
+        F.sum("wt").alias("raw"), F.count(F.lit(1)).alias("n_feats")
+    )
+    return s.select(
+        "doc_id",
+        "n_feats",
+        F.round(
+            F.col("raw").cast("double")
+            / (F.col("n_feats").cast("double") * float(_QC_SCALE)),
+            6,
+        ).alias("logit"),
+        (F.col("raw") > 0).alias("keep"),
+    )
