@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakehouse_app_spark.operators.ann_index import ivf_index, lloyd_sql
+from lakehouse_app_spark.operators.dedup import spread
 from lakehouse_app_spark.operators.vectors import as_double_array, cosine_sim
 from lakehouse_app_spark.registry import query
 from lakehouse_app_spark.sources.tables import load_tables
@@ -222,8 +223,11 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine_sim(F.col("emb"), F.col("qv")), 6).alias("sim"),
         )
     )
+    # the exhaustive arm is |corpus|x|queries| of scoring off a
+    # one-partition parquet scan - round-robin it across cores first
+    # (measured 0.66 s -> 0.25 s at sf0.1)
     exact = score_rank(
-        t.embeddings.join(F.broadcast(qs)).select(
+        spread(t.embeddings).join(F.broadcast(qs)).select(
             "qid",
             "vec_id",
             F.round(cosine_sim(as_double_array("embedding"), F.col("qv")), 6).alias(
@@ -646,7 +650,7 @@ def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     exact = rank(
-        t.embeddings.join(F.broadcast(qs)).select(
+        spread(t.embeddings).join(F.broadcast(qs)).select(
             "qid",
             "vec_id",
             F.round(cosine_sim(as_double_array("embedding"), F.col("qv")), 6).alias(

@@ -172,9 +172,15 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     balanced hash aggregations regardless of corpus size. Thresholds
     compare unrounded doubles, identically derived in both engines
     from identical integer counts."""
+    from lakehouse_app_spark.operators.dedup import spread
+
     t = load_tables(spark, sf_dir)
     tk = F.split(F.col("text"), " ")
-    docs = t.documents.select("doc_id", tk.alias("tk"))
+    # the three n-gram arms each consume the tokenized corpus:
+    # round-robin it off the one-partition scan (parallel map work),
+    # tokenize once, and cache so the union's arms don't re-exchange
+    # and re-split the text three times
+    docs = scoped_persist(spread(t.documents).select("doc_id", tk.alias("tk")))
 
     def ngrams(n: int):
         if n == 1:
