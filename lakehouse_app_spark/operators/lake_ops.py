@@ -268,3 +268,78 @@ def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_suppkey").cast("bigint").alias("sk_lo"),
         F.max("l_suppkey").cast("bigint").alias("sk_hi"),
     )
+
+
+@query(
+    "q_incremental_agg",
+    oracle="""
+    WITH v2 AS (
+      SELECT o_custkey,
+             CASE WHEN o_orderstatus = 'P' THEN o_totalprice + 1000.0
+                  ELSE o_totalprice END AS p
+      FROM orders WHERE o_orderkey % 100 != 0
+    )
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(p * 10000) AS BIGINT)) AS DOUBLE) / 10000.0
+             AS total_spend
+    FROM v2 GROUP BY o_custkey
+    """,
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a per-customer (count, spend)
+    materialized aggregate is brought to the next table version by
+    applying the CDC delta — [[q_table_diff]]'s removed/changed rows
+    become signed per-customer adjustments merged into the stored
+    view, and the ORACLE recomputes the aggregate from the new state
+    from scratch, so the hash-match IS the delta-apply ≡ recompute
+    proof. This is the read-side payoff of CDC: at 100 TB the
+    refresh touches the delta (day-sized) and the view (key-sized) —
+    never the full fact history. Money sums use the signed variant
+    of [[q_agg_pricing]]'s scaled-BIGINT fixed point: every row
+    integerizes exactly once (after its mutation, matching the
+    oracle's rounding point), so subtracting an old row's integer on
+    removal cancels it bit-exactly."""
+    t = load_tables(spark, sf_dir)
+    to_i = lambda c: (c * 10000 + F.lit(0.5)).cast("long")  # noqa: E731
+    v1 = t.orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        to_i(F.col("o_totalprice")).alias("pi_old"),
+        to_i(
+            F.when(
+                F.col("o_orderstatus") == "P", F.col("o_totalprice") + 1000.0
+            ).otherwise(F.col("o_totalprice"))
+        ).alias("pi_new"),
+    )
+    # the stored materialized view over version 1
+    mv1 = v1.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n1"), F.sum("pi_old").alias("s1")
+    )
+    # CDC delta → signed per-customer adjustments (key-sized)
+    removed = v1.where(F.col("o_orderkey") % 100 == 0).select(
+        "o_custkey", F.lit(-1).alias("dn"), (-F.col("pi_old")).alias("ds")
+    )
+    changed = v1.where(
+        (F.col("o_orderkey") % 100 != 0) & (F.col("o_orderstatus") == "P")
+    ).select(
+        "o_custkey",
+        F.lit(0).alias("dn"),
+        (F.col("pi_new") - F.col("pi_old")).alias("ds"),
+    )
+    dagg = (
+        removed.unionByName(changed)
+        .groupBy("o_custkey")
+        .agg(F.sum("dn").alias("dn"), F.sum("ds").alias("ds"))
+    )
+    merged = mv1.join(dagg, "o_custkey", "left").select(
+        "o_custkey",
+        (F.col("n1") + F.coalesce(F.col("dn"), F.lit(0))).alias("n_orders"),
+        (F.col("s1") + F.coalesce(F.col("ds"), F.lit(0))).alias("si"),
+    )
+    return merged.where(F.col("n_orders") > 0).select(
+        "o_custkey",
+        "n_orders",
+        (F.col("si").cast("double") / 10000.0).alias("total_spend"),
+    )
