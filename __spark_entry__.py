@@ -95,7 +95,7 @@ _NEXT_UP = [
     "q_dedup_from_layout", "q_join_bucketed", "q_bpe_merges",
     "q_tpch_q9", "q_tpch_q12", "q_tpch_q16", "q_tpch_q20",
     "q_bpe_encode", "q_ann_ivfpq", "q_retrieval_ndcg",
-    "q_quality_classifier", "q_incremental_agg",
+    "q_quality_classifier", "q_incremental_agg", "q_approx_quantiles_audit",
 ]
 
 

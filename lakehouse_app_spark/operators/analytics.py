@@ -191,3 +191,39 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_discount", "l_tax"), 6).alias("disc_tax"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query("q_approx_quantiles_audit")  # rows-only: sketch is engine-private
+def q_approx_quantiles_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The percentile scale path, audited: approx_percentile's
+    bounded-memory QuantileSummaries sketch (the structure that
+    replaces q_percentile_disc's value-buffering aggregate at
+    billion-row groups) against the exact order statistics, emitting
+    the absolute error per (group, quantile). The sketch guarantees
+    rank error ≤ n/accuracy; the audit is how a deployment picks
+    `accuracy` — same pattern as the Bloom false-positive and
+    count-min overcount audits. Rows-only by design: sketch
+    internals never agree across engines."""
+    t = load_tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("_orders_aq")
+    return spark.sql(
+        """
+        WITH exact AS (
+          SELECT o_orderstatus,
+                 percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS e25,
+                 percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice) AS e50,
+                 percentile_disc(0.90) WITHIN GROUP (ORDER BY o_totalprice) AS e90
+          FROM _orders_aq GROUP BY o_orderstatus
+        ),
+        approx AS (
+          SELECT o_orderstatus,
+                 approx_percentile(o_totalprice, array(0.25, 0.5, 0.9), 1000) AS a
+          FROM _orders_aq GROUP BY o_orderstatus
+        )
+        SELECT e.o_orderstatus,
+               round(abs(a.a[0] - e.e25), 4) AS err_p25,
+               round(abs(a.a[1] - e.e50), 4) AS err_p50,
+               round(abs(a.a[2] - e.e90), 4) AS err_p90
+        FROM exact e JOIN approx a ON e.o_orderstatus = a.o_orderstatus
+        """
+    )
