@@ -696,3 +696,47 @@ def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mrr",
         )
     )
+
+
+@query(
+    "q_ivf_balance",
+    oracle=f"""
+    WITH {_IVF_CHAIN}
+    SELECT a.cid,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CAST(round(list_cosine_similarity(a.emb, c.cvec), 6)
+                         AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS sum_sim_over_n,
+           round(min(round(list_cosine_similarity(a.emb, c.cvec), 6)), 6)
+             AS min_sim
+    FROM {_IVF_ASG} a JOIN {_IVF_CENTS} c ON c.cid = a.cid
+    GROUP BY a.cid
+    """,
+)
+def q_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-health audit of the stored IVF layout: per-cluster
+    occupancy, mean member-to-centroid cosine (cohesion), and the
+    worst member — the metrics that tell an ANN deployment WHEN to
+    retrain or split clusters. Occupancy skew is partition skew:
+    a hot cluster makes every probe that touches it scan-heavy
+    (the IVF analog of the salted-join problem), and falling
+    cohesion means the codebook has drifted from the corpus. One
+    scan of the assignment table joined to the broadcast centroid
+    list, aggregated by cid; per-member sims are rounded then
+    decimal-summed so the mean is order-insensitive and
+    oracle-exact. At 100 TB this runs as the write-side observer of
+    index ingest, like the DQ gates."""
+    cents, assigned = ivf_index(spark, sf_dir, "ivf8", N_CENTROIDS, KM_ITERS)
+    sim = F.round(cosine_sim(F.col("emb"), F.col("cvec")), 6)
+    return (
+        assigned.join(F.broadcast(cents), "cid")
+        .select("cid", sim.alias("sim"))
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            (
+                F.sum(F.col("sim").cast("decimal(25,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("sum_sim_over_n"),
+            F.round(F.min("sim"), 6).alias("min_sim"),
+        )
+    )
