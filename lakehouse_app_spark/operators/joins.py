@@ -506,3 +506,49 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@query(
+    "q_join_asof_tolerance",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+           max(c.ts) AS last_click_ts
+    FROM p LEFT JOIN c
+      ON c.user_id = p.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL '30 minutes'
+    GROUP BY p.event_id, p.user_id, p.ts
+    """,
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance: each purchase gets the
+    user's latest prior click ONLY if it happened within the last 30
+    minutes — older matches are nulled, the semantics every
+    market-data / attribution as-of actually wants (a quote from
+    last week is not a usable quote). Same single-shuffle union +
+    running-last plan as [[q_join_asof]]; the tolerance is a pure
+    post-projection mask on the matched timestamp, so the bound
+    costs nothing. The oracle states the same thing declaratively
+    (max over the bounded interval): as-of's greatest-≤ match is in
+    the window iff any match is, so the two formulations agree
+    exactly."""
+    t = load_tables(spark, sf_dir)
+    purchases = t.events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts")
+    )
+    clicks = t.events.where(F.col("event_type") == "click").select("user_id", "ts")
+    out = asof_join(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
+        payload_alias="_last_click",
+    )
+    in_window = F.col("_last_click") >= F.col("ts") - F.expr("INTERVAL 30 MINUTES")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.when(in_window, F.col("_last_click")).alias("last_click_ts"),
+    )
