@@ -96,7 +96,7 @@ _NEXT_UP = [
     "q_tpch_q9", "q_tpch_q12", "q_tpch_q16", "q_tpch_q20",
     "q_bpe_encode", "q_ann_ivfpq", "q_retrieval_ndcg",
     "q_quality_classifier", "q_incremental_agg", "q_approx_quantiles_audit",
-    "q_ivf_balance", "q_join_asof_tolerance",
+    "q_ivf_balance", "q_join_asof_tolerance", "q_stream_vector_search",
 ]
 
 

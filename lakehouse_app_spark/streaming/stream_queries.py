@@ -685,3 +685,158 @@ def q_stream_state_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+# ------------------------------------------- streaming vector search
+
+_QVEC_DIRS: dict[str, str] = {}
+
+
+def _staged_query_vectors(spark: SparkSession, sf_dir: str) -> str:
+    """The audit query set (every 100th vector) staged as a parquet
+    directory so it can replay as a bounded stream of incoming
+    retrieval requests."""
+    if sf_dir not in _QVEC_DIRS:
+        d = tempfile.mkdtemp(prefix="qvecs_stream_")
+        (
+            load_tables(spark, sf_dir)
+            .embeddings.where(F.col("vec_id") % 100 == 1)
+            .select(F.col("vec_id").alias("qid"), "embedding")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+        _QVEC_DIRS[sf_dir] = d
+    return _QVEC_DIRS[sf_dir]
+
+
+def _stream_vs_oracle() -> str:
+    from lakehouse_app_spark.operators.ann import (
+        KM_ITERS,
+        N_CENTROIDS,
+        N_PROBE,
+        TOP_K,
+    )
+    from lakehouse_app_spark.operators.ann_index import lloyd_sql
+
+    chain, cents, asg = lloyd_sql(N_CENTROIDS, KM_ITERS)
+    return f"""
+    WITH {chain},
+    qs AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id % 100 = 1
+    ),
+    probed AS (
+      SELECT qid, cid FROM (
+        SELECT q.qid, c.cid,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY round(list_cosine_similarity(c.cvec, q.qv), 6) DESC,
+                          c.cid) AS rn
+        FROM qs q, {cents} c
+      ) WHERE rn <= {N_PROBE}
+    )
+    SELECT qid, vec_id, sim FROM (
+      SELECT p.qid, a.vec_id,
+             round(list_cosine_similarity(a.emb, q.qv), 6) AS sim,
+             row_number() OVER (PARTITION BY p.qid
+               ORDER BY round(list_cosine_similarity(a.emb, q.qv), 6) DESC,
+                        a.vec_id) AS rn
+      FROM {asg} a JOIN probed p ON a.cid = p.cid
+      JOIN qs q ON q.qid = p.qid
+    ) WHERE rn <= {TOP_K}
+    """
+
+
+@query("q_stream_vector_search", oracle=_stream_vs_oracle())
+def q_stream_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ACTUAL serving shape, as a stream: incoming
+    query vectors (`app/vector_search.py:29-33` — one RPC per chat
+    message) replay as a bounded stream, each micro-batch probes the
+    STORED learned-IVF layout and emits top-5 per query. Composition
+    of the tiers this engine already proves separately:
+
+    * probe ranking is a stateless projection — the broadcast packed
+      codebook + sorted-slice top-2 (index metadata rides with every
+      row, the coordinator step of a vector-search service);
+    * candidate scoring is a stream-static equi-join on ``cid``
+      against the cid-partitioned assignment table — the static side
+      re-plans per batch, so partition pruning applies batch by
+      batch;
+    * per-query top-5 is a streaming aggregation (sorted-slice over
+      collected (−sim, vec_id) structs — deterministic, rounded,
+      id tie-broken).
+
+    The DuckDB oracle is the BATCH formulation (the IVF arm of
+    [[q_ann_recall]] with sims) — stream/table duality for vector
+    retrieval. At scale this is the always-on retrieval service:
+    Kafka query stream in, top-k hits out; only the source line
+    changes."""
+    from lakehouse_app_spark.operators.ann import (
+        N_CENTROIDS,
+        KM_ITERS,
+        N_PROBE,
+        TOP_K,
+    )
+    from lakehouse_app_spark.operators.ann_index import ivf_index
+    from lakehouse_app_spark.operators.vectors import as_double_array, cosine_sim
+
+    cents, assigned = ivf_index(spark, sf_dir, "ivf8", N_CENTROIDS, KM_ITERS)
+    packed = cents.agg(
+        F.collect_list(F.struct(F.col("cid"), F.col("cvec"))).alias("cb")
+    ).withColumn("_k", F.lit(1))
+
+    qdir = _staged_query_vectors(spark, sf_dir)
+    qschema = spark.read.parquet(qdir).schema
+    qstream = (
+        spark.readStream.schema(qschema)
+        .parquet(qdir)
+        .select("qid", as_double_array("embedding").alias("qv"))
+        .withColumn("_k", F.lit(1))
+    )
+    ranked_probes = F.slice(
+        F.reverse(
+            F.array_sort(
+                F.transform(
+                    F.col("cb"),
+                    lambda c: F.struct(
+                        F.round(cosine_sim(F.col("qv"), c["cvec"]), 6).alias("s"),
+                        (-c["cid"]).alias("n"),
+                    ),
+                )
+            )
+        ),
+        1,
+        N_PROBE,
+    )
+    probes = (
+        qstream.join(F.broadcast(packed), "_k")
+        .select("qid", "qv", F.explode(ranked_probes).alias("p"))
+        .select("qid", "qv", (-F.col("p.n")).cast("int").alias("cid"))
+    )
+    scored = probes.join(assigned, "cid").select(
+        "qid",
+        "vec_id",
+        F.round(cosine_sim(F.col("emb"), F.col("qv")), 6).alias("sim"),
+    )
+    top = (
+        scored.groupBy("qid")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("sim")).alias("nsim"),
+                            F.col("vec_id").alias("v"),
+                            F.col("sim").alias("s"),
+                        )
+                    )
+                ),
+                1,
+                TOP_K,
+            ).alias("hits")
+        )
+    )
+    out = run_to_memory(top, "stream_vs", output_mode="complete")
+    return out.select("qid", F.explode("hits").alias("h")).select(
+        "qid", F.col("h.v").alias("vec_id"), F.col("h.s").alias("sim")
+    )
