@@ -84,7 +84,7 @@ _NEXT_UP = [
     "q_concurrency", "q_rolling_median", "q_fill_interp",
     "q_chunk_documents", "q_bigram_lm", "q_vocab_coverage", "q_bm25",
     "q_hybrid_retrieve", "q_contamination", "q_pmi_collocations",
-    "q_profile_table", "q_quantiles", "q_sample_stratified",
+    "q_quantiles", "q_sample_stratified",
     "q_sql_interface", "q_pagerank", "q_entropy_kl", "q_triangles",
     "q_recursive_cte", "q_variant_json", "q_lateral_topk", "q_regr_trend",
     "q_twa", "q_ohlc", "q_skyline", "q_markov_transitions",
@@ -97,6 +97,7 @@ _NEXT_UP = [
     "q_bpe_encode", "q_ann_ivfpq", "q_retrieval_ndcg",
     "q_quality_classifier", "q_incremental_agg", "q_approx_quantiles_audit",
     "q_ivf_balance", "q_join_asof_tolerance", "q_stream_vector_search",
+    "q_tpch_q2", "q_tpch_q11",
 ]
 
 

@@ -734,8 +734,9 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---- round-4: the remaining TPC-H shapes expressible on this schema
-# (q2/q11 are partsupp-central and the fixtures ship no partsupp table
-# — SURVEY.md §2's TPC-H tier is complete modulo that documented gap)
+# (q2/q11 are partsupp-central; they run over the DERIVED partsupp
+# below, closing the last TPC-H gap — all 22 shapes now declared,
+# with Q1 as q_agg_pricing)
 
 
 @query(
@@ -910,4 +911,210 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.supplier.join(F.broadcast(shipped), "s_suppkey", "left_semi")
         .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_name", "n_name")
+    )
+
+
+# ---- round-4b: q2/q11 over a DERIVED partsupp (closes the last gap)
+
+# The fixtures ship no partsupp, but dbgen's partsupp is not data —
+# it is a FORMULA over (part × 4 suppliers). This derivation keeps
+# the dbgen shape (suppkey striding so a part's suppliers spread
+# across the supplier table) adapted to the fixtures' 0-based keys
+# and with deterministic cost/qty functions of the keys, so BOTH
+# engines derive the identical relation and every partsupp-central
+# query becomes exact-oracle-checkable.
+_PS_SQL = """
+    psb AS (
+      SELECT p_partkey, g.i, sc.S,
+             (p_partkey + g.i * (sc.S // 4 + p_partkey // sc.S)) % sc.S
+               AS ps_suppkey
+      FROM part, (SELECT unnest(range(0, 4)) AS i) g,
+           (SELECT count(*) AS S FROM supplier) sc
+    ),
+    partsupp AS (
+      SELECT DISTINCT p_partkey AS ps_partkey, ps_suppkey,
+             (p_partkey * 13 + ps_suppkey * 17) % 9999 + 1 AS ps_availqty,
+             CAST((p_partkey * 31 + ps_suppkey * 7) % 90000 AS DOUBLE)
+               / 100.0 + 100.0 AS ps_supplycost
+      FROM psb
+    )
+"""
+
+
+def derived_partsupp(t) -> DataFrame:
+    """The Spark half of the partsupp derivation (see _PS_SQL):
+    part × 4 stride-spread suppliers, key-determined cost/qty,
+    DISTINCT because small supplier counts can make strides collide.
+    Build cost is one part-table pass; at scale this is an ingest
+    artifact like the IVF assignment."""
+    scnt = t.supplier.agg(F.count(F.lit(1)).alias("S"))
+    p, i, S = F.col("p_partkey"), F.col("i"), F.col("S")
+    base = (
+        t.part.select("p_partkey")
+        .crossJoin(F.broadcast(scnt))
+        .select(
+            "p_partkey",
+            "S",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"),
+        )
+        .select(
+            "p_partkey",
+            ((p + i * (F.expr("S div 4") + F.expr("p_partkey div S"))) % S)
+            .alias("ps_suppkey"),
+        )
+    )
+    return base.select(
+        F.col("p_partkey").alias("ps_partkey"),
+        "ps_suppkey",
+        ((p * 13 + F.col("ps_suppkey") * 17) % 9999 + 1).alias("ps_availqty"),
+        (
+            ((p * 31 + F.col("ps_suppkey") * 7) % 90000).cast("double") / 100.0
+            + 100.0
+        ).alias("ps_supplycost"),
+    ).distinct()
+
+
+@query(
+    "q_tpch_q2",
+    oracle=f"""
+    WITH {_PS_SQL},
+    eur AS (
+      SELECT s_suppkey, s_acctbal, s_name, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    cand AS (
+      SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_brand,
+             ps.ps_supplycost
+      FROM part p
+      JOIN partsupp ps ON p.p_partkey = ps.ps_partkey
+      JOIN eur e ON ps.ps_suppkey = e.s_suppkey
+      WHERE p.p_size BETWEEN 10 AND 20 AND p.p_type = 'STANDARD'
+    ),
+    minc AS (
+      SELECT p_partkey, min(ps_supplycost) AS mc FROM cand GROUP BY p_partkey
+    )
+    SELECT c.s_acctbal, c.s_name, c.n_name, c.p_partkey, c.p_brand,
+           c.ps_supplycost
+    FROM cand c JOIN minc m
+      ON c.p_partkey = m.p_partkey AND c.ps_supplycost = m.mc
+    ORDER BY c.s_acctbal DESC, c.n_name, c.s_name, c.p_partkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 minimum-cost-supplier shape over the derived partsupp: the
+    correlated min-subquery is decorrelated into a per-part min
+    aggregate joined back on (part, cost) — exactly Catalyst's own
+    RewriteCorrelatedScalarSubquery output, written explicitly so
+    both engines run the same decorrelated plan. Cost equality is
+    safe: supplycost is an exact 2-decimal double derived
+    identically from the keys in both engines. Region/nation/
+    supplier are broadcast dims; the only shuffles key on
+    p_partkey."""
+    t = load_tables(spark, sf_dir)
+    ps = derived_partsupp(t)
+    eur = (
+        t.supplier.join(
+            t.nation, F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(t.region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    cand = (
+        t.part.where(
+            F.col("p_size").between(10, 20) & (F.col("p_type") == "STANDARD")
+        )
+        .join(ps, F.col("p_partkey") == F.col("ps_partkey"))
+        .join(F.broadcast(eur), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            "ps_supplycost",
+        )
+    ).transform(scoped_persist)
+    minc = cand.groupBy(F.col("p_partkey").alias("mp")).agg(
+        F.min("ps_supplycost").alias("mc")
+    )
+    return (
+        cand.join(
+            F.broadcast(minc),
+            (F.col("p_partkey") == F.col("mp"))
+            & (F.col("ps_supplycost") == F.col("mc")),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            "ps_supplycost",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "q_tpch_q11",
+    oracle=f"""
+    WITH {_PS_SQL},
+    scoped AS (
+      SELECT ps_partkey,
+             CAST(round(ps_supplycost * ps_availqty * 10000) AS BIGINT)
+               AS vi
+      FROM partsupp
+      JOIN supplier ON ps_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = (SELECT min(n_name) FROM nation)
+    ),
+    per_part AS (
+      SELECT ps_partkey,
+             CAST(SUM(vi) AS DOUBLE) / 10000.0 AS part_value
+      FROM scoped GROUP BY ps_partkey
+    ),
+    tot AS (
+      SELECT CAST(SUM(vi) AS DOUBLE) / 10000.0 AS total_value FROM scoped
+    )
+    SELECT p.ps_partkey, p.part_value
+    FROM per_part p, tot
+    WHERE p.part_value > tot.total_value * 0.001
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 important-stock shape over the derived partsupp: one
+    nation's stock value per part, kept where it exceeds a fraction
+    of the nation's total — the grouped-aggregate vs scalar-subquery
+    HAVING pattern. Value sums use the scaled-BIGINT fixed point
+    ([[q_agg_pricing]]'s contract) so the HAVING boundary is
+    bit-identical in both engines; the scalar total is a broadcast
+    one-row join, and the nation scope makes supplier/nation
+    broadcast dims."""
+    t = load_tables(spark, sf_dir)
+    ps = derived_partsupp(t)
+    first_nation = t.nation.agg(F.min("n_name").alias("fn"))
+    sup_scope = (
+        t.supplier.join(
+            t.nation, F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(first_nation), F.col("n_name") == F.col("fn"))
+        .select("s_suppkey")
+    )
+    vi = (
+        (F.col("ps_supplycost") * F.col("ps_availqty") * 10000 + F.lit(0.5))
+        .cast("long")
+    )
+    scoped = ps.join(
+        F.broadcast(sup_scope), F.col("ps_suppkey") == F.col("s_suppkey")
+    ).select("ps_partkey", vi.alias("vi")).transform(scoped_persist)
+    per_part = scoped.groupBy("ps_partkey").agg(
+        (F.sum("vi").cast("double") / 10000.0).alias("part_value")
+    )
+    tot = scoped.agg(
+        (F.sum("vi").cast("double") / 10000.0).alias("total_value")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(tot))
+        .where(F.col("part_value") > F.col("total_value") * 0.001)
+        .select("ps_partkey", "part_value")
     )
