@@ -447,3 +447,61 @@ def test_bpe_encode_fertility_bounds(spark, sf_dir):
         SF.sum("n_bpe_tokens").alias("tok"), SF.sum("n_words").alias("w")
     ).first()
     assert agg["tok"] >= agg["w"]  # ≥ 1 token per word
+
+
+def test_asof_tolerance_masks_stale_matches(spark):
+    """Crafted timeline: a click 10 min before a purchase survives
+    the 30-min bound; a click 2 h before is masked to null even
+    though plain as-of would match it."""
+    from lakehouse_app_spark.operators.joins import asof_join
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(1, 10, "2024-01-01 12:00:00"), (2, 10, "2024-01-01 18:00:00")],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    right = spark.createDataFrame(
+        [(10, "2024-01-01 11:50:00"), (10, "2024-01-01 16:00:00")],
+        "user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = asof_join(
+        left, right, key="user_id", left_ts="ts", right_ts="ts",
+        payload_alias="m",
+    )
+    masked = out.select(
+        "event_id",
+        F.when(
+            F.col("m") >= F.col("ts") - F.expr("INTERVAL 30 MINUTES"),
+            F.col("m"),
+        ).alias("m"),
+    )
+    got = {r["event_id"]: r["m"] for r in masked.collect()}
+    assert got[1] is not None and str(got[1]).startswith("2024-01-01 11:50")
+    assert got[2] is None  # 16:00 click is 2 h stale for the 18:00 purchase
+
+
+def test_derived_partsupp_shape(spark, sf_dir):
+    """The dbgen-formula partsupp: suppkeys in range, ≤4 suppliers
+    per part, every part covered, derivation deterministic."""
+    from lakehouse_app_spark.operators.tpch import derived_partsupp
+    from lakehouse_app_spark.sources.tables import load_tables
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir)
+    ps = derived_partsupp(t)
+    n_sup = t.supplier.count()
+    n_part = t.part.count()
+    stats = ps.agg(
+        F.min("ps_suppkey").alias("lo"),
+        F.max("ps_suppkey").alias("hi"),
+        F.countDistinct("ps_partkey").alias("parts"),
+        F.max("ps_availqty").alias("maxq"),
+        F.min("ps_supplycost").alias("minc"),
+    ).first()
+    assert 0 <= stats["lo"] and stats["hi"] < n_sup
+    assert stats["parts"] == n_part
+    assert stats["maxq"] <= 9999 and stats["minc"] >= 100.0
+    per_part = ps.groupBy("ps_partkey").count()
+    assert per_part.agg(F.max("count")).first()[0] <= 4
+    # deterministic: two derivations are identical
+    assert derived_partsupp(t).exceptAll(ps).count() == 0
