@@ -436,8 +436,9 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     2. PQ-code the PROBED vectors only and score them by asymmetric
        distance — the query builds one 8×16 lookup table of subspace
        distances (broadcast), each candidate's approximate distance
-       is 8 table lookups summed decimal-exact, no full-dimension
-       math on the corpus side;
+       is 8 table lookups summed in the exact integer domain (6-dp
+       distances × 1e6 as longs) — coding + ADC run as ONE
+       scan-local projection, no shuffle between scan and shortlist;
     3. shortlist 3k candidates by approximate distance (TakeOrdered),
        exact-rerank the shortlist by cosine, return the top-5.
 
@@ -500,24 +501,64 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_double_array("embedding").alias("cvec"),
     )
     subc = explode_subs(pqc, "cvec", "csub")
-    subv = explode_subs(pv, "emb", "vsub")
-    w = Window.partitionBy("vec_id", "j").orderBy("dist", "cid")
-    codes = (
-        subv.join(F.broadcast(subc), "j")
-        .select("vec_id", "j", "cid", sqd(F.col("vsub"), F.col("csub")).alias("dist"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "j", "cid")
+    # Codebook and query ADC table packed into ONE broadcast row
+    # each: entries sorted by (j, cid); cids are 0..PQ_K-1 contiguous,
+    # so element_at(arr, idx + 1) IS the table lookup. Coding + ADC
+    # then run as a single scan-local projection over the probed
+    # partitions — no explode, no per-(vec, subspace) window shuffle,
+    # no rollup groupBy: the faiss-style ADC scan, expressed in
+    # Catalyst. Lookup sums stay in the INTEGER domain (each 6-dp
+    # subspace distance × 1e6 is an exact long) so the fold is
+    # order-insensitive and bit-identical to the oracle's
+    # DECIMAL(25,6) sum.
+    cbrow = (
+        subc.groupBy("j")
+        .agg(F.array_sort(F.collect_list(F.struct("cid", "csub"))).alias("e"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("j", "e"))).alias("cbj"))
     )
     qsub = explode_subs(qv, "qv", "qsubv")
-    lut = qsub.join(subc, "j").select(
-        "j", "cid", sqd(F.col("qsubv"), F.col("csub")).alias("ld")
+    lutrow = (
+        qsub.join(subc, "j")
+        .select(
+            "j",
+            "cid",
+            F.round(sqd(F.col("qsubv"), F.col("csub")) * 1000000.0)
+            .cast("long")
+            .alias("ld"),
+        )
+        .groupBy("j")
+        .agg(F.array_sort(F.collect_list(F.struct("cid", "ld"))).alias("lds"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("j", "lds"))).alias("lutj"))
+    )
+
+    def code_at(j):
+        vsub_j = F.slice(F.col("emb"), j * PQ_DSUB + 1, PQ_DSUB)
+        entries = F.element_at(F.col("cbj"), (j + F.lit(1)).cast("int"))["e"]
+        return F.array_min(
+            F.transform(
+                entries,
+                lambda c: F.struct(
+                    sqd(vsub_j, c["csub"]).alias("d"), c["cid"].alias("cid")
+                ),
+            )
+        )["cid"]
+
+    adist_int = F.aggregate(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + F.element_at(
+            F.element_at(F.col("lutj"), (j + F.lit(1)).cast("int"))["lds"],
+            (code_at(j) + F.lit(1)).cast("int"),
+        )["ld"],
     )
     adists = (
-        codes.join(F.broadcast(lut), ["j", "cid"])
-        .groupBy("vec_id")
-        .agg(
-            F.sum(F.col("ld").cast("decimal(25,6)")).cast("double").alias("adist")
+        pv.join(F.broadcast(cbrow))
+        .join(F.broadcast(lutrow))
+        .select(
+            "vec_id", (adist_int.cast("double") / 1000000.0).alias("adist")
         )
     )
     short = adists.orderBy("adist", "vec_id").limit(SHORTLIST)
