@@ -1,9 +1,10 @@
-"""TPC-H classic query shapes (Q3, Q4, Q5, Q6, Q7, Q8, Q10, Q13,
-Q14, Q15, Q17, Q18, Q19, Q21, Q22) adapted to the testdata star
-schema (no partsupp; no l_commitdate/l_shipmode/o_comment/
-p_container — Q2/Q9/Q11/Q12/Q16/Q20 need those relations/columns
-outright; Q13/Q17/Q21 swap the missing predicate column for an
-equivalent one, keeping the plan shape, as noted per query).
+"""TPC-H classic query shapes — all 22 declared (Q1 lives as
+q_agg_pricing in operators/aggregates.py) — adapted to the testdata
+star schema: no l_commitdate/l_shipmode/o_comment/p_container, so
+Q4/Q12/Q13/Q16/Q17/Q20/Q21 swap the missing predicate column for an
+equivalent one, keeping the plan shape (noted per query), and the
+partsupp-central Q2/Q11 run over the dbgen-formula-DERIVED partsupp
+at the bottom of this module.
 
 These pin the composed plans a warehouse lives on: selective dim
 filter → fact joins → aggregate → top-k (Q3), correlated EXISTS with
