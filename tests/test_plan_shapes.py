@@ -369,3 +369,31 @@ def test_ann_ivfpq_prunes_and_broadcasts_lut(spark, sf_dir):
     assert "layout_ivf8_assign" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_quality_classifier_weights_broadcast(spark, sf_dir):
+    """The model table must reach executors as a broadcast — if the
+    weight join shuffles the exploded feature rows by fid, the
+    'model as table' design loses its point."""
+    plan = formatted_plan(QUERIES["q_quality_classifier"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_tpch_q2_dims_broadcast_no_cartesian(spark, sf_dir):
+    """Q2 over the derived partsupp: supplier/nation/region dims and
+    the decorrelated per-part min must broadcast; the only shuffles
+    key on the part."""
+    plan = formatted_plan(QUERIES["q_tpch_q2"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ivfpq_adc_is_projection(spark, sf_dir):
+    """The rewritten ADC scoring phase must be scan-local: between
+    the assignment-table scan and the shortlist TakeOrdered there is
+    no exchange introduced by coding/scoring (no window, no
+    per-(vec, subspace) hashpartitioning)."""
+    plan = formatted_plan(QUERIES["q_ann_ivfpq"](spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert "hashpartitioning(vec_id" not in plan, plan
