@@ -47,6 +47,7 @@ def load_all_queries() -> None:
     import lakehouse_app_spark.operators.tpch  # noqa: F401
     import lakehouse_app_spark.operators.analytics  # noqa: F401
     import lakehouse_app_spark.operators.lake_ops  # noqa: F401
+    import lakehouse_app_spark.operators.pipeline_e2e  # noqa: F401
     import lakehouse_app_spark.operators.warehouse_ext  # noqa: F401
     import lakehouse_app_spark.operators.events_analytics  # noqa: F401
     import lakehouse_app_spark.operators.timeseries  # noqa: F401

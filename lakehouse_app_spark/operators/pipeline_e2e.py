@@ -1,0 +1,104 @@
+"""End-to-end corpus-preparation pipeline as ONE declarative plan.
+
+The reference assembles its per-session processing as a composed
+chain (`app/app.py:74-83` — branches piped into a single runnable);
+the engine analog is stage composition at the LOGICAL PLAN level:
+quality gate ([[q_corpus_gate]]) ∩ model-based filter
+([[q_quality_classifier]]) ∩ exact-dup representatives
+([[q_minhash_sig]]'s tier via ``rep_docs``) → deterministic split →
+per-split doc/token balance. Each stage stays an independent,
+separately-oracled operator; this module only JOINS their outputs,
+so Catalyst fuses the whole pipeline into one DAG — no temp tables,
+no materialization between stages.
+
+The oracle composes the very same stage SQL out of the registry
+(parenthesized-subquery nesting), so the composition itself — not
+just the stages — is hash-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_app_spark.operators import corpus_prep, quality  # noqa: F401
+from lakehouse_app_spark.operators.corpus_prep import q_corpus_gate
+from lakehouse_app_spark.operators.dedup import rep_docs, spread
+from lakehouse_app_spark.operators.quality import q_quality_classifier
+from lakehouse_app_spark.registry import ORACLES, query
+from lakehouse_app_spark.sources.tables import load_tables
+
+
+def _pipeline_oracle() -> str:
+    gate = ORACLES["q_corpus_gate"]
+    clf = ORACLES["q_quality_classifier"]
+    return f"""
+    WITH gatek AS (
+      SELECT doc_id FROM ({gate}) g WHERE g.keep
+    ),
+    clfk AS (
+      SELECT doc_id FROM ({clf}) c WHERE c.keep
+    ),
+    reps AS (
+      SELECT min(doc_id) AS doc_id FROM (
+        SELECT doc_id,
+               array_to_string(list_sort(list_distinct(
+                 string_split(text, ' '))), ' ') AS fp
+        FROM documents
+      ) GROUP BY fp
+    ),
+    kept AS (
+      SELECT d.doc_id,
+             len(string_split(d.text, ' ')) AS n_tok,
+             (CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                   AS UBIGINT) + 1) / 4294967297.0 AS u
+      FROM documents d
+      JOIN gatek USING (doc_id)
+      JOIN clfk USING (doc_id)
+      JOIN reps USING (doc_id)
+    )
+    SELECT CASE WHEN u < 0.8 THEN 'train'
+                WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM kept GROUP BY 1
+    """
+
+
+@query("q_corpus_pipeline", oracle=_pipeline_oracle())
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole preprocessing pipeline, one plan: rule gate ∩
+    linear-classifier filter ∩ exact-dedup representatives, then the
+    md5-deterministic 80/10/10 split and the per-split doc/token
+    balance a dataset release reports. Every stage is the SAME
+    operator a user runs standalone — composition is three
+    doc_id-keyed joins (the gate and classifier sides reduce to
+    doc_id lists, so nothing document-sized crosses a shuffle
+    twice), and Catalyst plans the whole chain as one DAG. At 100 TB
+    the stages run in this composed form for a one-shot build, or
+    stage-by-stage with stored intermediates when different teams
+    own different tiers — same operators either way."""
+    t = load_tables(spark, sf_dir)
+    gate_keep = q_corpus_gate(spark, sf_dir).where("keep").select("doc_id")
+    clf_keep = (
+        q_quality_classifier(spark, sf_dir).where("keep").select("doc_id")
+    )
+    reps = rep_docs(spread(t.documents)).select("doc_id")
+    hex8 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    u = (F.conv(hex8, 16, 10).cast("double") + 1) / F.lit(4294967297.0)
+    split = (
+        F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
+    )
+    kept = (
+        t.documents.join(gate_keep, "doc_id")
+        .join(clf_keep, "doc_id")
+        .join(reps, "doc_id")
+        .select(
+            split.alias("split"),
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+        )
+    )
+    return kept.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )
