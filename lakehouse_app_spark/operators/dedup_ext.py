@@ -363,34 +363,21 @@ def q_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     from lakehouse_app_spark.operators.dedup import spread, word_shingles
 
-    toks = word_shingles(3)
-    sig_cols = [
-        F.expr(
-            f"array_min(transform(toks, w -> "
-            f"({a} * {_FP_SPARK.format(w='w')} + {b}) % {_MH_P}))"
-        ).alias(f"mh{i}")
-        for i, (a, b) in enumerate(_MH_PARAMS)
-    ]
-    # the signature table feeds both sides of both band joins (4
-    # consumers) and the per-shingle char-fold fingerprint is the
-    # dominant map cost — persist so it runs once ([[q_dedup_minhash]]
-    # convention)
-    sig = (
-        spread(t.documents)
-        .select("doc_id", F.lower(F.col("text")).alias("text"))
-        .select("doc_id", toks.alias("toks"))
-        .where(F.size("toks") > 0)
-        .select("doc_id", "toks", *sig_cols)
-        .transform(scoped_persist)
-    )
+    # Candidates come from the STORED signature layout (16 bytes/doc,
+    # [[q_dedup_from_layout]]'s table — write-path integrity is
+    # hash-proven there), so the audit never re-hashes the corpus.
+    # Only the exact-Jaccard arm touches text, and only for the docs
+    # that actually appear in a candidate pair — the repo's own
+    # verify-candidates-only discipline applied to the audit itself
+    # (previously it re-shingled and re-hashed all documents: ~5 s of
+    # char-fold per run vs ~0.1% of docs actually audited).
+    sig = minhash_sig_table(spark, sf_dir)
     a = sig.select(
         F.col("doc_id").alias("a_id"),
-        F.col("toks").alias("a_toks"),
         *[F.col(f"mh{i}").alias(f"a_mh{i}") for i in range(4)],
     )
     b = sig.select(
         F.col("doc_id").alias("b_id"),
-        F.col("toks").alias("b_toks"),
         *[F.col(f"mh{i}").alias(f"b_mh{i}") for i in range(4)],
     )
     band1 = a.join(
@@ -405,7 +392,29 @@ def q_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("a_mh3") == F.col("b_mh3"))
         & (F.col("a_id") < F.col("b_id")),
     )
-    pairs = band1.unionAll(band2).dropDuplicates(["a_id", "b_id"])
+    pairs = scoped_persist(band1.unionAll(band2).dropDuplicates(["a_id", "b_id"]))
+    cand_ids = (
+        pairs.select(F.col("a_id").alias("doc_id"))
+        .unionAll(pairs.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    cand_toks = scoped_persist(
+        spread(t.documents)
+        .join(cand_ids, "doc_id", "left_semi")
+        .select("doc_id", F.lower(F.col("text")).alias("text"))
+        .select("doc_id", word_shingles(3).alias("toks"))
+    )
+    pairs = pairs.join(
+        cand_toks.select(
+            F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks")
+        ),
+        "a_id",
+    ).join(
+        cand_toks.select(
+            F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks")
+        ),
+        "b_id",
+    )
     est = (
         sum(
             F.when(F.col(f"a_mh{i}") == F.col(f"b_mh{i}"), 1).otherwise(0)
