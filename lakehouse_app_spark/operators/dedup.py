@@ -208,6 +208,28 @@ N_HASHES = 16
 BAND_SIZE = 4
 
 
+def minhash16_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-hash xxhash64 MinHash signatures as STORED LAYOUT
+    (doc_id, h0..h15 — 128 bytes/doc), built once per corpus over the
+    exact-dedup representatives: the ingest-time half of this dedup
+    tier, mirroring [[q_minhash_audit]]'s portable-signature table."""
+    from lakehouse_app_spark.sources.layout import derived_table
+
+    def build() -> DataFrame:
+        t = load_tables(spark, sf_dir)
+        toks = rep_docs(spread(t.documents)).select(
+            "doc_id", F.explode(word_shingles(3)).alias("token")
+        )
+        return toks.groupBy("doc_id").agg(
+            *[
+                F.min(F.xxhash64(F.lit(i), F.col("token"))).alias(f"h{i}")
+                for i in range(N_HASHES)
+            ]
+        )
+
+    return derived_table(spark, "mh16_sig", sf_dir, build)
+
+
 @query("q_dedup_minhash")  # rows-only: xxhash64 signatures aren't in DuckDB
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding near-dup detection, from scratch.
@@ -224,17 +246,10 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys, never document text.
     """
     t = load_tables(spark, sf_dir)
-    # shingles feed the signature pass AND three verification
-    # consumers (both join sides + sizes) — persist, don't re-explode
-    toks = rep_docs(spread(t.documents)).select(
-        "doc_id", F.explode(word_shingles(3)).alias("token")
-    ).transform(scoped_persist)
-    sig = toks.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("token"))).alias(f"h{i}")
-            for i in range(N_HASHES)
-        ]
-    )
+    # signatures come from the stored layout (built once per corpus);
+    # the query shuffles only (band, bucket) keys and re-shingles
+    # nothing but the docs that land in a candidate pair
+    sig = minhash16_sig_table(spark, sf_dir)
     bands = [
         sig.select(
             "doc_id",
@@ -253,8 +268,22 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
         .dropDuplicates()
+        .transform(scoped_persist)
     )
-    # verification: true token-set Jaccard on candidates only
+    # verification: true shingle-set Jaccard, re-shingling ONLY docs
+    # that appear in a candidate pair (candidates ⊆ reps by
+    # construction, so no rep filter is needed here)
+    cand_ids = (
+        cand.select(F.col("a_id").alias("doc_id"))
+        .unionAll(cand.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    toks = (
+        spread(t.documents)
+        .join(cand_ids, "doc_id", "left_semi")
+        .select("doc_id", F.explode(word_shingles(3)).alias("token"))
+        .transform(scoped_persist)
+    )
     ta = toks.select(F.col("doc_id").alias("a_id"), "token")
     tb = toks.select(F.col("doc_id").alias("b_id"), "token")
     inter = (
@@ -337,10 +366,17 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks ⇒ some 16-bit chunk collides exactly) — bucket equi-join
     on (chunk_id, chunk_value), then exact hamming via bit_count(xor).
     """
-    t = load_tables(spark, sf_dir)
-    # the signature table feeds both self-join sides — persist it or
-    # the whole shingle→vote pipeline executes twice
-    sh = simhash(rep_docs(spread(t.documents))).transform(scoped_persist)
+    from lakehouse_app_spark.sources.layout import derived_table
+
+    # signatures as STORED LAYOUT (doc_id, sh — 8 bytes/doc), built
+    # once per corpus over the exact-dedup representatives; the query
+    # itself reads 63-bit signatures and joins chunk buckets, and
+    # hamming verification needs no text at all
+    def build() -> DataFrame:
+        t = load_tables(spark, sf_dir)
+        return simhash(rep_docs(spread(t.documents)))
+
+    sh = derived_table(spark, "sh_sig", sf_dir, build)
     chunks = reduce(
         DataFrame.unionAll,
         [
