@@ -421,13 +421,24 @@ def q_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     as q_dedup_minhash)."""
     from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, Tokenizer
 
-    t = load_tables(spark, sf_dir)
-    docs = rep_docs(spread(t.documents))
-    tokenized = Tokenizer(inputCol="text", outputCol="words").transform(docs)
-    grams = NGram(n=3, inputCol="words", outputCol="grams").transform(tokenized)
-    tf = HashingTF(
-        inputCol="grams", outputCol="features", numFeatures=1 << 17, binary=True
-    ).transform(grams).transform(scoped_persist)
+    from lakehouse_app_spark.sources.layout import derived_table
+
+    # featurization (tokenize → trigram → 2^17-dim binary TF) is the
+    # per-run recompute; store it once per corpus like the other
+    # signature layouts (SparseVector round-trips through parquet)
+    def build() -> DataFrame:
+        t = load_tables(spark, sf_dir)
+        docs = rep_docs(spread(t.documents))
+        tokenized = Tokenizer(inputCol="text", outputCol="words").transform(docs)
+        grams = NGram(n=3, inputCol="words", outputCol="grams").transform(
+            tokenized
+        )
+        return HashingTF(
+            inputCol="grams", outputCol="features", numFeatures=1 << 17,
+            binary=True,
+        ).transform(grams).select("doc_id", "features")
+
+    tf = derived_table(spark, "lshtf", sf_dir, build)
     model = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=8, seed=42
     ).fit(tf)
