@@ -31,7 +31,7 @@ from lakehouse_app_spark.operators.corpus_prep import (
     _MH_P,
     _MH_PARAMS,
 )
-from lakehouse_app_spark.operators.vectors import as_double_array, cosine_sim
+from lakehouse_app_spark.operators.vectors import cosine_sim
 from lakehouse_app_spark.registry import query
 from lakehouse_app_spark.runtime_cache import scoped_persist
 from lakehouse_app_spark.sources.layout import derived_table
