@@ -781,3 +781,143 @@ def q_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("sim"), 6).alias("min_sim"),
         )
     )
+
+
+# ---------------------------------------- hyperplane (cosine) LSH
+
+HP_BITS = 16
+HP_BAND_BITS = 8
+HP_TAU = 0.35
+
+_HP_DOT = (
+    "list_reduce(list_prepend(0.0, list_transform(range(1, len(h) + 1), "
+    "i -> CAST(embedding[i] AS DOUBLE) * h[i])), (acc, x) -> acc + x)"
+)
+
+
+@query(
+    "q_ann_hyperplane",
+    oracle=f"""
+    WITH hp AS (
+      SELECT vec_id AS j, CAST(embedding AS DOUBLE[]) AS h
+      FROM embeddings WHERE vec_id < {HP_BITS}
+    ),
+    sk AS (
+      SELECT e.vec_id,
+             CAST(SUM(CASE WHEN round({_HP_DOT}, 6) >= 0
+                           THEN (1 << j) ELSE 0 END) AS BIGINT) AS sketch
+      FROM embeddings e, hp
+      GROUP BY e.vec_id
+    ),
+    b0 AS (SELECT vec_id, sketch & 255 AS v FROM sk),
+    b1 AS (SELECT vec_id, (sketch >> 8) & 255 AS v FROM sk),
+    cands AS (
+      SELECT DISTINCT a_id, b_id FROM (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM b0 a JOIN b0 b ON a.v = b.v AND a.vec_id < b.vec_id
+        UNION ALL
+        SELECT a.vec_id, b.vec_id
+        FROM b1 a JOIN b1 b ON a.v = b.v AND a.vec_id < b.vec_id
+      )
+    )
+    SELECT c.a_id, c.b_id,
+           round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                        CAST(eb.embedding AS DOUBLE[])), 6)
+             AS sim
+    FROM cands c
+    JOIN embeddings ea ON ea.vec_id = c.a_id
+    JOIN embeddings eb ON eb.vec_id = c.b_id
+    WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                       CAST(eb.embedding AS DOUBLE[])), 6)
+          >= {HP_TAU}
+    """,
+)
+def q_ann_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane (sign-of-dot) LSH for cosine similarity —
+    the classic Charikar sketch, hand-rolled so it is EXACT-oracle
+    (the MLlib variant q_ann_brp_lsh stays rows-only because its
+    hash tables are library-private). Each vector folds to a
+    {HP_BITS}-bit sketch (bit j = sign of its dot with hyperplane j;
+    hyperplanes are the first {HP_BITS} corpus vectors — the corpus
+    is zero-centered, so they are usable random directions, and both
+    engines can rebuild them), candidates come from two
+    {HP_BAND_BITS}-bit band-bucket equi-joins, and only candidates
+    pay the exact cosine (≥ {HP_TAU} kept). The sketch is a STORED
+    LAYOUT (8 bytes/doc) like the rest of the dedup tier; sketching
+    is one scan-local projection against the broadcast hyperplane
+    pack. P[bit collision] = 1 − θ/π per bit, so band width and bit
+    count tune recall exactly like MinHash bands — at 10⁹ vectors
+    you widen the sketch to ~64 bits and keep the same plan."""
+    from lakehouse_app_spark.sources.layout import derived_table
+
+    t = load_tables(spark, sf_dir)
+
+    def build() -> DataFrame:
+        hp = t.embeddings.where(F.col("vec_id") < HP_BITS).select(
+            F.col("vec_id").cast("int").alias("j"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(vec_id AS INT))"
+            ).alias("bitval"),
+            as_double_array("embedding").alias("h"),
+        )
+        packed = hp.agg(
+            F.array_sort(F.collect_list(F.struct("j", "bitval", "h"))).alias(
+                "hps"
+            )
+        )
+        from lakehouse_app_spark.operators.vectors import dot
+
+        sketch = F.aggregate(
+            F.col("hps"),
+            F.lit(0).cast("long"),
+            lambda acc, s: acc
+            + F.when(
+                F.round(dot(F.col("emb"), s["h"]), 6) >= 0, s["bitval"]
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        return (
+            spread(t.embeddings)
+            .select("vec_id", as_double_array("embedding").alias("emb"))
+            .join(F.broadcast(packed))
+            .select("vec_id", sketch.alias("sketch"))
+        )
+
+    sk = derived_table(spark, "hp_sketch", sf_dir, build)
+    mask = (1 << HP_BAND_BITS) - 1
+    bands = [
+        sk.select(
+            "vec_id",
+            F.lit(i).alias("band"),
+            F.shiftright(F.col("sketch"), i * HP_BAND_BITS)
+            .bitwiseAND(F.lit(mask))
+            .alias("v"),
+        )
+        for i in range(HP_BITS // HP_BAND_BITS)
+    ]
+    from functools import reduce
+
+    buckets = reduce(DataFrame.unionAll, bands)
+    a = buckets.select(F.col("vec_id").alias("a_id"), "band", "v")
+    b = buckets.select(F.col("vec_id").alias("b_id"), "band", "v")
+    cand = (
+        a.join(b, ["band", "v"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .dropDuplicates()
+    )
+    emb = t.embeddings.select(
+        "vec_id", as_double_array("embedding").alias("e")
+    )
+    sim = F.round(cosine_sim(F.col("ea"), F.col("eb")), 6)
+    return (
+        cand.join(
+            emb.select(F.col("vec_id").alias("a_id"), F.col("e").alias("ea")),
+            "a_id",
+        )
+        .join(
+            emb.select(F.col("vec_id").alias("b_id"), F.col("e").alias("eb")),
+            "b_id",
+        )
+        .where(sim >= HP_TAU)
+        .select("a_id", "b_id", sim.alias("sim"))
+    )
