@@ -905,19 +905,37 @@ def q_ann_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id")
         .dropDuplicates()
     )
+    from lakehouse_app_spark.operators.vectors import dot, l2_norm
+
+    # per-vector norms hoisted (the _sides pattern): each candidate
+    # pair costs ONE dot fold instead of three, and sim is computed
+    # once (filter reads the projected column). Arithmetic tree is
+    # identical to cosine_sim, so the oracle still matches.
     emb = t.embeddings.select(
-        "vec_id", as_double_array("embedding").alias("e")
+        "vec_id",
+        as_double_array("embedding").alias("e"),
+        l2_norm(as_double_array("embedding")).alias("nrm"),
     )
-    sim = F.round(cosine_sim(F.col("ea"), F.col("eb")), 6)
+    sim = F.round(
+        dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+    )
     return (
         cand.join(
-            emb.select(F.col("vec_id").alias("a_id"), F.col("e").alias("ea")),
+            emb.select(
+                F.col("vec_id").alias("a_id"),
+                F.col("e").alias("ea"),
+                F.col("nrm").alias("na"),
+            ),
             "a_id",
         )
         .join(
-            emb.select(F.col("vec_id").alias("b_id"), F.col("e").alias("eb")),
+            emb.select(
+                F.col("vec_id").alias("b_id"),
+                F.col("e").alias("eb"),
+                F.col("nrm").alias("nb"),
+            ),
             "b_id",
         )
-        .where(sim >= HP_TAU)
         .select("a_id", "b_id", sim.alias("sim"))
+        .where(F.col("sim") >= HP_TAU)
     )
