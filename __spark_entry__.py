@@ -97,7 +97,7 @@ _NEXT_UP = [
     "q_bpe_encode", "q_ann_ivfpq", "q_retrieval_ndcg",
     "q_quality_classifier", "q_incremental_agg", "q_approx_quantiles_audit",
     "q_ivf_balance", "q_join_asof_tolerance", "q_stream_vector_search",
-    "q_tpch_q2", "q_tpch_q11", "q_corpus_pipeline", "q_ann_hyperplane",
+    "q_tpch_q2", "q_tpch_q11", "q_corpus_pipeline", "q_ann_hyperplane", "q_json_ingest",
 ]
 
 

@@ -26,3 +26,42 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partition columns come back last and as read types; reorder to
     # the original column order for a stable schema
     return back.select(*result.columns)
+
+
+@query(
+    "q_json_ingest",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(length(text)) AS BIGINT) AS text_chars
+    FROM documents GROUP BY source
+    """,
+)
+def q_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON ingestion as a declared, driver-checked key (REF-R18:
+    `lakehouse_app_helpers.py:28-31` turns REST JSON into a table;
+    here the corpus round-trips through JSONL and is read back with
+    an EXPLICIT schema — schema-on-read, the production JSON path,
+    never inference). The oracle aggregates the ORIGINAL parquet
+    view, so the hash-match proves the JSON write+parse cycle is
+    lossless for every row — integer aggregates only, so the check
+    is exact by construction rather than format-dependent. At scale
+    this is the landing-zone pattern: JSONL arrives, an explicit
+    schema reads it, and the first aggregate validates the feed
+    against its upstream."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_app_spark.sources.tables import load_tables
+
+    t = load_tables(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="json_ingest_")
+    cols = ["doc_id", "source", "lang", "text"]
+    t.documents.select(*cols).coalesce(1).write.mode("overwrite").json(out)
+    schema = "doc_id long, source string, lang string, text string"
+    back = spark.read.schema(schema).json(out)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("id_sum"),
+        F.sum(F.length("text")).alias("text_chars"),
+    )
