@@ -40,7 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver's correctness gate samples the first 50 declared
 # queries. Rounds 2-3 drove 57 distinct keys green; per the round-3
 # verdict the window now ROTATES each round onto keys the driver has
-# never sampled, so the whole 174-query surface accumulates
+# never sampled, so the whole 195-query surface accumulates
 # driver-green coverage instead of re-checking a fixed showcase.
 # Round-4 window: 50 never-driver-sampled, exact-oracle keys spanning
 # scalar batteries / TPC-H / corpus-prep / streaming / SQL features /
