@@ -38,50 +38,47 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate samples the first 50 declared
-# queries. Rounds 2-3 drove 57 distinct keys green; per the round-3
-# verdict the window now ROTATES each round onto keys the driver has
-# never sampled, so the whole 195-query surface accumulates
-# driver-green coverage instead of re-checking a fixed showcase.
-# Round-4 window: 50 never-driver-sampled, exact-oracle keys spanning
-# scalar batteries / TPC-H / corpus-prep / streaming / SQL features /
-# time-series & data-quality.
+# queries. Rounds 2-4 drove 107 distinct keys green; per the round-3
+# verdict the window ROTATES each round onto keys the driver has
+# never sampled, so the whole query surface accumulates driver-green
+# coverage instead of re-checking a fixed showcase.
+# Round-5 window: 50 never-driver-sampled, exact-oracle keys, leading
+# with the round-4 additions the round-4 verdict called out, then the
+# rest of the never-sampled exact-oracle backlog.
 _SHOWCASE = [
-    # scalar function batteries
-    "q_string_funcs", "q_date_funcs", "q_math_funcs", "q_array_funcs",
-    "q_map_funcs", "q_try_funcs", "q_bitwise_hash_funcs", "q_array_setops",
-    # TPC-H shapes
-    "q_tpch_q3", "q_tpch_q4", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7",
-    "q_tpch_q8", "q_tpch_q10", "q_tpch_q13", "q_tpch_q14", "q_tpch_q15",
-    "q_tpch_q17", "q_tpch_q18", "q_tpch_q19", "q_tpch_q21", "q_tpch_q22",
-    # LLM corpus-prep pipeline
-    "q_corpus_gate", "q_perplexity", "q_train_split", "q_pack_batches",
-    "q_mix_weights", "q_url_parse", "q_pii_redact", "q_minhash_sig",
-    "q_url_dedup",
-    # structured streaming (batch-parity oracles)
-    "q_stream_tumbling", "q_stream_sliding", "q_stream_user_state",
-    "q_stream_topk",
-    # SQL surface / UDF forms
-    "q_pivot", "q_unpivot", "q_subquery_scalar", "q_union_by_name",
-    "q_null_semantics", "q_udtf_tokens", "q_udaf_grouped_agg",
-    "q_udaf_normalize",
-    # time-series & data-quality
-    "q_funnel", "q_cohort_retention", "q_ewma", "q_anomaly_zscore",
-    "q_dq_checks", "q_profile_table",
+    # round-4 additions, never driver-sampled (verdict r4 item 1)
+    "q_dedup_from_layout", "q_join_bucketed", "q_bpe_merges",
+    "q_bpe_encode", "q_ann_ivfpq", "q_retrieval_ndcg",
+    "q_quality_classifier", "q_incremental_agg",
+    "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q12",
+    "q_tpch_q16", "q_tpch_q20",
+    "q_corpus_pipeline", "q_ann_hyperplane", "q_json_ingest",
+    "q_stream_vector_search", "q_stream_session",
+    "q_ivf_balance", "q_join_asof_tolerance",
+    # ANN / retrieval backlog
+    "q_ann_recall", "q_pq_quantize", "q_context_pack", "q_mmr_diversify",
+    # multimodal plumbing
+    "q_multimodal_bytes", "q_media_frames",
+    # stats / profiling
+    "q_agg_stats", "q_window_dist", "q_percentile_disc", "q_corr_matrix",
+    "q_histogram", "q_agg_conditional",
+    # lake maintenance / CDC
+    "q_upsert", "q_table_diff", "q_dedup_clusters", "q_zorder_stats",
+    "q_scd2", "q_scd2_lookup", "q_dedup_keep_latest",
+    # sampling
+    "q_sample_hash", "q_sample_weighted",
+    # time-series / sessions
+    "q_sequence_gaps", "q_window_timerange", "q_attribution",
+    "q_rollup_hypertable", "q_date_spine", "q_concurrency",
+    # fuzzy + stream-static
+    "q_fuzzy_match", "q_stream_static_join",
 ]
 
-# Remaining never-driver-sampled exact-oracle keys declare right after
-# the window so round-5's rotation (and any driver over-sampling)
-# reaches them next.
+# Remaining never-driver-sampled keys declare right after the window
+# so round-6's rotation (and any driver over-sampling) reaches them
+# next; rows-only keys trail the exact-oracle ones.
 _NEXT_UP = [
-    "q_context_pack", "q_mmr_diversify", "q_ann_recall", "q_pq_quantize",
-    "q_multimodal_bytes", "q_media_frames", "q_agg_stats", "q_window_dist",
-    "q_fuzzy_match", "q_stream_static_join", "q_percentile_disc",
-    "q_corr_matrix", "q_upsert", "q_table_diff", "q_dedup_clusters",
-    "q_zorder_stats", "q_scd2", "q_sample_hash", "q_histogram",
-    "q_agg_conditional", "q_sample_weighted", "q_dedup_keep_latest",
-    "q_sequence_gaps", "q_scd2_lookup", "q_window_timerange",
-    "q_attribution", "q_rollup_hypertable", "q_date_spine",
-    "q_concurrency", "q_rolling_median", "q_fill_interp",
+    "q_rolling_median", "q_fill_interp",
     "q_chunk_documents", "q_bigram_lm", "q_vocab_coverage", "q_bm25",
     "q_hybrid_retrieve", "q_contamination", "q_pmi_collocations",
     "q_quantiles", "q_sample_stratified",
@@ -89,15 +86,11 @@ _NEXT_UP = [
     "q_recursive_cte", "q_variant_json", "q_lateral_topk", "q_regr_trend",
     "q_twa", "q_ohlc", "q_skyline", "q_markov_transitions",
     "q_mode_per_group", "q_autocorr", "q_skew_stats", "q_dataset_card",
-    "q_join_bloom_prune", "q_stream_session", "q_stream_join",
+    "q_join_bloom_prune", "q_stream_join",
     "q_stream_dedup", "q_stream_join_outer",
-    # round-4 additions (never driver-sampled yet)
-    "q_dedup_from_layout", "q_join_bucketed", "q_bpe_merges",
-    "q_tpch_q9", "q_tpch_q12", "q_tpch_q16", "q_tpch_q20",
-    "q_bpe_encode", "q_ann_ivfpq", "q_retrieval_ndcg",
-    "q_quality_classifier", "q_incremental_agg", "q_approx_quantiles_audit",
-    "q_ivf_balance", "q_join_asof_tolerance", "q_stream_vector_search",
-    "q_tpch_q2", "q_tpch_q11", "q_corpus_pipeline", "q_ann_hyperplane", "q_json_ingest",
+    # never-sampled rows-only keys
+    "q_dedup_minhash", "q_dedup_simhash", "q_neardup_lsh", "q_ann_brp_lsh",
+    "q_sink_roundtrip", "q_approx_quantiles_audit", "q_stream_foreach_sink",
 ]
 
 
