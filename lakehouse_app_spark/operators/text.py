@@ -264,6 +264,8 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     the inverted-index statistics pass of corpus analytics. The log
     argument is an exact integer ratio on both engines, so rounded
     scores match; ranking orders by the rounded score (§5.3 rule 2).
+    N (corpus size) folds in as a broadcast single-row aggregate —
+    one plan, no driver-side action.
     """
     t = load_tables(spark, sf_dir)
     from pyspark.sql import Window
@@ -276,13 +278,14 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = t.documents.count()
+    n_docs = t.documents.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
         .groupBy("lang", "term")
         .agg(
             F.round(
-                F.sum(F.col("tf") * F.log(F.lit(n_docs) / F.col("df"))), 6
+                F.sum(F.col("tf") * F.log(F.col("n_docs") / F.col("df"))), 6
             ).alias("tfidf")
         )
     )

@@ -14,8 +14,14 @@ from pyspark.sql import DataFrame
 
 
 def formatted_plan(df: DataFrame) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
+    # Wrap in a no-op projection (collapsed by the optimizer) so the
+    # explain always renders the *initial* physical plan: the shared
+    # prepared-plan DataFrame may already have executed, and explain
+    # on an executed AQE plan shows the final adaptive rewrite
+    # (ShuffleQueryStage/AQEShuffleRead) instead of the shape under test.
+    fresh = df.select("*")
+    return fresh._sc._jvm.PythonSQLUtils.explainString(
+        fresh._jdf.queryExecution(), "formatted"
     )
 
 

@@ -145,19 +145,25 @@ def zorder_key(x, y, bits: int = 16):
 # ------------------------------------------------------------ time travel
 
 
-def write_snapshot(df: DataFrame, path: str, note: str = "") -> int:
+def write_snapshot(
+    df: DataFrame, path: str, note: str = "", fmt: str = "parquet"
+) -> int:
     """Append an immutable versioned snapshot of ``df`` under
     ``path`` and return the new version number.
 
-    A minimal Delta/Iceberg-style commit protocol over plain
-    parquet (neither library ships in this environment; the storage
-    layer stays behind these helpers so a real table format can slot
-    in): data lands in ``v=<n>/`` first, then a one-line manifest
-    ``_v<n>.json`` is written LAST — readers only trust versions
-    with a manifest, so a crashed writer leaves garbage data files
-    but never a readable half-commit (the manifest write is the
-    atomic commit point, exactly Delta's `_delta_log` trick). Each
-    snapshot is a full copy (simplest correct semantics; an
+    A minimal Delta/Iceberg-style commit protocol over a pluggable
+    file format (delta-spark/iceberg don't ship in this environment;
+    the storage layer stays behind these helpers so a real table
+    format can slot in): data lands in ``v=<n>/`` first, then a
+    one-line manifest ``_v<n>.json`` is written LAST — readers only
+    trust versions with a manifest, so a crashed writer leaves
+    garbage data files but never a readable half-commit (the
+    manifest write is the atomic commit point, exactly Delta's
+    `_delta_log` trick). The manifest records ``fmt``, so one table's
+    history may mix formats and time travel still resolves each
+    version's codec — proving the format switch is a real seam, not
+    a dead parameter (tests/test_sources.py pins parquet↔ORC parity).
+    Each snapshot is a full copy (simplest correct semantics; an
     incremental layout would store deltas + compaction like
     [[compact_table]]).
     """
@@ -174,8 +180,8 @@ def write_snapshot(df: DataFrame, path: str, note: str = "") -> int:
         default=-1,
     )
     data_dir = _os.path.join(path, f"v={version}")
-    df.write.mode("errorifexists").parquet(data_dir)
-    manifest = {"version": version, "note": note, "rows": None}
+    df.write.mode("errorifexists").format(fmt).save(data_dir)
+    manifest = {"version": version, "note": note, "rows": None, "format": fmt}
     with open(_os.path.join(path, f"_v{version}.json"), "w") as fh:
         fh.write(_json.dumps(manifest))
     return version
@@ -186,7 +192,10 @@ def read_snapshot(
 ) -> DataFrame:
     """Time-travel read: the given committed version, or the latest
     one when ``version`` is None. Uncommitted ``v=*`` directories
-    (no manifest) are invisible."""
+    (no manifest) are invisible. The data format comes from the
+    version's own manifest (pre-format manifests default to
+    parquet), so mixed-format histories read transparently."""
+    import json as _json
     import os as _os
 
     committed = sorted(
@@ -200,7 +209,9 @@ def read_snapshot(
         version = committed[-1]
     if version not in committed:
         raise FileNotFoundError(f"version {version} not committed in {path}")
-    return spark.read.parquet(_os.path.join(path, f"v={version}"))
+    with open(_os.path.join(path, f"_v{version}.json")) as fh:
+        fmt = _json.loads(fh.read()).get("format", "parquet")
+    return spark.read.format(fmt).load(_os.path.join(path, f"v={version}"))
 
 
 def expire_snapshots(

@@ -332,6 +332,32 @@ def test_snapshot_time_travel(spark, sf_dir, tmp_path):
         read_snapshot(spark, path, 2)
 
 
+def test_snapshot_format_switch_parity(spark, sf_dir, tmp_path):
+    """The versioned layer's ``fmt`` switch is a real seam (the slot
+    where Delta/Iceberg plug in at deployment): the SAME table
+    committed under parquet and under ORC — even mixed within one
+    history — time-travels to identical results, because each
+    manifest records its version's format and the reader honors it."""
+    from lakehouse_app_spark.sources.sinks import (
+        read_snapshot,
+        snapshot_history,
+        write_snapshot,
+    )
+
+    t = load_tables(spark, sf_dir)
+    src = t.nation.select("n_nationkey", "n_name", "n_regionkey")
+    path = str(tmp_path / "nation_mixed_fmt")
+    v_parquet = write_snapshot(src, path, "parquet commit", fmt="parquet")
+    v_orc = write_snapshot(src, path, "orc commit", fmt="orc")
+
+    a = sorted(map(tuple, read_snapshot(spark, path, v_parquet).collect()))
+    b = sorted(map(tuple, read_snapshot(spark, path, v_orc).collect()))
+    assert a == b and len(a) == src.count()
+    got_schema = read_snapshot(spark, path, v_orc).schema
+    assert got_schema == read_snapshot(spark, path, v_parquet).schema
+    assert [h["format"] for h in snapshot_history(path)] == ["parquet", "orc"]
+
+
 def test_copy_on_write_delete_update_and_dq_gate(spark, sf_dir, tmp_path):
     """DELETE/UPDATE as copy-on-write snapshot commits (old versions
     remain for time travel) and the write-time DQ gate aborting a bad

@@ -288,6 +288,11 @@ def test_stream_state_v2_gated_or_green(spark, sf_dir):
 
         assert "q_stream_state_v2" not in QUERIES
         pytest.skip("protobuf absent: transformWithState unavailable here")
+    # protobuf present: the gate must have REGISTERED the query so an
+    # environment upgrade instantly drives it through the oracle too.
+    from lakehouse_app_spark.registry import QUERIES as _Q
+
+    assert "q_stream_state_v2" in _Q
     from lakehouse_app_spark.streaming.stream_queries import q_stream_state_v2
 
     got = {
