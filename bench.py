@@ -67,6 +67,21 @@ def main() -> None:
     eng.load_tables(spark, SF_DIR)
     spark.sql("SELECT count(*) FROM lineitem").collect()
 
+    # Scheduling-floor probe: a no-op query (1 row, 1 task, nothing to
+    # compute) measures the fixed per-query cost of local-mode job
+    # submission — Py4J command, DAG scheduling, task launch, commit.
+    # This cost is constant in data volume (amortizes to noise on a
+    # real cluster at real scale) but is paid by every one of the ~200
+    # sub-second bench queries here, so the recorded JSON carries it
+    # for the (total − floor) decomposition in BASELINE.md.
+    noop_df = spark.range(1)
+    floor_samples = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        noop_df.write.mode("overwrite").format("noop").save()
+        floor_samples.append(time.perf_counter() - t0)
+    floor_per_query = sorted(floor_samples)[len(floor_samples) // 2]
+
     per_query: dict[str, float] = {}
     for name in sorted(eng.QUERIES):
         try:
@@ -84,6 +99,7 @@ def main() -> None:
         "sf": _sf_from_dir(SF_DIR),
         "n_queries": len(per_query),
         "n_failed": sum(1 for v in per_query.values() if v < 0),
+        "floor_per_query_sec": round(floor_per_query, 4),
     }
 
     if RUN_DUCKDB:
@@ -126,6 +142,7 @@ def main() -> None:
         "sf": full["sf"],
         "n_queries": full["n_queries"],
         "n_failed": full["n_failed"],
+        "floor_per_query_sec": full["floor_per_query_sec"],
     }
     if RUN_DUCKDB:
         compact["duckdb_total"] = full["duckdb_total"]
