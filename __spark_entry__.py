@@ -78,6 +78,8 @@ _SHOWCASE = [
 # so round-6's rotation (and any driver over-sampling) reaches them
 # next; rows-only keys trail the exact-oracle ones.
 _NEXT_UP = [
+    # round-5 additions (never driver-sampled yet)
+    "q_ngram_containment", "q_embed_project", "q_arrow_batch_norm",
     "q_rolling_median", "q_fill_interp",
     "q_chunk_documents", "q_bigram_lm", "q_vocab_coverage", "q_bm25",
     "q_hybrid_retrieve", "q_contamination", "q_pmi_collocations",

@@ -550,3 +550,87 @@ def q_dedup_from_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "a_id", "b_id", F.round(est, 6).alias("est_jaccard")
     )
+
+
+# --------------------------------------------- directed containment
+
+CONTAIN_DF_CAP = 20
+CONTAIN_MIN = 0.5
+
+
+@query(
+    "q_ngram_containment",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    sh_all AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(tk) - 1),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+      FROM toks WHERE len(tk) >= 3
+    ),
+    sh AS (
+      SELECT doc_id, s FROM sh_all
+      WHERE s IN (SELECT s FROM sh_all GROUP BY s
+                  HAVING count(*) <= {CONTAIN_DF_CAP})
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS inner_id, b.doc_id AS outer_id, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT inner_id, outer_id, round(i / sa.n, 6) AS containment
+    FROM inter
+    JOIN sz sa ON sa.doc_id = inner_id
+    WHERE i / sa.n >= {CONTAIN_MIN}
+    """,
+)
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED near-superset detection: containment
+    C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| over discriminative word
+    trigrams — the dedup signal symmetric Jaccard cannot see. A short
+    document fully quoted inside a long one scores Jaccard
+    ≈ |A|/|B| → 0 (so [[q_ngram_jaccard]] never flags it) but
+    containment 1.0; pretraining pipelines drop or down-weight the
+    contained side specifically (quote-expansion, boilerplate-wrap
+    and doc-in-doc contamination all look like this).
+
+    Same inverted-index shape as [[q_ngram_jaccard]] — DF-capped
+    posting lists (cap {CONTAIN_DF_CAP}: join cost bounded by cap²
+    per shingle), one shared persisted shingle scan feeding sizes and
+    both join sides, one hash aggregate for intersections — but the
+    pair predicate is ``<>`` not ``<`` (containment is asymmetric:
+    both directions are produced and thresholded independently) and
+    the denominator is ONLY the inner side's shingle count. At
+    100 TB this stays a hash-partitioned equi-join on the shingle;
+    no all-pairs term anywhere.
+    """
+    from lakehouse_app_spark.operators.dedup import spread, word_shingles
+
+    t = load_tables(spark, sf_dir)
+    sh_all = spread(t.documents).select(
+        "doc_id", F.explode(word_shingles(3)).alias("s")
+    )
+    rare = (
+        sh_all.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= CONTAIN_DF_CAP)
+        .select("s")
+    )
+    sh = sh_all.join(F.broadcast(rare), "s").transform(scoped_persist)
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("inner_id"), "s")
+    b = sh.select(F.col("doc_id").alias("outer_id"), "s")
+    inter = (
+        a.join(b, ["s"])
+        .where(F.col("inner_id") != F.col("outer_id"))
+        .groupBy("inner_id", "outer_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    na = sz.select(F.col("doc_id").alias("inner_id"), F.col("n").alias("na"))
+    c = F.col("i") / F.col("na")
+    return (
+        inter.join(na, "inner_id")
+        .where(c >= CONTAIN_MIN)
+        .select("inner_id", "outer_id", F.round(c, 6).alias("containment"))
+    )

@@ -595,3 +595,133 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(MMR_CANDIDATES)
     )
     return mmr_select(cands, MMR_K)
+
+
+# ------------------------------------------ random-projection reduce
+
+PROJ_IN_DIMS = 64
+PROJ_OUT_DIMS = 8
+
+
+def _proj_oracle() -> str:
+    dims = ",\n           ".join(
+        f"round(list_reduce(list_prepend(0.0, list_transform(range(0, {PROJ_IN_DIMS}), "
+        f"i -> CAST(embedding[i + 1] AS DOUBLE) * (((i * 31 + {j} * 17) % 7) - 3))), "
+        f"(a, x) -> a + x), 6) AS p{j}"
+        for j in range(PROJ_OUT_DIMS)
+    )
+    return f"SELECT vec_id,\n           {dims}\n    FROM embeddings"
+
+
+@query("q_embed_project", oracle=_proj_oracle())
+def q_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse random projection 64→8
+    (Achlioptas-style integer matrix): the embedding-compression pass
+    a 100 TB vector corpus runs before coarse clustering or transport
+    — 8× narrower rows, distances preserved in expectation
+    (Johnson–Lindenstrauss). The projection matrix is CLOSED-FORM
+    (M[i][j] = ((i·31 + j·17) mod 7) − 3 ∈ [−3, 3]), so both engines
+    derive identical coefficients from the formula and nothing is
+    shipped or collected — at scale the matrix never exists as data,
+    only as an expression.
+
+    Pure Catalyst: one sequential fold per output dim inside
+    whole-stage codegen (same L→R order as DuckDB's list_reduce with
+    a 0.0 prepend, so doubles match bit-for-bit before the 6-dp
+    round). No UDF, no shuffle — scan-local, column-pruned to
+    (vec_id, embedding)."""
+    t = load_tables(spark, sf_dir)
+    emb = as_double_array("embedding")
+    cols = [
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    emb,
+                    F.sequence(F.lit(0), F.lit(PROJ_IN_DIMS - 1)),
+                    lambda x, i: x
+                    * ((i * 31 + j * 17) % 7 - 3).cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        ).alias(f"p{j}")
+        for j in range(PROJ_OUT_DIMS)
+    ]
+    return t.embeddings.select("vec_id", *cols)
+
+
+# ----------------------------------------------- Arrow-native batch op
+
+ARROW_NORM_SCHEMA = (
+    "vec_id long, n_dims int, l2_norm double, v_max double"
+)
+
+
+def arrow_norm_batches(batches):
+    """pyarrow.RecordBatch → RecordBatch: per-vector L2 norm, dim
+    count, and max component, computed columnar-native (no pandas
+    materialization). The squared terms accumulate with a SEQUENTIAL
+    left-to-right cumulative sum so the fold order — and therefore
+    the 6-dp-rounded result — is identical to DuckDB's list_reduce
+    and Spark's F.aggregate."""
+    import numpy as np
+    import pyarrow as pa
+
+    for batch in batches:
+        col = batch.column("embedding")
+        if isinstance(col, pa.ChunkedArray):  # pragma: no cover
+            col = col.combine_chunks()
+        lengths = np.diff(col.offsets.to_numpy(zero_copy_only=False))
+        vals = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(lengths)
+        width = int(lengths[0]) if n else 0
+        assert n == 0 or (lengths == width).all(), "ragged embedding batch"
+        if n:
+            m = vals.reshape(n, width)
+            sq = np.cumsum(m * m, axis=1)  # sequential L->R accumulation
+            norms = np.round(np.sqrt(sq[:, -1]), 6)
+            vmax = m.max(axis=1)
+        else:
+            norms = vmax = np.zeros(0)
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column("vec_id"),
+                pa.array(lengths.astype("int32"), pa.int32()),
+                pa.array(norms, pa.float64()),
+                pa.array(vmax, pa.float64()),
+            ],
+            names=["vec_id", "n_dims", "l2_norm", "v_max"],
+        )
+
+
+@query(
+    "q_arrow_batch_norm",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS n_dims,
+           round(sqrt(list_reduce(list_prepend(0.0,
+                 list_transform(embedding, x ->
+                   CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                 (a, v) -> a + v)), 6) AS l2_norm,
+           CAST(list_max(embedding) AS DOUBLE) AS v_max
+    FROM embeddings
+    """,
+)
+def q_arrow_batch_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` surface: the one Python-batch API the engine
+    hadn't pinned (pandas_udf / applyInPandas / mapInPandas /
+    applyInPandasWithState / UDTF are covered elsewhere). Embedding
+    batches stay Arrow end-to-end — the list column's flat values
+    buffer is reshaped zero-copy into an (n, 64) ndarray, no pandas
+    object materialization — which is the right substrate for
+    columnar vector math over binary/tensor columns at 100 TB
+    (SURVEY.md multimodal mandate). Projection is pruned to
+    (vec_id, embedding) BEFORE the Python exchange so only 260
+    bytes/row cross Arrow. Norms use a sequential cumulative sum:
+    fold order matches DuckDB's list_reduce, so values hash-match
+    exactly at 6 dp."""
+    t = load_tables(spark, sf_dir)
+    return t.embeddings.select("vec_id", "embedding").mapInArrow(
+        arrow_norm_batches, ARROW_NORM_SCHEMA
+    )

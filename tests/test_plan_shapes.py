@@ -397,3 +397,30 @@ def test_ivfpq_adc_is_projection(spark, sf_dir):
     plan = formatted_plan(QUERIES["q_ann_ivfpq"](spark, sf_dir))
     assert "Window" not in plan, plan
     assert "hashpartitioning(vec_id" not in plan, plan
+
+
+def test_embed_project_is_scan_local(spark, sf_dir):
+    """The random-projection reduce must be a shuffle-free scan-local
+    projection, column-pruned to (vec_id, embedding) — the matrix is
+    an expression, never data."""
+    plan = formatted_plan(QUERIES["q_embed_project"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "struct<vec_id:bigint,embedding:array<float>>" in plan, plan
+
+
+def test_arrow_norm_projects_before_python_exchange(spark, sf_dir):
+    """mapInArrow must sit directly on the pruned parquet scan: only
+    (vec_id, embedding) cross the Arrow boundary, no shuffle, no
+    extra columns shipped to Python."""
+    plan = formatted_plan(QUERIES["q_arrow_batch_norm"](spark, sf_dir))
+    assert "MapInArrow" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "struct<vec_id:bigint,embedding:array<float>>" in plan, plan
+
+
+def test_containment_is_inverted_index_join(spark, sf_dir):
+    """Directed containment must plan as shingle equi-joins (inverted
+    index), never a cartesian/nested-loop pair enumeration."""
+    plan = formatted_plan(QUERIES["q_ngram_containment"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
