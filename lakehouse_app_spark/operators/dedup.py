@@ -95,6 +95,38 @@ def word_shingles(n: int = 3) -> Column:
     )
 
 
+SHINGLE_DF_CAP = 20
+
+
+def shingle_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DF-capped word-trigram inverted index (doc_id, s) as a
+    STORED LAYOUT, built once per corpus: the posting-list half of
+    every shingle-overlap dedup tier ([[q_ngram_jaccard]] symmetric
+    overlap, [[q_ngram_containment]] directed overlap). The DF cap
+    (≤ {cap}) is applied at build time — it is a property of the
+    index, not of any one query — so consumers shuffle only
+    (shingle, doc_id) keys and never re-shingle or re-count document
+    frequency. At 100 TB this is the ingest-time inverted index every
+    text pipeline stores; rebuilding it per query would re-pay the
+    corpus tokenization on every dedup pass.""".format(cap=SHINGLE_DF_CAP)
+    from lakehouse_app_spark.sources.layout import derived_table
+
+    def build() -> DataFrame:
+        t = load_tables(spark, sf_dir)
+        sh_all = spread(t.documents).select(
+            "doc_id", F.explode(word_shingles(3)).alias("s")
+        )
+        rare = (
+            sh_all.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= SHINGLE_DF_CAP)
+            .select("s")
+        )
+        return sh_all.join(F.broadcast(rare), "s").select("doc_id", "s")
+
+    return derived_table(spark, "sh3_df20", sf_dir, build)
+
+
 # ---------------------------------------------------------------- exact
 
 
@@ -169,19 +201,11 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus contributes O(corpus²) candidate pairs and no
     discriminative signal; dropping it bounds each posting list, so
     join cost is ≤ cap² per shingle. Jaccard is computed over retained
-    shingles on both engines (identical semantics).
+    shingles on both engines (identical semantics). The posting list
+    itself is the STORED :func:`shingle_postings` layout — the query
+    reads (doc_id, s) rows and never touches document text.
     """
-    t = load_tables(spark, sf_dir)
-    sh_all = spread(t.documents).select("doc_id", F.explode(word_shingles(3)).alias("s"))
-    rare = (
-        sh_all.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") <= 20)
-        .select("s")
-    )
-    # the capped posting list feeds three consumers (sizes + both join
-    # sides); persist so the explode+cap runs once, not three times
-    sh = sh_all.join(F.broadcast(rare), "s").transform(scoped_persist)
+    sh = shingle_postings(spark, sf_dir).transform(scoped_persist)
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("a_id"), "s")
     b = sh.select(F.col("doc_id").alias("b_id"), "s")

@@ -554,7 +554,8 @@ def q_dedup_from_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------- directed containment
 
-CONTAIN_DF_CAP = 20
+from lakehouse_app_spark.operators.dedup import SHINGLE_DF_CAP as CONTAIN_DF_CAP  # noqa: E402,E501 — oracle must quote the stored layout's own cap
+
 CONTAIN_MIN = 0.5
 
 
@@ -595,42 +596,54 @@ def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     contained side specifically (quote-expansion, boilerplate-wrap
     and doc-in-doc contamination all look like this).
 
-    Same inverted-index shape as [[q_ngram_jaccard]] — DF-capped
-    posting lists (cap {CONTAIN_DF_CAP}: join cost bounded by cap²
-    per shingle), one shared persisted shingle scan feeding sizes and
-    both join sides, one hash aggregate for intersections — but the
-    pair predicate is ``<>`` not ``<`` (containment is asymmetric:
-    both directions are produced and thresholded independently) and
-    the denominator is ONLY the inner side's shingle count. At
+    Same inverted-index shape as [[q_ngram_jaccard]], reading the
+    same STORED :func:`shingle_postings` layout (DF cap is an index
+    property; join cost bounded by cap² per shingle). Though
+    containment is asymmetric, the intersection is NOT: the join
+    enumerates each unordered pair once (``<``, half the pairs and
+    half the aggregate of the naive ``<>`` formulation) and both
+    directions expand from the one aggregated row via a single
+    explode — a union of two projections would re-run the whole
+    pipeline per branch — each against its own denominator. At
     100 TB this stays a hash-partitioned equi-join on the shingle;
-    no all-pairs term anywhere.
+    no all-pairs term anywhere, no document text touched.
     """
-    from lakehouse_app_spark.operators.dedup import spread, word_shingles
+    from lakehouse_app_spark.operators.dedup import shingle_postings
 
-    t = load_tables(spark, sf_dir)
-    sh_all = spread(t.documents).select(
-        "doc_id", F.explode(word_shingles(3)).alias("s")
-    )
-    rare = (
-        sh_all.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") <= CONTAIN_DF_CAP)
-        .select("s")
-    )
-    sh = sh_all.join(F.broadcast(rare), "s").transform(scoped_persist)
+    sh = shingle_postings(spark, sf_dir).transform(scoped_persist)
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("inner_id"), "s")
-    b = sh.select(F.col("doc_id").alias("outer_id"), "s")
+    a = sh.select(F.col("doc_id").alias("a_id"), "s")
+    b = sh.select(F.col("doc_id").alias("b_id"), "s")
     inter = (
         a.join(b, ["s"])
-        .where(F.col("inner_id") != F.col("outer_id"))
-        .groupBy("inner_id", "outer_id")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).alias("i"))
     )
-    na = sz.select(F.col("doc_id").alias("inner_id"), F.col("n").alias("na"))
-    c = F.col("i") / F.col("na")
-    return (
-        inter.join(na, "inner_id")
-        .where(c >= CONTAIN_MIN)
-        .select("inner_id", "outer_id", F.round(c, 6).alias("containment"))
+    na = sz.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    nb = sz.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    sized = inter.join(na, "a_id").join(nb, "b_id")
+    # both directions leave ONE aggregated row via a single explode —
+    # a union of two projections would re-run the whole inverted-index
+    # pipeline once per branch
+    both = sized.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("a_id").alias("inner_id"),
+                    F.col("b_id").alias("outer_id"),
+                    (F.col("i") / F.col("na")).alias("c"),
+                ),
+                F.struct(
+                    F.col("b_id").alias("inner_id"),
+                    F.col("a_id").alias("outer_id"),
+                    (F.col("i") / F.col("nb")).alias("c"),
+                ),
+            )
+        ).alias("d")
+    )
+    return both.where(F.col("d.c") >= CONTAIN_MIN).select(
+        F.col("d.inner_id").alias("inner_id"),
+        F.col("d.outer_id").alias("outer_id"),
+        F.round("d.c", 6).alias("containment"),
     )
