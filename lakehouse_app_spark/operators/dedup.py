@@ -103,12 +103,12 @@ def shingle_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     STORED LAYOUT, built once per corpus: the posting-list half of
     every shingle-overlap dedup tier ([[q_ngram_jaccard]] symmetric
     overlap, [[q_ngram_containment]] directed overlap). The DF cap
-    (≤ {cap}) is applied at build time — it is a property of the
-    index, not of any one query — so consumers shuffle only
-    (shingle, doc_id) keys and never re-shingle or re-count document
-    frequency. At 100 TB this is the ingest-time inverted index every
-    text pipeline stores; rebuilding it per query would re-pay the
-    corpus tokenization on every dedup pass.""".format(cap=SHINGLE_DF_CAP)
+    (``df <= SHINGLE_DF_CAP``, 20) is applied at build time — it is a
+    property of the index, not of any one query — so consumers
+    shuffle only (shingle, doc_id) keys and never re-shingle or
+    re-count document frequency. At 100 TB this is the ingest-time
+    inverted index every text pipeline stores; rebuilding it per
+    query would re-pay the corpus tokenization on every dedup pass."""
     from lakehouse_app_spark.sources.layout import derived_table
 
     def build() -> DataFrame:
@@ -229,7 +229,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- minhash
 
 N_HASHES = 16
-BAND_SIZE = 4
+BAND_SIZE = 2
 
 
 def minhash16_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,13 +254,45 @@ def minhash16_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return derived_table(spark, "mh16_sig", sf_dir, build)
 
 
-@query("q_dedup_minhash")  # rows-only: xxhash64 signatures aren't in DuckDB
+@query(
+    "q_dedup_minhash",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')
+               AS fp
+      FROM documents
+    ),
+    reps AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
+    toks AS (
+      SELECT d.doc_id, string_split(d.text, ' ') AS tk
+      FROM documents d JOIN reps r ON d.doc_id = r.doc_id
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(tk) - 1),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+      FROM toks WHERE len(tk) >= 3
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a_id, b_id, round(i / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = a_id
+    JOIN sz sb ON sb.doc_id = b_id
+    WHERE i / (sa.n + sb.n - i) >= 0.5
+    """,
+)
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding near-dup detection, from scratch.
 
     Two-tier: exact-dedup representatives (rep_docs) → word-trigram
     shingles → 16 seeded xxhash64 minima (one grouped pass, no 16×
-    explode) → 4 bands of 4 → band-bucket equi-join → verified
+    explode) → 8 bands of 2 → band-bucket equi-join → verified
     shingle-Jaccard ≥ 0.5. Shingles, not unigram token sets: on a
     small vocabulary every token set overlaps every other (~0.8
     Jaccard between unrelated docs), so unigram MinHash buckets
@@ -268,6 +300,18 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc. Deterministic given the fixed seeds. At 100 TB: signatures
     are 16 longs/doc; the bucket join shuffles only (band, hash)
     keys, never document text.
+
+    Oracle upgrade (round-6 verdict item 5): verification computes
+    TRUE Jaccard, so output ⊆ {rep pairs with J ≥ 0.5} always; the
+    8×2 banding's miss probability at this corpus's similarity
+    profile (pairs sit at J ≈ 0.9 and 1.0; P(miss | J=0.9) ≈ 2e-6,
+    J=1 pairs collide in every band by identity) makes detection
+    COMPLETE here — verified empirically at sf0.01 and sf0.1 — so
+    the declared result equals the exact J ≥ 0.5 pair set and the
+    oracle recomputes that set from raw text. The exact comparison
+    is therefore a 100%-recall audit: any banding/bucketing bug or
+    recall regression breaks the hash match instead of hiding in a
+    rows-only count.
     """
     t = load_tables(spark, sf_dir)
     # signatures come from the stored layout (built once per corpus);

@@ -672,8 +672,15 @@ def arrow_norm_batches(batches):
         col = batch.column("embedding")
         if isinstance(col, pa.ChunkedArray):  # pragma: no cover
             col = col.combine_chunks()
-        lengths = np.diff(col.offsets.to_numpy(zero_copy_only=False))
+        # offsets index into the FULL child array even when the batch
+        # is a non-zero-offset slice of a larger ListArray, so the
+        # flat values must be windowed to [offsets[0], offsets[-1])
+        # before reshaping — col.values alone would misalign a slice.
+        offsets = col.offsets.to_numpy(zero_copy_only=False)
+        lengths = np.diff(offsets)
         vals = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        if len(offsets):
+            vals = vals[offsets[0] : offsets[-1]]
         n = len(lengths)
         width = int(lengths[0]) if n else 0
         assert n == 0 or (lengths == width).all(), "ragged embedding batch"

@@ -40,11 +40,27 @@ _SCOPED: list[DataFrame] = []
 # Spark jobs. Builders that do real work at build time — streaming
 # replays, index training collects, iterative convergence loops,
 # write-path round-trips — are detected via the DAGScheduler job
-# counter and never cached, so repeated calls re-run their work and
-# timings stay end-to-end.
+# counter and never cached HERE, so repeated calls re-enter the
+# builder. The guard covers only the returned plan: layout builds
+# (sources/layout.py _BUILT) and the shared interval-join stream
+# replay (_INTERVAL_SINKS) are separately memoized BY DESIGN as
+# ingest-time / topology-level work, so an uncached builder's repeat
+# timing can still exclude those one-time costs.
 # ---------------------------------------------------------------------------
 
-_PLANS: dict[tuple[int, str, str], DataFrame] = {}
+_PLANS: dict[tuple[object, str, str], DataFrame] = {}
+
+
+def session_key(spark: Any) -> object:
+    """Stable identity for a live SparkSession. id(spark) can be
+    recycled by the allocator after a stopped session is collected,
+    which would replay plans bound to a dead JVM; the (applicationId,
+    startTime) pair is unique per SparkContext lifetime."""
+    try:
+        sc = spark.sparkContext
+        return (sc.applicationId, sc.startTime)
+    except Exception:
+        return id(spark)
 
 
 def _jobs_scheduled(spark: Any) -> int | None:
@@ -64,7 +80,7 @@ def prepared_plan(
 ) -> DataFrame:
     """Return the cached plan for (session, sf_dir, name), building —
     and caching only if the build was pure plan construction — on miss."""
-    key = (id(spark), sf_dir, name)
+    key = (session_key(spark), sf_dir, name)
     hit = _PLANS.get(key)
     if hit is not None:
         return hit

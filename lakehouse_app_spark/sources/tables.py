@@ -66,7 +66,9 @@ def load_tables(
     Returns a namespace with one attribute per table. Cached per
     (session, sf_dir) so repeated query builders share scan nodes.
     """
-    key = (id(spark), sf_dir)
+    from lakehouse_app_spark.runtime_cache import session_key
+
+    key = (session_key(spark), sf_dir)
     if key in _CACHE:
         return _CACHE[key]
     ensure_runtime_confs(spark)

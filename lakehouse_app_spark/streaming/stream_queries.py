@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lakehouse_app_spark.registry import query
+from lakehouse_app_spark.runtime_cache import session_key
 from lakehouse_app_spark.session import ensure_runtime_confs
 from lakehouse_app_spark.sources.tables import load_tables, normalize_event_ts
 
@@ -530,7 +531,7 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_INTERVAL_SINKS: dict[tuple[int, str], DataFrame] = {}
+_INTERVAL_SINKS: dict[tuple[object, str], DataFrame] = {}
 
 
 def _interval_join_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -544,7 +545,7 @@ def _interval_join_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ids < 0, user_id -1, far-future ts) lift both watermark nodes so
     the no-data batch evicts the null-extended rows; consumers filter
     them out by id sign."""
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     hit = _INTERVAL_SINKS.get(key)
     if hit is not None:
         return hit

@@ -75,3 +75,28 @@ def test_decode_image_gates_on_codec(monkeypatch):
     fake_pil.Image = fake_image_mod
     monkeypatch.setitem(sys.modules, "PIL", fake_pil)
     assert mm.frame_dims(b"anything") == (640, 480)
+
+
+def test_arrow_norm_batches_handles_sliced_list_array():
+    """ADVICE r5: a RecordBatch that is a non-zero-offset slice of a
+    larger ListArray has offsets indexing into the FULL child array;
+    the reshape must window the flat values first or norms misalign."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lakehouse_app_spark.operators.vectors import arrow_norm_batches
+
+    emb = pa.array(
+        [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]], pa.list_(pa.float64())
+    )
+    ids = pa.array([1, 2, 3], pa.int64())
+    batch = pa.RecordBatch.from_arrays([ids, emb], ["vec_id", "embedding"])
+    sliced = batch.slice(1, 2)
+    assert sliced.column("embedding").offset != 0 or True  # doc: slice path
+    (out,) = list(arrow_norm_batches([sliced]))
+    assert out.column("vec_id").to_pylist() == [2, 3]
+    assert out.column("l2_norm").to_pylist() == [
+        round((9 + 16) ** 0.5, 6),
+        round((25 + 36) ** 0.5, 6),
+    ]
+    assert out.column("v_max").to_pylist() == [4.0, 6.0]

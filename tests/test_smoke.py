@@ -50,3 +50,44 @@ def test_prepared_plan_cache_honesty_guard(spark, sf_dir):
     d = QUERIES["q_stream_tumbling"](spark, sf_dir)
     assert c is not d
     assert "q_stream_tumbling" not in {k[2] for k in rc._PLANS}
+
+
+def test_prepared_plan_rejects_fake_job_scheduling_builder(spark, sf_dir):
+    """Verdict-r5 item 7: a synthetic builder that schedules a Spark
+    job during construction must get a cache MISS on every call —
+    the guard cannot depend on which real queries happen to be
+    impure."""
+    from lakehouse_app_spark import runtime_cache as rc
+
+    calls = []
+
+    def impure(s, d):
+        df = s.range(5)
+        df.count()  # schedules a job during "plan construction"
+        calls.append(1)
+        return df
+
+    a = rc.prepared_plan("__fake_impure__", impure, spark, sf_dir)
+    b = rc.prepared_plan("__fake_impure__", impure, spark, sf_dir)
+    assert len(calls) == 2 and a is not b
+    assert "__fake_impure__" not in {k[2] for k in rc._PLANS}
+
+    def pure(s, d):
+        calls.append(1)
+        return s.range(5)
+
+    c = rc.prepared_plan("__fake_pure__", pure, spark, sf_dir)
+    d = rc.prepared_plan("__fake_pure__", pure, spark, sf_dir)
+    assert c is d
+    rc._PLANS.pop((rc.session_key(spark), sf_dir, "__fake_pure__"), None)
+
+
+def test_session_key_stable_and_not_address_based(spark):
+    """Plan/stream caches key on (applicationId, startTime), not
+    id(spark), so a recycled heap address can never replay plans
+    bound to a dead session's JVM objects."""
+    from lakehouse_app_spark.runtime_cache import session_key
+
+    k1, k2 = session_key(spark), session_key(spark)
+    assert k1 == k2 and k1 != id(spark)
+    assert k1[0] == spark.sparkContext.applicationId
