@@ -59,6 +59,67 @@ def time_duckdb(con, sql: str) -> float:
     return round(best, 4)
 
 
+def _measure_stream_floor(spark, runs: int = 5) -> tuple[float, float]:
+    """(stateless, stateful) medians of a minimal 1-row availableNow
+    stream into a memory sink. Stateless = passthrough append (bare
+    micro-batch machinery). Stateful = watermark + windowed count in
+    append mode, which adds the state store, the shuffle, and the
+    no-data eviction batch — the fixed startup cost of every
+    stateful streaming query here, measured on a stream whose DATA
+    is one row."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_app_spark.streaming.stream_queries import _checkpoint_root
+
+    src = tempfile.mkdtemp(prefix="stream_floor_src_", dir=_checkpoint_root())
+    spark.range(1).select(
+        F.col("id"), F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts")
+    ).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def once(i: int, stateful: bool) -> float:
+        raw = spark.readStream.schema(schema).parquet(src)
+        if stateful:
+            df = (
+                raw.withWatermark("ts", "1 minute")
+                .groupBy(F.window("ts", "1 hour"))
+                .count()
+            )
+        else:
+            df = raw
+        name = f"_floor_probe_{'s' if stateful else 'p'}_{i}"
+        # match run_to_memory's production topology (2 state-store
+        # partitions) so the probe measures OUR streams' floor, not a
+        # 32-store worst case
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        t0 = time.perf_counter()
+        try:
+            q = (
+                df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .option(
+                    "checkpointLocation",
+                    tempfile.mkdtemp(prefix="ckpt_floor_", dir=_checkpoint_root()),
+                )
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        dt = time.perf_counter() - t0
+        spark.catalog.dropTempView(name)
+        return dt
+
+    plain = sorted(once(i, False) for i in range(runs))
+    stateful = sorted(once(i, True) for i in range(runs))
+    return plain[len(plain) // 2], stateful[len(stateful) // 2]
+
+
 def main() -> None:
     eng.load_all_queries()
     spark = eng.get_spark(app_name="lakehouse-app-spark-bench")
@@ -82,6 +143,15 @@ def main() -> None:
         floor_samples.append(time.perf_counter() - t0)
     floor_per_query = sorted(floor_samples)[len(floor_samples) // 2]
 
+    # Streaming-floor probe (round-5 verdict item 4): a minimal
+    # 1-row availableNow file stream into a memory sink measures the
+    # API-mandated per-stream startup (checkpoint dir, state-store
+    # init, micro-batch planner, replay bookkeeping) that every
+    # streaming query pays regardless of data volume. The recorded
+    # value decomposes the streaming family's residual the same way
+    # floor_per_query_sec decomposes the batch tail.
+    stream_floor, stream_floor_stateful = _measure_stream_floor(spark)
+
     per_query: dict[str, float] = {}
     for name in sorted(eng.QUERIES):
         try:
@@ -100,6 +170,8 @@ def main() -> None:
         "n_queries": len(per_query),
         "n_failed": sum(1 for v in per_query.values() if v < 0),
         "floor_per_query_sec": round(floor_per_query, 4),
+        "stream_floor_per_query_sec": round(stream_floor, 4),
+        "stream_floor_stateful_sec": round(stream_floor_stateful, 4),
     }
 
     if RUN_DUCKDB:
@@ -143,6 +215,8 @@ def main() -> None:
         "n_queries": full["n_queries"],
         "n_failed": full["n_failed"],
         "floor_per_query_sec": full["floor_per_query_sec"],
+        "stream_floor_per_query_sec": full["stream_floor_per_query_sec"],
+        "stream_floor_stateful_sec": full["stream_floor_stateful_sec"],
     }
     if RUN_DUCKDB:
         compact["duckdb_total"] = full["duckdb_total"]

@@ -216,7 +216,10 @@ def q_approx_quantiles_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     into an oracle-checkable integer: for each group it counts how
     many of the three sketch values satisfy their rank bound
     (tie-robust: the value's rank interval [count(<v)+1, count(≤v)]
-    must intersect [q·n − n/acc, q·n + n/acc]). Alongside it emits
+    must intersect [q·n − n/acc − 1, q·n + n/acc + 1]; the ±1 rank
+    of slack absorbs the sketch's target-rank convention and makes
+    the bound meaningful at any n — without it, n < accuracy makes
+    the window narrower than one rank). Alongside it emits
     the EXACT percentiles (plain order statistics, engine-neutral).
     DuckDB recomputes the exact percentiles and asserts the literal
     3 — a violated sketch guarantee or a broken percentile path
@@ -226,41 +229,41 @@ def q_approx_quantiles_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.orders.createOrReplaceTempView("_orders_aq")
     return spark.sql(
         """
-        WITH exact AS (
+        WITH ea AS (
           SELECT o_orderstatus,
                  percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS e25,
                  percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice) AS e50,
-                 percentile_disc(0.90) WITHIN GROUP (ORDER BY o_totalprice) AS e90
-          FROM _orders_aq GROUP BY o_orderstatus
-        ),
-        approx AS (
-          SELECT o_orderstatus,
+                 percentile_disc(0.90) WITHIN GROUP (ORDER BY o_totalprice) AS e90,
                  approx_percentile(o_totalprice, array(0.25, 0.5, 0.9), 1000) AS a
           FROM _orders_aq GROUP BY o_orderstatus
         ),
         ranks AS (
+          -- one re-scan of orders against the broadcast 3-row ea;
+          -- per-group constants ride through first()
           SELECT o.o_orderstatus,
                  count(*) AS n,
-                 SUM(CASE WHEN o.o_totalprice <  a.a[0] THEN 1 ELSE 0 END) AS lt25,
-                 SUM(CASE WHEN o.o_totalprice <= a.a[0] THEN 1 ELSE 0 END) AS le25,
-                 SUM(CASE WHEN o.o_totalprice <  a.a[1] THEN 1 ELSE 0 END) AS lt50,
-                 SUM(CASE WHEN o.o_totalprice <= a.a[1] THEN 1 ELSE 0 END) AS le50,
-                 SUM(CASE WHEN o.o_totalprice <  a.a[2] THEN 1 ELSE 0 END) AS lt90,
-                 SUM(CASE WHEN o.o_totalprice <= a.a[2] THEN 1 ELSE 0 END) AS le90
-          FROM _orders_aq o JOIN approx a ON o.o_orderstatus = a.o_orderstatus
+                 first(ea.e25) AS e25, first(ea.e50) AS e50,
+                 first(ea.e90) AS e90,
+                 SUM(CASE WHEN o.o_totalprice <  ea.a[0] THEN 1 ELSE 0 END) AS lt25,
+                 SUM(CASE WHEN o.o_totalprice <= ea.a[0] THEN 1 ELSE 0 END) AS le25,
+                 SUM(CASE WHEN o.o_totalprice <  ea.a[1] THEN 1 ELSE 0 END) AS lt50,
+                 SUM(CASE WHEN o.o_totalprice <= ea.a[1] THEN 1 ELSE 0 END) AS le50,
+                 SUM(CASE WHEN o.o_totalprice <  ea.a[2] THEN 1 ELSE 0 END) AS lt90,
+                 SUM(CASE WHEN o.o_totalprice <= ea.a[2] THEN 1 ELSE 0 END) AS le90
+          FROM _orders_aq o JOIN ea ON o.o_orderstatus = ea.o_orderstatus
           GROUP BY o.o_orderstatus
         )
-        SELECT e.o_orderstatus, e.e25, e.e50, e.e90,
+        SELECT o_orderstatus, e25, e50, e90,
                CAST(
-                 (CASE WHEN r.lt25 + 1 <= 0.25 * r.n + r.n / 1000.0
-                        AND r.le25      >= 0.25 * r.n - r.n / 1000.0
+                 (CASE WHEN lt25 + 1 <= 0.25 * n + n / 1000.0 + 1
+                        AND le25      >= 0.25 * n - n / 1000.0 - 1
                        THEN 1 ELSE 0 END)
-               + (CASE WHEN r.lt50 + 1 <= 0.50 * r.n + r.n / 1000.0
-                        AND r.le50      >= 0.50 * r.n - r.n / 1000.0
+               + (CASE WHEN lt50 + 1 <= 0.50 * n + n / 1000.0 + 1
+                        AND le50      >= 0.50 * n - n / 1000.0 - 1
                        THEN 1 ELSE 0 END)
-               + (CASE WHEN r.lt90 + 1 <= 0.90 * r.n + r.n / 1000.0
-                        AND r.le90      >= 0.90 * r.n - r.n / 1000.0
+               + (CASE WHEN lt90 + 1 <= 0.90 * n + n / 1000.0 + 1
+                        AND le90      >= 0.90 * n - n / 1000.0 - 1
                        THEN 1 ELSE 0 END) AS INT) AS n_within_rank_bound
-        FROM exact e JOIN ranks r ON e.o_orderstatus = r.o_orderstatus
+        FROM ranks
         """
     )

@@ -884,19 +884,17 @@ def q_ann_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sk = derived_table(spark, "hp_sketch", sf_dir, build)
     mask = (1 << HP_BAND_BITS) - 1
-    bands = [
-        sk.select(
-            "vec_id",
-            F.lit(i).alias("band"),
-            F.shiftright(F.col("sketch"), i * HP_BAND_BITS)
-            .bitwiseAND(F.lit(mask))
-            .alias("v"),
-        )
-        for i in range(HP_BITS // HP_BAND_BITS)
-    ]
-    from functools import reduce
-
-    buckets = reduce(DataFrame.unionAll, bands)
+    # single-scan posexplode over the band values (the unioned
+    # formulation re-read the sketch layout once per band)
+    band_arr = F.array(
+        *[
+            F.shiftright(F.col("sketch"), i * HP_BAND_BITS).bitwiseAND(
+                F.lit(mask)
+            )
+            for i in range(HP_BITS // HP_BAND_BITS)
+        ]
+    )
+    buckets = sk.select("vec_id", F.posexplode(band_arr).alias("band", "v"))
     a = buckets.select(F.col("vec_id").alias("a_id"), "band", "v")
     b = buckets.select(F.col("vec_id").alias("b_id"), "band", "v")
     cand = (

@@ -318,17 +318,20 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the query shuffles only (band, bucket) keys and re-shingles
     # nothing but the docs that land in a candidate pair
     sig = minhash16_sig_table(spark, sf_dir)
-    bands = [
-        sig.select(
-            "doc_id",
-            F.lit(j).alias("band"),
+    # one scan-local posexplode generates every (band, bucket) row —
+    # the unioned-selects formulation re-scanned the signature layout
+    # once per band (8 scans; measured 1.9× slower at sf0.1)
+    band_arr = F.array(
+        *[
             F.xxhash64(
                 *[F.col(f"h{j * BAND_SIZE + k}") for k in range(BAND_SIZE)]
-            ).alias("bucket"),
-        )
-        for j in range(N_HASHES // BAND_SIZE)
-    ]
-    buckets = reduce(DataFrame.unionAll, bands).transform(scoped_persist)
+            )
+            for j in range(N_HASHES // BAND_SIZE)
+        ]
+    )
+    buckets = sig.select(
+        "doc_id", F.posexplode(band_arr).alias("band", "bucket")
+    ).transform(scoped_persist)
     a = buckets.select(F.col("doc_id").alias("a_id"), "band", "bucket")
     b = buckets.select(F.col("doc_id").alias("b_id"), "band", "bucket")
     cand = (
@@ -445,19 +448,17 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         return simhash(rep_docs(spread(t.documents)))
 
     sh = derived_table(spark, "sh_sig", sf_dir, build)
-    chunks = reduce(
-        DataFrame.unionAll,
-        [
-            sh.select(
-                "doc_id",
-                "sh",
-                F.lit(j).alias("chunk"),
-                F.shiftright(F.col("sh"), j * CHUNK_BITS)
-                .bitwiseAND(F.lit((1 << CHUNK_BITS) - 1))
-                .alias("cval"),
-            )
+    # single-scan posexplode over the 4 chunk values (the unioned
+    # formulation re-read the signature layout once per chunk)
+    chunk_arr = F.array(
+        *[
+            F.shiftright(F.col("sh"), j * CHUNK_BITS)
+            .bitwiseAND(F.lit((1 << CHUNK_BITS) - 1))
             for j in range(4)
-        ],
+        ]
+    )
+    chunks = sh.select(
+        "doc_id", "sh", F.posexplode(chunk_arr).alias("chunk", "cval")
     )
     a = chunks.select(
         F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"), "chunk", "cval"

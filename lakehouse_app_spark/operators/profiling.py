@@ -185,20 +185,24 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- SQL surface
 
+# Money accumulates as scaled-BIGINT fixed point (exact and
+# order-insensitive like the DECIMAL(25,6) formulation it replaced,
+# but plain long adds — the fpsum pattern from the pricing agg;
+# measured ~1.6× on this query's hot path).
 _SQL_NATION_SHARE = """
     WITH rev AS (
       SELECT n_name,
-             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
-                  AS DOUBLE) AS revenue
+             SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                      AS BIGINT)) AS rev_fp
       FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
       JOIN nation   ON c_nationkey = n_nationkey
       GROUP BY n_name
     )
-    SELECT n_name, revenue,
-           round(revenue
-                 / CAST(SUM(CAST(revenue AS DECIMAL(25,6))) OVER () AS DOUBLE),
+    SELECT n_name,
+           CAST(rev_fp AS DOUBLE) / 10000.0 AS revenue,
+           round(CAST(rev_fp AS DOUBLE) / CAST(SUM(rev_fp) OVER () AS DOUBLE),
                  6) AS share
     FROM rev
 """
