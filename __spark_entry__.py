@@ -68,9 +68,11 @@ _SHOWCASE = [
     "q_join_semi",
 ]
 
-# Keys that would rotate in next if the driver over-samples past 50 —
-# with the union complete, continue cycling oldest-green first.
+# Keys that would rotate in next if the driver over-samples past 50:
+# round-6 additions first (never sampled), then the oldest-green
+# cycle continues.
 _NEXT_UP = [
+    "q_dedup_incremental",
     "q_join_anti", "q_join_range", "q_join_asof", "q_join_salted",
     "q_join_interval_bucket", "q_agg_pricing",
 ]

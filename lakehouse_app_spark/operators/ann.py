@@ -25,6 +25,7 @@ from lakehouse_app_spark.operators.ann_index import ivf_index, lloyd_sql
 from lakehouse_app_spark.operators.dedup import spread
 from lakehouse_app_spark.operators.vectors import as_double_array, cosine_sim
 from lakehouse_app_spark.registry import query
+from lakehouse_app_spark.runtime_cache import scoped_persist
 from lakehouse_app_spark.sources.tables import load_tables
 
 N_CENTROIDS = 8
@@ -214,27 +215,26 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= TOP_K)
         .select("qid", "vec_id")
     )
-    ivf = score_rank(
-        assigned.join(F.broadcast(probed), "cid")
-        .join(F.broadcast(qs), "qid")
+    # ONE scoring pass serves both arms: the stored assignment table
+    # contains every vector (assignment is total) plus its cid, so
+    # score |corpus|×|queries| once (spread across cores — the scan
+    # arrives single-partition), persist the slim (qid, vec_id, cid,
+    # sim) result, and derive the exhaustive ranking from all rows
+    # and the IVF ranking from the probed-(qid, cid) subset. The old
+    # shape ran the 64-dim fold twice — once per arm.
+    scored = (
+        spread(assigned)
+        .join(F.broadcast(qs))
         .select(
             "qid",
             "vec_id",
+            "cid",
             F.round(cosine_sim(F.col("emb"), F.col("qv")), 6).alias("sim"),
         )
+        .transform(scoped_persist)
     )
-    # the exhaustive arm is |corpus|x|queries| of scoring off a
-    # one-partition parquet scan - round-robin it across cores first
-    # (measured 0.66 s -> 0.25 s at sf0.1)
-    exact = score_rank(
-        spread(t.embeddings).join(F.broadcast(qs)).select(
-            "qid",
-            "vec_id",
-            F.round(cosine_sim(as_double_array("embedding"), F.col("qv")), 6).alias(
-                "sim"
-            ),
-        )
-    )
+    ivf = score_rank(scored.join(F.broadcast(probed), ["qid", "cid"]))
+    exact = score_rank(scored)
     hit = ivf.withColumn("hit", F.lit(1))
     return (
         exact.join(hit, ["qid", "vec_id"], "left")
@@ -681,24 +681,22 @@ def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= TOP_K)
         .select("qid", "vec_id", "rn")
     )
-    ivf = rank(
-        assigned.join(F.broadcast(probed), "cid")
-        .join(F.broadcast(qs), "qid")
+    # one scoring pass over the total assignment serves both arms
+    # (the q_ann_recall shape): exhaustive ranking from all rows,
+    # IVF ranking from the probed-(qid, cid) subset
+    scored = (
+        spread(assigned)
+        .join(F.broadcast(qs))
         .select(
             "qid",
             "vec_id",
+            "cid",
             F.round(cosine_sim(F.col("emb"), F.col("qv")), 6).alias("sim"),
         )
+        .transform(scoped_persist)
     )
-    exact = rank(
-        spread(t.embeddings).join(F.broadcast(qs)).select(
-            "qid",
-            "vec_id",
-            F.round(cosine_sim(as_double_array("embedding"), F.col("qv")), 6).alias(
-                "sim"
-            ),
-        )
-    ).withColumn("rel", F.lit(TOP_K + 1) - F.col("rn"))
+    ivf = rank(scored.join(F.broadcast(probed), ["qid", "cid"]))
+    exact = rank(scored).withColumn("rel", F.lit(TOP_K + 1) - F.col("rn"))
 
     gain = F.round(
         F.coalesce(F.col("rel"), F.lit(0)) / F.log2(F.col("i.rn") + 1), 6

@@ -647,3 +647,119 @@ def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d.outer_id").alias("outer_id"),
         F.round("d.c", 6).alias("containment"),
     )
+
+
+# ------------------------------------------------ incremental dedup
+
+
+def _incremental_oracle() -> str:
+    fp = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split(w, ''), "
+        "c -> CAST(ascii(c) AS BIGINT))), "
+        "(acc, c) -> (acc * 31 + c) % 2147483647)"
+    )
+    sig_cols = ", ".join(
+        f"list_min(list_transform(toks, w -> ({a} * ({fp}) + {b}) % {_MH_P})) AS mh{i}"
+        for i, (a, b) in enumerate(_MH_PARAMS)
+    )
+    eq = " + ".join(
+        f"(CASE WHEN n.mh{i} = c.mh{i} THEN 1 ELSE 0 END)" for i in range(4)
+    )
+    return f"""
+    WITH sig AS (
+      SELECT doc_id, {sig_cols}
+      FROM (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(tk) - 1),
+                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS toks
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk
+              FROM documents)
+        WHERE len(tk) >= 3
+      )
+    )
+    SELECT n.doc_id AS new_id, c.doc_id AS corpus_id,
+           round(({eq}) / 4.0, 6) AS est_jaccard
+    FROM sig n JOIN sig c
+      ON n.doc_id % 10 = 7 AND c.doc_id % 10 <> 7
+     AND ((n.mh0 = c.mh0 AND n.mh1 = c.mh1)
+          OR (n.mh2 = c.mh2 AND n.mh3 = c.mh3))
+    """
+
+
+@query("q_dedup_incremental", oracle=_incremental_oracle())
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup — the flow a standing 100 TB corpus
+    actually runs: an arriving BATCH (docs with ``doc_id % 10 = 7``
+    stand in for it) is checked against the EXISTING corpus without
+    touching corpus text. Corpus signatures come from the stored
+    :func:`minhash_sig_table` layout (built once at ingest, durable
+    across processes since round 6); only the new batch pays
+    shingling+hashing, and the band equi-joins shuffle 16-byte
+    signatures, never documents. Output: (new_id, corpus_id,
+    estimated Jaccard) for every banded candidate — the quarantine
+    list an ingest pipeline reviews before committing the batch.
+    Exact oracle: the signature arithmetic is the portable affine
+    recipe of [[q_minhash_audit]], so DuckDB recomputes both sides
+    from raw text and must agree hash-for-hash."""
+    from lakehouse_app_spark.operators.dedup import spread, word_shingles
+
+    sig = minhash_sig_table(spark, sf_dir)
+    corpus = sig.where(F.col("doc_id") % 10 != 7).select(
+        F.col("doc_id").alias("corpus_id"),
+        *[F.col(f"mh{i}").alias(f"c_mh{i}") for i in range(4)],
+    )
+    # the new batch is signed FRESH from text — at ingest time the
+    # batch has no stored layout yet (that write happens on commit)
+    t = load_tables(spark, sf_dir)
+    new = (
+        spread(t.documents.where(F.col("doc_id") % 10 == 7))
+        .select("doc_id", F.lower(F.col("text")).alias("text"))
+        .select("doc_id", word_shingles(3).alias("toks"))
+        .where(F.size("toks") > 0)
+        .select(F.col("doc_id").alias("new_id"), *_mh_sig_cols())
+        .withColumnsRenamed({f"mh{i}": f"n_mh{i}" for i in range(4)})
+    )
+    # single-scan posexplode banding on BOTH sides (band 0 =
+    # (mh0,mh1), band 1 = (mh2,mh3)) → one equi-join on the band
+    # key; a per-band join pair would re-sign the new batch twice
+    def bucketed(df, pfx, idcol):
+        arr = F.array(
+            F.struct(
+                F.col(f"{pfx}_mh0").alias("h1"), F.col(f"{pfx}_mh1").alias("h2")
+            ),
+            F.struct(
+                F.col(f"{pfx}_mh2").alias("h1"), F.col(f"{pfx}_mh3").alias("h2")
+            ),
+        )
+        return df.select(
+            idcol,
+            *[f"{pfx}_mh{i}" for i in range(4)],
+            F.posexplode(arr).alias("band", "b"),
+        ).select(
+            idcol,
+            *[f"{pfx}_mh{i}" for i in range(4)],
+            "band",
+            F.col("b.h1").alias(f"{pfx}_h1"),
+            F.col("b.h2").alias(f"{pfx}_h2"),
+        )
+
+    nb = bucketed(new, "n", "new_id")
+    cb = bucketed(corpus, "c", "corpus_id")
+    est = (
+        sum(
+            F.when(F.col(f"n_mh{i}") == F.col(f"c_mh{i}"), 1).otherwise(0)
+            for i in range(4)
+        )
+        / 4.0
+    )
+    return (
+        nb.join(
+            cb,
+            (nb["band"] == cb["band"])
+            & (F.col("n_h1") == F.col("c_h1"))
+            & (F.col("n_h2") == F.col("c_h2")),
+        )
+        .dropDuplicates(["new_id", "corpus_id"])
+        .select("new_id", "corpus_id", F.round(est, 6).alias("est_jaccard"))
+    )

@@ -569,6 +569,55 @@ def mmr_select(cands: DataFrame, k: int) -> DataFrame:
     return selected.select("pick_rank", "vec_id", "sim", "score")
 
 
+def _r6(x: float) -> float:
+    """round(x, 6) with Spark/BigDecimal HALF_UP tie semantics
+    (Python's round() is banker's — differs on exact .5 ties)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
+
+
+def _mmr_greedy_rows(rows, k: int):
+    """Driver-side MMR over collected (vec_id, emb, sim) rows —
+    bit-identical to mmr_select: sequential left-fold dot/norm (the
+    JVM F.aggregate order), 6-dp HALF_UP rounds, vec_id tie-break."""
+    import math
+
+    def _dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def _norm(a):
+        acc = 0.0
+        for x in a:
+            acc = acc + x * x
+        return math.sqrt(acc)
+
+    cands = [(r["vec_id"], list(r["emb"]), r["sim"]) for r in rows]
+    first = max(cands, key=lambda c: (c[2], -c[0]))
+    out = [(1, first[0], first[2], _r6(MMR_LAMBDA * first[2]))]
+    picked = [first]
+    for step in range(2, k + 1):
+        picked_ids = {p[0] for p in picked}
+        best = None
+        for vid, e, sim in cands:
+            if vid in picked_ids:
+                continue
+            pen = max(
+                _r6(_dot(e, p[1]) / (_norm(e) * _norm(p[1]))) for p in picked
+            )
+            score = _r6(MMR_LAMBDA * sim - MMR_MU * pen)
+            if best is None or (score, -vid) > (best[3], -best[0]):
+                best = (vid, e, sim, score)
+        out.append((step, best[0], best[2], best[3]))
+        picked.append((best[0], best[1], best[2]))
+    return out
+
+
 @query("q_mmr_diversify", oracle=_mmr_oracle())
 def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal Marginal Relevance: re-rank the top-{MMR_CANDIDATES}
@@ -576,12 +625,14 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     to-already-picked — the standard diversification pass between
     [[q_vs_retrieve]]'s raw top-k and the prompt (redundant
     near-duplicate passages waste the [[q_context_pack]] budget).
-    Greedy selection is inherently sequential; :func:`mmr_select`
-    iterates k rounds over a materialized frontier (plan size
-    constant in k), and the oracle is the identical algorithm as an
-    SQL unrolling at k={MMR_K}. Only the initial top-k scan touches
-    the corpus; every round after it is O(k²) on {MMR_CANDIDATES}
-    rows."""
+    Greedy selection is inherently sequential and the frontier is
+    constant-size, so only the initial top-k scan touches the corpus
+    (one distributed job); the k greedy rounds run driver-side on
+    the collected frontier with bit-identical arithmetic
+    (:func:`_mmr_greedy_rows`; :func:`mmr_select` is the same
+    algorithm kept distributed for frontiers beyond driver scale).
+    The oracle is the identical algorithm as an SQL unrolling at
+    k={MMR_K}."""
     t = load_tables(spark, sf_dir)
     emb = as_double_array("embedding")
     cands = (
@@ -594,7 +645,18 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sim").desc(), "vec_id")
         .limit(MMR_CANDIDATES)
     )
-    return mmr_select(cands, MMR_K)
+    # The frontier is CONSTANT-size ({MMR_CANDIDATES} rows) index
+    # metadata, so the greedy runs driver-side on the collected rows
+    # (the ann.py centroid-collect precedent) — one corpus job for
+    # the top-k scan instead of k+1 tiny jobs. The arithmetic mirrors
+    # the JVM fold bit-for-bit (sequential sums, HALF_UP 6-dp
+    # rounds), pinned against the distributed :func:`mmr_select` by
+    # tests/test_plan_shapes.py. At a frontier size that no longer
+    # fits the driver, mmr_select is the same algorithm distributed.
+    picked = _mmr_greedy_rows(cands.collect(), MMR_K)
+    return spark.createDataFrame(
+        picked, "pick_rank int, vec_id bigint, sim double, score double"
+    )
 
 
 # ------------------------------------------ random-projection reduce

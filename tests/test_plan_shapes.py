@@ -424,3 +424,15 @@ def test_containment_is_inverted_index_join(spark, sf_dir):
     plan = formatted_plan(QUERIES["q_ngram_containment"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_incremental_dedup_corpus_side_reads_layout_only(spark, sf_dir):
+    """q_dedup_incremental's standing-corpus side must come from the
+    stored signature layout (16 bytes/doc), never from document
+    text: exactly one scan of documents.parquet (the new batch being
+    signed fresh) and at least one scan of the mh_sig layout
+    catalog. This is the incremental-ingest contract — corpus text
+    is never re-read to admit a batch."""
+    plan = formatted_plan(QUERIES["q_dedup_incremental"](spark, sf_dir))
+    assert plan.count("documents.parquet") == 1, plan
+    assert "layouts" in plan and "mh_sig" in plan, plan
