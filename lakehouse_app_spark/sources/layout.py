@@ -127,7 +127,19 @@ def _commit_build(
     partition_by: list[str] | None,
 ) -> int:
     os.makedirs(tdir, exist_ok=True)
-    version = (_committed_version(tdir) or -1) + 1
+    # next version = past BOTH committed manifests and orphan v= dirs:
+    # a crashed writer's garbage data dir (no manifest) must never
+    # wedge future builds on the errorifexists write
+    used = [
+        int(f.split("=", 1)[1])
+        for f in os.listdir(tdir)
+        if f.startswith("v=") and f.split("=", 1)[1].isdigit()
+    ] + [
+        int(f[2:-5])
+        for f in os.listdir(tdir)
+        if f.startswith("_v") and f.endswith(".json")
+    ]
+    version = max(used, default=-1) + 1
     data_dir = os.path.join(tdir, f"v={version}")
     try:
         w = build().write.mode("errorifexists").format("parquet")
@@ -162,3 +174,28 @@ def layout_path(name: str, sf_dir: str) -> str | None:
     tdir = _table_dir(name, sf_dir)
     ver = _committed_version(tdir)
     return None if ver is None else os.path.join(tdir, f"v={ver}")
+
+
+def gc_layouts(sf_dir: str) -> list[str]:
+    """Remove layout fingerprint directories for ``sf_dir``'s corpus
+    tag whose fingerprint no longer matches the current corpus
+    content — the catalog-maintenance half of the durable-layout
+    story (a regenerated corpus orphans its old indexes; this sweeps
+    them like ``expire_snapshots`` sweeps old table versions).
+    Returns the removed directory paths."""
+    import shutil
+
+    current = corpus_fingerprint(sf_dir)
+    tag = current.rsplit("-", 1)[0]
+    base = layout_base()
+    removed = []
+    try:
+        entries = os.listdir(base)
+    except FileNotFoundError:
+        return removed
+    for d in entries:
+        if d.rsplit("-", 1)[0] == tag and d != current:
+            path = os.path.join(base, d)
+            shutil.rmtree(path, ignore_errors=True)
+            removed.append(path)
+    return removed

@@ -436,3 +436,25 @@ def test_incremental_dedup_corpus_side_reads_layout_only(spark, sf_dir):
     plan = formatted_plan(QUERIES["q_dedup_incremental"](spark, sf_dir))
     assert plan.count("documents.parquet") == 1, plan
     assert "layouts" in plan and "mh_sig" in plan, plan
+
+
+def test_mmr_driver_greedy_matches_distributed_select(spark, sf_dir):
+    """The driver-side greedy (_mmr_greedy_rows, used by
+    q_mmr_diversify since r6) must reproduce the distributed
+    mmr_select bit-for-bit — same picks, same 6-dp HALF_UP scores —
+    on the same frontier. Pins the arithmetic-mirror claim."""
+    from lakehouse_app_spark.operators.vectors import (
+        _mmr_greedy_rows,
+        mmr_select,
+    )
+
+    cands = _mmr_cands(spark, sf_dir)
+    dist = {
+        r["pick_rank"]: (r["vec_id"], r["sim"], r["score"])
+        for r in mmr_select(cands, 6).collect()
+    }
+    drv = {
+        rank: (vid, sim, score)
+        for rank, vid, sim, score in _mmr_greedy_rows(cands.collect(), 6)
+    }
+    assert drv == dist

@@ -637,3 +637,56 @@ def test_layout_fingerprint_tracks_corpus_content(tmp_path):
     f2 = corpus_fingerprint(str(d))
     assert f1 != f2
     assert f1.startswith("sfX-") and f2.startswith("sfX-")
+
+
+def test_layout_commit_skips_crashed_writer_orphan(spark, sf_dir, tmp_path, monkeypatch):
+    """A crashed layout build leaves a data dir with no manifest;
+    the next build must commit past it (fresh version) instead of
+    wedging on the errorifexists write, and readers must never see
+    the orphan."""
+    import os as _os
+
+    from lakehouse_app_spark.sources import layout as L
+
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT_DIR", str(tmp_path / "cat"))
+    tdir = L._table_dir("t_orphan", sf_dir)
+    _os.makedirs(_os.path.join(tdir, "v=0"))  # crashed writer's garbage
+    with open(_os.path.join(tdir, "v=0", "part-junk"), "w") as fh:
+        fh.write("not parquet")
+
+    df = L.derived_table(
+        spark, "t_orphan", sf_dir, lambda: spark.range(5).withColumnRenamed("id", "k")
+    )
+    assert df.count() == 5
+    assert L.layout_path("t_orphan", sf_dir).endswith("v=1")
+
+
+def test_layout_gc_sweeps_stale_fingerprints(spark, tmp_path, monkeypatch):
+    """After a corpus regenerates, gc_layouts removes the previous
+    fingerprint's directory and leaves the current one untouched."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lakehouse_app_spark.sources import layout as L
+
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT_DIR", str(tmp_path / "cat"))
+    corpus = tmp_path / "sfgc"
+    corpus.mkdir()
+    pq.write_table(pa.table({"a": [1]}), str(corpus / "t.parquet"))
+
+    L.derived_table(spark, "t_gc", str(corpus), lambda: spark.range(3))
+    old_path = L.layout_path("t_gc", str(corpus))
+    assert old_path is not None
+
+    # regenerate the corpus → new fingerprint; old layout is stale
+    pq.write_table(pa.table({"a": [1, 2]}), str(corpus / "t.parquet"))
+    L._BUILT.clear()
+    removed = L.gc_layouts(str(corpus))
+    assert len(removed) == 1 and not os.path.isdir(removed[0])
+    assert L.layout_path("t_gc", str(corpus)) is None  # stale never served
+
+    # rebuild under the new fingerprint, then GC removes nothing
+    L.derived_table(spark, "t_gc", str(corpus), lambda: spark.range(4))
+    assert L.gc_layouts(str(corpus)) == []
+    assert L.layout_path("t_gc", str(corpus)) is not None
