@@ -343,3 +343,68 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         (F.col("si").cast("double") / 10000.0).alias("total_spend"),
     )
+
+
+# ------------------------------------------------ stats-pruned scan
+
+_SP_LO, _SP_HI = 1000, 5000
+
+
+@query(
+    "q_stats_prune",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(l_extendedprice * 10000) AS BIGINT)) AS DOUBLE)
+             / 10000.0 AS sum_price
+    FROM lineitem
+    WHERE l_orderkey BETWEEN {_SP_LO} AND {_SP_HI}
+    GROUP BY l_returnflag
+    """,
+)
+def q_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats file skipping — the Delta/Iceberg data-skipping
+    story end-to-end: lineitem is stored range-layouted on
+    ``l_orderkey`` (16 disjoint files, a build-once
+    :func:`~lakehouse_app_spark.sources.layout.derived_table`), a
+    ``_stats.json`` manifest records each file's (min, max), and the
+    read path opens ONLY files whose range intersects the predicate
+    — at 100 TB a narrow key range touches O(selectivity) of the
+    files before Spark lists a single row group. The row-level
+    BETWEEN stays in the plan (a straddling file is read whole), so
+    the result is exact and the oracle is the plain filtered
+    aggregate over the raw table. Plan test pins the scan to a
+    strict subset of the 16 files
+    (tests/test_plan_shapes.py::test_stats_prune_reads_file_subset).
+    """
+    import os
+
+    from lakehouse_app_spark.sources.layout import derived_table, layout_path
+    from lakehouse_app_spark.sources.sinks import (
+        read_stats_pruned,
+        write_stats_manifest,
+    )
+
+    t = load_tables(spark, sf_dir)
+    derived_table(
+        spark,
+        "li_range16",
+        sf_dir,
+        lambda: t.lineitem.repartitionByRange(16, "l_orderkey"),
+    )
+    path = layout_path("li_range16", sf_dir)
+    if not os.path.exists(os.path.join(path, "_stats.json")):
+        write_stats_manifest(spark, path, "l_orderkey")
+    pruned = read_stats_pruned(spark, path, _SP_LO, _SP_HI)
+    return (
+        pruned.where(F.col("l_orderkey").between(_SP_LO, _SP_HI))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.round(F.col("l_extendedprice") * 10000).cast("bigint"))
+                .cast("double")
+                / 10000.0
+            ).alias("sum_price"),
+        )
+    )

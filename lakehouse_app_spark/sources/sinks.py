@@ -310,3 +310,63 @@ def write_snapshot_checked(df: DataFrame, path: str, checks: dict, note: str = "
     if bad:
         raise ValueError(f"DQ gate failed, commit aborted: {bad}")
     return write_snapshot(df, path, note=note)
+
+
+# ------------------------------------------------ stats-based file skipping
+
+
+def write_stats_manifest(
+    spark: SparkSession, path: str, key_col: str, fmt: str = "parquet"
+) -> dict:
+    """Per-file (min, max) stats of ``key_col`` for the table at
+    ``path``, written as ``_stats.json`` beside the data — the
+    Delta/Iceberg data-skipping metadata made explicit. One grouped
+    scan (``input_file_name``) computes every file's range; readers
+    ([[read_stats_pruned]]) then skip whole files whose range cannot
+    intersect a predicate, BEFORE Spark ever lists row groups. On a
+    range-sorted layout ([[compact_table]] with ``sort_col``) the
+    ranges are disjoint, so a point/range predicate touches
+    O(selectivity) files."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    rows = (
+        spark.read.format(fmt)
+        .load(path)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(F.min(key_col).alias("lo"), F.max(key_col).alias("hi"))
+        .collect()
+    )
+    stats = {
+        "key": key_col,
+        "files": {r["file"]: [r["lo"], r["hi"]] for r in rows},
+    }
+    with open(_os.path.join(path, "_stats.json"), "w") as fh:
+        fh.write(_json.dumps(stats, default=str))
+    return stats
+
+
+def read_stats_pruned(
+    spark: SparkSession, path: str, lo, hi, fmt: str = "parquet"
+) -> DataFrame:
+    """Read only the files of ``path`` whose stats range intersects
+    [lo, hi] (closed interval) per the ``_stats.json`` manifest.
+    File-granular: rows OUTSIDE the interval can still appear (a
+    file straddling the bound is read whole), so callers keep the
+    row-level predicate in the plan — the manifest prune only bounds
+    I/O, exactly like Delta data skipping."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_stats.json")) as fh:
+        stats = _json.loads(fh.read())
+    files = [
+        f
+        for f, (flo, fhi) in stats["files"].items()
+        if not (fhi < lo or flo > hi)
+    ]
+    if not files:
+        return spark.read.format(fmt).load(path).limit(0)
+    return spark.read.format(fmt).load(files)

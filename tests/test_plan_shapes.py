@@ -458,3 +458,25 @@ def test_mmr_driver_greedy_matches_distributed_select(spark, sf_dir):
         for rank, vid, sim, score in _mmr_greedy_rows(cands.collect(), 6)
     }
     assert drv == dist
+
+
+def test_stats_prune_reads_file_subset(spark, sf_dir):
+    """q_stats_prune's scan must read a strict subset of the 16-file
+    range layout — the manifest prune happens BEFORE Spark's file
+    index, so the plan's scan location lists only files whose
+    (min, max) range intersects the predicate."""
+    import json
+    import os
+    import re
+
+    from lakehouse_app_spark.sources.layout import layout_path
+
+    df = QUERIES["q_stats_prune"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"InMemoryFileIndex\((\d+) paths\)", plan)
+    assert m, plan
+    n_scanned = int(m.group(1))
+    path = layout_path("li_range16", sf_dir)
+    with open(os.path.join(path, "_stats.json")) as fh:
+        n_total = len(json.load(fh)["files"])
+    assert 1 <= n_scanned < n_total, (n_scanned, n_total, plan)

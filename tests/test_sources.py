@@ -690,3 +690,22 @@ def test_layout_gc_sweeps_stale_fingerprints(spark, tmp_path, monkeypatch):
     L.derived_table(spark, "t_gc", str(corpus), lambda: spark.range(4))
     assert L.gc_layouts(str(corpus)) == []
     assert L.layout_path("t_gc", str(corpus)) is not None
+
+
+def test_stats_pruned_reader_empty_intersection_keeps_schema(spark, tmp_path):
+    """A predicate range beyond every file's stats must return an
+    EMPTY frame with the full schema (not an error, not a full
+    scan)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_app_spark.sources.sinks import (
+        read_stats_pruned,
+        write_stats_manifest,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(100).withColumn("k", F.col("id")).write.parquet(path)
+    write_stats_manifest(spark, path, "k")
+    out = read_stats_pruned(spark, path, 10_000, 20_000)
+    assert out.columns == ["id", "k"]
+    assert out.count() == 0
