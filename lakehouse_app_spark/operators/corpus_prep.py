@@ -496,6 +496,33 @@ _FP_DUCK = (
 )
 
 
+def mh_sig_cte_sql(with_toks: bool = False) -> str:
+    """The portable MinHash signature table as a DuckDB CTE —
+    ``sig(doc_id[, toks], mh0..mh3)`` over lowercased word-trigram
+    shingles of ``documents``. Shared by every oracle that recomputes
+    signatures from raw text (estimator audit, from-layout integrity,
+    incremental ingest) so the hash recipe lives in exactly ONE place
+    per engine; `dedup_ext._mh_sig_cols` is the Spark twin."""
+    fp = _FP_DUCK.format(w="w")
+    sig_cols = ", ".join(
+        f"list_min(list_transform(toks, w -> ({a} * ({fp}) + {b}) % {_MH_P}))"
+        f" AS mh{i}"
+        for i, (a, b) in enumerate(_MH_PARAMS)
+    )
+    toks = "toks, " if with_toks else ""
+    return f"""sig AS (
+      SELECT doc_id, {toks}{sig_cols}
+      FROM (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(tk) - 1),
+                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS toks
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk
+              FROM documents)
+        WHERE len(tk) >= 3
+      )
+    )"""
+
+
 def _mh_oracle() -> str:
     cols = ", ".join(
         "list_min(list_transform(toks, w -> "

@@ -30,6 +30,7 @@ from lakehouse_app_spark.operators.corpus_prep import (
     _FP_SPARK,
     _MH_P,
     _MH_PARAMS,
+    mh_sig_cte_sql,
 )
 from lakehouse_app_spark.operators.vectors import cosine_sim
 from lakehouse_app_spark.registry import query
@@ -301,31 +302,11 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mh_audit_oracle() -> str:
-    fp = (
-        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        "list_transform(string_split(w, ''), "
-        "c -> CAST(ascii(c) AS BIGINT))), "
-        "(acc, c) -> (acc * 31 + c) % 2147483647)"
-    )
-    sig_cols = ", ".join(
-        f"list_min(list_transform(toks, w -> ({a} * ({fp}) + {b}) % {_MH_P})) AS mh{i}"
-        for i, (a, b) in enumerate(_MH_PARAMS)
-    )
     eq = " + ".join(
         f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(4)
     )
     return f"""
-    WITH sig AS (
-      SELECT doc_id, toks, {sig_cols}
-      FROM (
-        SELECT doc_id,
-               list_distinct(list_transform(range(1, len(tk) - 1),
-                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS toks
-        FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk
-              FROM documents)
-        WHERE len(tk) >= 3
-      )
-    )
+    WITH {mh_sig_cte_sql(with_toks=True)}
     SELECT a.doc_id AS a_id, b.doc_id AS b_id,
            round(({eq}) / 4.0, 6) AS est_jaccard,
            round(len(list_intersect(a.toks, b.toks))
@@ -473,31 +454,11 @@ def minhash_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _from_layout_oracle() -> str:
-    fp = (
-        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        "list_transform(string_split(w, ''), "
-        "c -> CAST(ascii(c) AS BIGINT))), "
-        "(acc, c) -> (acc * 31 + c) % 2147483647)"
-    )
-    sig_cols = ", ".join(
-        f"list_min(list_transform(toks, w -> ({a} * ({fp}) + {b}) % {_MH_P})) AS mh{i}"
-        for i, (a, b) in enumerate(_MH_PARAMS)
-    )
     eq = " + ".join(
         f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(4)
     )
     return f"""
-    WITH sig AS (
-      SELECT doc_id, {sig_cols}
-      FROM (
-        SELECT doc_id,
-               list_distinct(list_transform(range(1, len(tk) - 1),
-                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS toks
-        FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk
-              FROM documents)
-        WHERE len(tk) >= 3
-      )
-    )
+    WITH {mh_sig_cte_sql()}
     SELECT a.doc_id AS a_id, b.doc_id AS b_id,
            round(({eq}) / 4.0, 6) AS est_jaccard
     FROM sig a JOIN sig b
@@ -653,31 +614,11 @@ def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _incremental_oracle() -> str:
-    fp = (
-        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        "list_transform(string_split(w, ''), "
-        "c -> CAST(ascii(c) AS BIGINT))), "
-        "(acc, c) -> (acc * 31 + c) % 2147483647)"
-    )
-    sig_cols = ", ".join(
-        f"list_min(list_transform(toks, w -> ({a} * ({fp}) + {b}) % {_MH_P})) AS mh{i}"
-        for i, (a, b) in enumerate(_MH_PARAMS)
-    )
     eq = " + ".join(
         f"(CASE WHEN n.mh{i} = c.mh{i} THEN 1 ELSE 0 END)" for i in range(4)
     )
     return f"""
-    WITH sig AS (
-      SELECT doc_id, {sig_cols}
-      FROM (
-        SELECT doc_id,
-               list_distinct(list_transform(range(1, len(tk) - 1),
-                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS toks
-        FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk
-              FROM documents)
-        WHERE len(tk) >= 3
-      )
-    )
+    WITH {mh_sig_cte_sql()}
     SELECT n.doc_id AS new_id, c.doc_id AS corpus_id,
            round(({eq}) / 4.0, 6) AS est_jaccard
     FROM sig n JOIN sig c

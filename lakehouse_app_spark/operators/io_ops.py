@@ -17,16 +17,18 @@ from lakehouse_app_spark.registry import QUERIES, query
 from lakehouse_app_spark.sources.sinks import read_table, write_table
 
 
+import lakehouse_app_spark.operators.aggregates  # noqa: F401  (registers q_agg_pricing's oracle)
 from lakehouse_app_spark.registry import ORACLES as _ORACLES
 
 
 # Oracle upgrade (round-6 verdict item 5): the roundtrip is an
 # identity on VALUES — write q_agg_pricing's result to partitioned
 # parquet, read it back — so the exact oracle is q_agg_pricing's own
-# (aggregates.py registers it first). A hash-match now proves the
-# sink/read path loses nothing: partition-encoding a column and
-# restoring its position/type is value-preserving, which the old
-# rows-only check could not see.
+# (the explicit aggregates import above makes the decoration-time
+# lookup order-independent). A hash-match now proves the sink/read
+# path loses nothing: partition-encoding a column and restoring its
+# position/type is value-preserving, which the old rows-only check
+# could not see.
 @query("q_sink_roundtrip", oracle=_ORACLES["q_agg_pricing"])
 def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="sink_roundtrip_")

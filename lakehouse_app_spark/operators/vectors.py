@@ -598,6 +598,8 @@ def _mmr_greedy_rows(rows, k: int):
         return math.sqrt(acc)
 
     cands = [(r["vec_id"], list(r["emb"]), r["sim"]) for r in rows]
+    if not cands:
+        return []
     first = max(cands, key=lambda c: (c[2], -c[0]))
     out = [(1, first[0], first[2], _r6(MMR_LAMBDA * first[2]))]
     picked = [first]
@@ -613,6 +615,8 @@ def _mmr_greedy_rows(rows, k: int):
             score = _r6(MMR_LAMBDA * sim - MMR_MU * pen)
             if best is None or (score, -vid) > (best[3], -best[0]):
                 best = (vid, e, sim, score)
+        if best is None:  # frontier exhausted before k picks — like
+            break  # mmr_select's empty-limit(1) round, stop growing
         out.append((step, best[0], best[2], best[3]))
         picked.append((best[0], best[1], best[2]))
     return out

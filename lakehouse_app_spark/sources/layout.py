@@ -58,11 +58,14 @@ def corpus_fingerprint(sf_dir: str) -> str:
         if f.endswith(".parquet"):
             p = os.path.join(sf_dir, f)
             if os.path.isdir(p):  # multi-file parquet table
-                st = [
-                    (g, os.stat(os.path.join(p, g)).st_size)
-                    for g in sorted(os.listdir(p))
-                    if not g.startswith(("_", "."))
-                ]
+                st = []
+                for g in sorted(os.listdir(p)):
+                    if g.startswith(("_", ".")):
+                        continue
+                    gs = os.stat(os.path.join(p, g))
+                    # mtime included: same-size regenerated files must
+                    # still change the fingerprint (review r6)
+                    st.append((g, gs.st_size, gs.st_mtime_ns))
                 items.append((f, str(st), 0))
             else:
                 s = os.stat(p)
@@ -115,7 +118,7 @@ def derived_table(
     tdir = _table_dir(name, sf_dir)
     ver = _committed_version(tdir)
     if ver is None:
-        ver = _commit_build(tdir, build, partition_by)
+        ver = _commit_build(tdir, sf_dir, build, partition_by)
     data_dir = os.path.join(tdir, f"v={ver}")
     _BUILT[key] = data_dir
     return spark.read.parquet(data_dir)
@@ -123,6 +126,7 @@ def derived_table(
 
 def _commit_build(
     tdir: str,
+    sf_dir: str,
     build: Callable[[], DataFrame],
     partition_by: list[str] | None,
 ) -> int:
@@ -147,10 +151,17 @@ def _commit_build(
             w = w.partitionBy(*partition_by)
         w.save(data_dir)
     except Exception:
-        # lost a race (or died mid-write): trust only a manifest
-        committed = _committed_version(tdir)
-        if committed is not None:
-            return committed
+        # lost a race (or died mid-write): trust only a manifest. The
+        # winner may still be mid-write (data dir exists, manifest
+        # not yet landed), so poll briefly for its commit before
+        # giving up — the documented loser-re-reads-winner contract.
+        import time
+
+        for _ in range(60):
+            committed = _committed_version(tdir)
+            if committed is not None:
+                return committed
+            time.sleep(0.5)
         raise
     manifest = {
         "version": version,
@@ -161,6 +172,13 @@ def _commit_build(
     }
     with open(os.path.join(tdir, f"_v{version}.json"), "w") as fh:
         fh.write(json.dumps(manifest))
+    # corpus marker: records which source directory this fingerprint
+    # belongs to, so gc_layouts never sweeps a same-basename sibling
+    # corpus sharing the catalog (review r6)
+    marker = os.path.join(os.path.dirname(tdir), "_corpus.json")
+    if not os.path.exists(marker):
+        with open(marker, "w") as fh:
+            fh.write(json.dumps({"sf_dir": os.path.abspath(sf_dir)}))
     return version
 
 
@@ -178,15 +196,18 @@ def layout_path(name: str, sf_dir: str) -> str | None:
 
 def gc_layouts(sf_dir: str) -> list[str]:
     """Remove layout fingerprint directories for ``sf_dir``'s corpus
-    tag whose fingerprint no longer matches the current corpus
-    content — the catalog-maintenance half of the durable-layout
-    story (a regenerated corpus orphans its old indexes; this sweeps
-    them like ``expire_snapshots`` sweeps old table versions).
+    whose fingerprint no longer matches the current corpus content —
+    the catalog-maintenance half of the durable-layout story (a
+    regenerated corpus orphans its old indexes; this sweeps them like
+    ``expire_snapshots`` sweeps old table versions). A directory is
+    swept only when its ``_corpus.json`` marker names THIS corpus
+    path — a same-basename sibling corpus sharing the catalog is
+    never touched (pre-marker dirs are likewise left alone).
     Returns the removed directory paths."""
     import shutil
 
     current = corpus_fingerprint(sf_dir)
-    tag = current.rsplit("-", 1)[0]
+    me = os.path.abspath(sf_dir)
     base = layout_base()
     removed = []
     try:
@@ -194,7 +215,15 @@ def gc_layouts(sf_dir: str) -> list[str]:
     except FileNotFoundError:
         return removed
     for d in entries:
-        if d.rsplit("-", 1)[0] == tag and d != current:
+        if d == current:
+            continue
+        marker = os.path.join(base, d, "_corpus.json")
+        try:
+            with open(marker) as fh:
+                owner = json.loads(fh.read()).get("sf_dir")
+        except (FileNotFoundError, NotADirectoryError, ValueError):
+            continue
+        if owner == me:
             path = os.path.join(base, d)
             shutil.rmtree(path, ignore_errors=True)
             removed.append(path)

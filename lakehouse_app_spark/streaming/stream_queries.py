@@ -316,17 +316,25 @@ def q_stream_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    q = (
-        agg.writeStream.foreachBatch(write_batch)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix="ckpt_foreach_", dir=_checkpoint_root()),
+    # few-key aggregate state wants few state stores (run_to_memory's
+    # partitions=2 rationale) — this sink bypasses run_to_memory, so
+    # pin the state partition count the same way
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        q = (
+            agg.writeStream.foreachBatch(write_batch)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="ckpt_foreach_", dir=_checkpoint_root()),
+            )
+            .start()
         )
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(out_dir).select("event_type", "n", "batch_id")
 
 

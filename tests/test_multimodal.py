@@ -92,7 +92,10 @@ def test_arrow_norm_batches_handles_sliced_list_array():
     ids = pa.array([1, 2, 3], pa.int64())
     batch = pa.RecordBatch.from_arrays([ids, emb], ["vec_id", "embedding"])
     sliced = batch.slice(1, 2)
-    assert sliced.column("embedding").offset != 0 or True  # doc: slice path
+    # precondition: the slice really is a non-zero-offset view — if a
+    # pyarrow change ever makes slice() copy, this test must fail
+    # loudly rather than silently stop covering the offset path
+    assert sliced.column("embedding").offset == 1
     (out,) = list(arrow_norm_batches([sliced]))
     assert out.column("vec_id").to_pylist() == [2, 3]
     assert out.column("l2_norm").to_pylist() == [
