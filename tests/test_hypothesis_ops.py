@@ -108,3 +108,41 @@ def test_interval_bucket_join_matches_brute_force(spark, events, window_s):
             if i < j and tya == tyb and ta <= tb <= ta + window_s:
                 expected[(i, j)] = tb - ta
     assert got == expected
+
+
+@given(
+    rows=st.lists(
+        st.integers(min_value=0, max_value=1000), min_size=1, max_size=60
+    ),
+    lo=st.integers(min_value=-50, max_value=1100),
+    width=st.integers(min_value=0, max_value=400),
+)
+@hyp_settings
+def test_stats_pruned_read_equals_full_filtered_read(
+    spark, tmp_path_factory, rows, lo, width
+):
+    """Manifest-stats file skipping must be a pure I/O optimization:
+    pruned-read + row filter == full-read + row filter for ANY
+    key distribution and ANY predicate interval (including empty
+    and table-spanning ones)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_app_spark.sources.sinks import (
+        read_stats_pruned,
+        write_stats_manifest,
+    )
+
+    hi = lo + width
+    path = str(tmp_path_factory.mktemp("sp") / "t")
+    df = spark.createDataFrame([(v,) for v in rows], "k long")
+    df.repartitionByRange(4, "k").write.parquet(path)
+    write_stats_manifest(spark, path, "k")
+
+    pruned = sorted(
+        r["k"]
+        for r in read_stats_pruned(spark, path, lo, hi)
+        .where(F.col("k").between(lo, hi))
+        .collect()
+    )
+    full = sorted(v for v in rows if lo <= v <= hi)
+    assert pruned == full

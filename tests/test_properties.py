@@ -505,3 +505,29 @@ def test_derived_partsupp_shape(spark, sf_dir):
     assert per_part.agg(F.max("count")).first()[0] <= 4
     # deterministic: two derivations are identical
     assert derived_partsupp(t).exceptAll(ps).count() == 0
+
+
+def test_incremental_dedup_is_cross_partition_slice_of_audit(spark, sf_dir):
+    """q_dedup_incremental must equal q_minhash_audit's banded pair
+    set restricted to (new batch x standing corpus): same signatures,
+    same banding, just one side filtered — and every emitted pair
+    collides in a full band, so est_jaccard >= 0.5."""
+    from lakehouse_app_spark.registry import QUERIES
+
+    inc = QUERIES["q_dedup_incremental"](spark, sf_dir).collect()
+    audit = QUERIES["q_minhash_audit"](spark, sf_dir).collect()
+
+    for r in inc:
+        assert r["new_id"] % 10 == 7 and r["corpus_id"] % 10 != 7
+        assert r["est_jaccard"] >= 0.5
+
+    cross_audit = {
+        (r["a_id"], r["b_id"], r["est_jaccard"])
+        for r in audit
+        if (r["a_id"] % 10 == 7) != (r["b_id"] % 10 == 7)
+    }
+    cross_inc = {
+        tuple(sorted((r["new_id"], r["corpus_id"]))) + (r["est_jaccard"],)
+        for r in inc
+    }
+    assert cross_inc == cross_audit
