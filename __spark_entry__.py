@@ -72,7 +72,7 @@ _SHOWCASE = [
 # round-6 additions first (never sampled), then the oldest-green
 # cycle continues.
 _NEXT_UP = [
-    "q_dedup_incremental", "q_stats_prune",
+    "q_dedup_incremental", "q_stats_prune", "q_stream_incremental_dedup",
     "q_join_anti", "q_join_range", "q_join_asof", "q_join_salted",
     "q_join_interval_bucket", "q_agg_pricing",
 ]

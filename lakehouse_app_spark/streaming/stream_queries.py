@@ -856,3 +856,130 @@ def q_stream_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", F.explode("hits").alias("h")).select(
         "qid", F.col("h.v").alias("vec_id"), F.col("h.s").alias("sim")
     )
+
+
+# ------------------------------------------- streaming ingest dedup
+
+_DOC_STREAM_DIRS: dict[str, str] = {}
+
+
+def _staged_new_docs_dir(spark: SparkSession, sf_dir: str) -> str:
+    """The arriving document batch (doc_id % 10 = 7) staged as a
+    parquet dir so it can replay as a bounded file stream."""
+    if sf_dir not in _DOC_STREAM_DIRS:
+        d = tempfile.mkdtemp(prefix="docs_stream_")
+        (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .where(F.col("doc_id") % 10 == 7)
+            # several files → the replay batch signs in parallel
+            # (a 1-file stage would shingle single-threaded)
+            .repartition(8)
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+        _DOC_STREAM_DIRS[sf_dir] = d
+    return _DOC_STREAM_DIRS[sf_dir]
+
+
+from lakehouse_app_spark.operators.dedup_ext import (  # noqa: E402
+    _incremental_oracle,
+)
+
+
+@query("q_stream_incremental_dedup", oracle=_incremental_oracle())
+def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[[q_dedup_incremental]]'s ingest topology as a LIVE stream —
+    how a standing 100 TB corpus actually admits data: documents
+    arrive on a stream, each micro-batch is signed scan-locally
+    (shingles → 4 portable affine MinHashes, pure expressions, no
+    state), band-bucket rows posexplode from the signatures, and a
+    stateless stream-static equi-join against the STORED corpus
+    signature layout emits the quarantine pairs continuously. No
+    watermark and no state store: signature projection is per-row,
+    and the static side is re-planned (and broadcast) per batch, so
+    the stream's cost is O(batch), independent of corpus size —
+    corpus text is never read at all.
+
+    Oracle = stream-batch duality with [[q_dedup_incremental]]: the
+    bounded replay must produce exactly the batch result, so it
+    shares that query's oracle SQL (registered below via the
+    registry, keeping the recipe in one place)."""
+    from lakehouse_app_spark.operators.corpus_prep import _MH_PARAMS
+    from lakehouse_app_spark.operators.dedup import word_shingles
+    from lakehouse_app_spark.operators.dedup_ext import (
+        _mh_sig_cols,
+        minhash_sig_table,
+    )
+
+    ensure_runtime_confs(spark)
+    n_mh = len(_MH_PARAMS)
+    staged = _staged_new_docs_dir(spark, sf_dir)
+    schema = spark.read.parquet(staged).schema
+
+    def bucket_arr(pfx: str):
+        return F.array(
+            F.struct(
+                F.col(f"{pfx}mh0").alias("h1"), F.col(f"{pfx}mh1").alias("h2")
+            ),
+            F.struct(
+                F.col(f"{pfx}mh2").alias("h1"), F.col(f"{pfx}mh3").alias("h2")
+            ),
+        )
+
+    new_sig = (
+        spark.readStream.schema(schema)
+        .parquet(staged)
+        .select("doc_id", F.lower(F.col("text")).alias("text"))
+        .select("doc_id", word_shingles(3).alias("toks"))
+        .where(F.size("toks") > 0)
+        .select(F.col("doc_id").alias("new_id"), *_mh_sig_cols())
+        .withColumnsRenamed({f"mh{i}": f"n_mh{i}" for i in range(n_mh)})
+    )
+    nb = new_sig.select(
+        "new_id",
+        *[f"n_mh{i}" for i in range(n_mh)],
+        F.posexplode(bucket_arr("n_")).alias("band", "b"),
+    ).select(
+        "new_id",
+        *[f"n_mh{i}" for i in range(n_mh)],
+        "band",
+        F.col("b.h1").alias("n_h1"),
+        F.col("b.h2").alias("n_h2"),
+    )
+
+    corpus = minhash_sig_table(spark, sf_dir).where(
+        F.col("doc_id") % 10 != 7
+    ).select(
+        F.col("doc_id").alias("corpus_id"),
+        *[F.col(f"mh{i}").alias(f"c_mh{i}") for i in range(n_mh)],
+    )
+    cb = corpus.select(
+        "corpus_id",
+        *[f"c_mh{i}" for i in range(n_mh)],
+        F.posexplode(bucket_arr("c_")).alias("band", "b"),
+    ).select(
+        "corpus_id",
+        *[f"c_mh{i}" for i in range(n_mh)],
+        F.col("band").alias("c_band"),
+        F.col("b.h1").alias("c_h1"),
+        F.col("b.h2").alias("c_h2"),
+    )
+
+    est = (
+        sum(
+            F.when(F.col(f"n_mh{i}") == F.col(f"c_mh{i}"), 1).otherwise(0)
+            for i in range(n_mh)
+        )
+        / 4.0
+    )
+    joined = (
+        nb.join(
+            F.broadcast(cb),
+            (F.col("band") == F.col("c_band"))
+            & (F.col("n_h1") == F.col("c_h1"))
+            & (F.col("n_h2") == F.col("c_h2")),
+        )
+        .dropDuplicates(["new_id", "corpus_id"])
+        .select("new_id", "corpus_id", F.round(est, 6).alias("est_jaccard"))
+    )
+    return run_to_memory(joined, "stream_inc_dedup", output_mode="append")
