@@ -95,6 +95,7 @@ def _measure_stream_floor(spark, runs: int = 5) -> tuple[float, float]:
         # 32-store worst case
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "2")
+        ckpt = tempfile.mkdtemp(prefix="ckpt_floor_", dir=_checkpoint_root())
         t0 = time.perf_counter()
         try:
             q = (
@@ -102,16 +103,16 @@ def _measure_stream_floor(spark, runs: int = 5) -> tuple[float, float]:
                 .queryName(name)
                 .outputMode("append")
                 .trigger(availableNow=True)
-                .option(
-                    "checkpointLocation",
-                    tempfile.mkdtemp(prefix="ckpt_floor_", dir=_checkpoint_root()),
-                )
+                .option("checkpointLocation", ckpt)
                 .start()
             )
             q.awaitTermination()
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         dt = time.perf_counter() - t0
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
         spark.catalog.dropTempView(name)
         return dt
 

@@ -42,10 +42,14 @@ def layout_base() -> str:
     return os.environ.get("SPARK_GRAFT_LAYOUT_DIR", _DEFAULT_BASE)
 
 
-# (name, sf_dir) -> committed data path. In-process memo only skips
-# the fingerprint+manifest stat calls; the durable commit under
-# layout_base() is what a fresh process reuses.
-_BUILT: dict[tuple[str, str], str] = {}
+# fingerprinted table dir -> committed data path. The memo key
+# embeds the corpus fingerprint, so an in-process corpus
+# regeneration (or a gc sweep of the old fingerprint) can never
+# serve a stale or deleted path — re-fingerprinting costs a handful
+# of stat calls per lookup, which is what makes the staleness
+# guarantee hold. The durable commit under layout_base() is what a
+# fresh process reuses.
+_BUILT: dict[str, str] = {}
 
 
 def corpus_fingerprint(sf_dir: str) -> str:
@@ -110,17 +114,16 @@ def derived_table(
     data files but never a readable half-commit; a concurrent loser
     whose ``v=<n>`` write collides simply re-reads the winner's
     commit."""
-    key = (name, sf_dir)
-    hit = _BUILT.get(key)
+    tdir = _table_dir(name, sf_dir)
+    hit = _BUILT.get(tdir)
     if hit is not None:
         return spark.read.parquet(hit)
 
-    tdir = _table_dir(name, sf_dir)
     ver = _committed_version(tdir)
     if ver is None:
         ver = _commit_build(tdir, sf_dir, build, partition_by)
     data_dir = os.path.join(tdir, f"v={ver}")
-    _BUILT[key] = data_dir
+    _BUILT[tdir] = data_dir
     return spark.read.parquet(data_dir)
 
 
@@ -186,10 +189,10 @@ def layout_path(name: str, sf_dir: str) -> str | None:
     """Committed data path for a layout (None if never built). Unlike
     the pre-round-6 tempdir scheme this answers from the durable
     catalog, so it works in a process that never built the layout."""
-    hit = _BUILT.get((name, sf_dir))
+    tdir = _table_dir(name, sf_dir)
+    hit = _BUILT.get(tdir)
     if hit is not None:
         return hit
-    tdir = _table_dir(name, sf_dir)
     ver = _committed_version(tdir)
     return None if ver is None else os.path.join(tdir, f"v={ver}")
 

@@ -96,38 +96,74 @@ class RestJsonReader(DataSourceReader):
 
 
 class _JsonlCommit(WriterCommitMessage):
-    pass
+    def __init__(self, tmp: str, final: str):
+        self.tmp = tmp
+        self.final = final
 
 
 class RestJsonWriter(DataSourceWriter):
-    def __init__(self, options: dict):
+    """JSONL writer with a two-phase commit: tasks write dot-prefixed
+    temp files (invisible to list-based readers), the driver-side
+    ``commit`` renames them into place and drops a ``_SUCCESS``
+    marker, and ``abort`` removes the temps — so a failed job never
+    leaves half its partitions masquerading as committed output.
+    ``overwrite`` clears prior part files up front, so a smaller
+    overwrite can't leave stale high-numbered parts mixed in."""
+
+    def __init__(self, options: dict, overwrite: bool):
         self.path = options["path"]
+        if overwrite and os.path.isdir(self.path):
+            for f in os.listdir(self.path):
+                if f.startswith("part-") or f == "_SUCCESS":
+                    os.remove(os.path.join(self.path, f))
 
     def write(self, iterator: Iterator[Row]) -> WriterCommitMessage:
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
         os.makedirs(self.path, exist_ok=True)
-        out = os.path.join(self.path, f"part-{pid:05d}.jsonl")
-        with open(out, "w", encoding="utf-8") as fh:
+        final = os.path.join(self.path, f"part-{pid:05d}.jsonl")
+        tmp = os.path.join(self.path, f".part-{pid:05d}.jsonl.inprogress")
+        with open(tmp, "w", encoding="utf-8") as fh:
             for row in iterator:
                 fh.write(json.dumps(row.asDict()) + "\n")
-        return _JsonlCommit()
+        return _JsonlCommit(tmp, final)
+
+    def commit(self, messages) -> None:
+        for m in messages:
+            if m is not None:
+                os.replace(m.tmp, m.final)
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            fh.write("")
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(m.tmp)
+                except FileNotFoundError:
+                    pass
 
 
 class RestJsonStreamReader(SimpleDataSourceStreamReader):
     """Incremental (streaming) variant of the connector: each
     micro-batch picks up payload files that arrived since the last
     committed offset. The offset stores the NAME of the last consumed
-    file (not a count): a batch consumes exactly the files whose
-    names sort strictly after it, so a late-arriving file that sorts
-    before already-consumed names can never shift indices and cause a
-    silent skip or re-read on checkpoint replay — it is simply picked
-    up (or, if it sorts before the watermark name, surfaced by the
-    strictly-greater rule rather than corrupting the stream). The
-    offset stays O(1) regardless of directory size and
-    ``readBetweenOffsets`` (failure replay) is a pure name-range
-    filter. This is the reference's poll loop
+    file (not a count), so a batch consumes exactly the files whose
+    names sort strictly after it: the offset stays O(1) regardless of
+    directory size, and ``readBetweenOffsets`` (failure replay) is a
+    pure name-range filter — exactly-once replay under ANY listing
+    change, because a name range is stable where a count is not.
+
+    Source CONTRACT (the price of O(1) offsets): producers must name
+    files monotonically (timestamp/sequence prefixes — what every
+    log-shipping layout does). A file landing with a name that sorts
+    at or below the committed watermark is intentionally never read:
+    consuming it would make replayed batches differ from their first
+    run and silently break exactly-once. Producers that can't
+    guarantee ordering need a seen-set source (Spark's built-in file
+    source keeps one) — a different trade, documented here rather
+    than half-made. This is the reference's poll loop
     (`lakehouse_app_helpers.py:69-75`) re-expressed as an
     exactly-once Structured Streaming source."""
 
@@ -147,8 +183,14 @@ class RestJsonStreamReader(SimpleDataSourceStreamReader):
         return {"last": ""}
 
     def _boundary(self, start: dict, files: list[str]) -> str:
-        """Consumed-watermark name for an offset; legacy ``{"idx": n}``
-        checkpoints (count-based) upgrade via the current listing."""
+        """Consumed-watermark name for an offset. Legacy ``{"idx": n}``
+        (count-based) checkpoints upgrade via the current listing's
+        first ``n`` names — best-effort: if files were INSERTED below
+        the old boundary since the checkpoint, the reconstructed
+        watermark is lower and already-consumed files replay
+        (at-least-once, never loss); only deleting consumed files
+        from the directory (outside the source contract) could push
+        it higher. New checkpoints always carry the name."""
         if "last" in start:
             return start["last"]
         consumed = files[: start.get("idx", 0)]
@@ -199,6 +241,12 @@ class RestJsonDataSource(DataSource):
             files = sorted(
                 f for f in os.listdir(self.options["path"]) if f.endswith(".json")
             )
+            if not files:
+                raise ValueError(
+                    "rest_json: no .json payloads under "
+                    f"{self.options['path']!r} and no 'columns' option — "
+                    "schema inference needs at least one file"
+                )
             first = os.path.join(self.options["path"], files[0])
             recs = _load_records(first, self.options.get("envelope"))
             names = sorted({k for r in recs for k in r})
@@ -208,7 +256,7 @@ class RestJsonDataSource(DataSource):
         return RestJsonReader(schema, self.options)
 
     def writer(self, schema: StructType, overwrite: bool) -> RestJsonWriter:
-        return RestJsonWriter(self.options)
+        return RestJsonWriter(self.options, overwrite)
 
     def simpleStreamReader(self, schema: StructType) -> RestJsonStreamReader:
         return RestJsonStreamReader(schema, self.options)

@@ -49,10 +49,13 @@ def write_bucketed_table(
     from urllib.parse import urlparse as _urlparse
 
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-    wh = _urlparse(spark.conf.get("spark.sql.warehouse.dir"))
-    loc = _os.path.join(wh.path or wh.netloc, table_name.lower())
-    _shutil.rmtree(loc, ignore_errors=True)
+    if mode == "overwrite":
+        # destructive preamble is overwrite-only: append must never
+        # drop the existing table/location it is appending to
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        wh = _urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+        loc = _os.path.join(wh.path or wh.netloc, table_name.lower())
+        _shutil.rmtree(loc, ignore_errors=True)
     (
         df.write.format(fmt)
         .mode(mode)
@@ -126,8 +129,11 @@ def zorder_key(x, y, bits: int = 16):
     Pure bit arithmetic: shifts/masks only, no UDF."""
     from pyspark.sql import functions as F
 
-    xx = F.col(x) if isinstance(x, str) else x
-    yy = F.col(y) if isinstance(y, str) else y
+    # bigint domain: with int32 inputs, y's bit (bits-1) would shift
+    # to position 2*bits-1 = the int32 sign bit at the default 16,
+    # flipping keys negative and destroying range locality
+    xx = (F.col(x) if isinstance(x, str) else x).cast("bigint")
+    yy = (F.col(y) if isinstance(y, str) else y).cast("bigint")
     parts = []
     for b in range(bits):
         parts.append(
@@ -362,6 +368,13 @@ def read_stats_pruned(
 
     with open(_os.path.join(path, "_stats.json")) as fh:
         stats = _json.loads(fh.read())
+    # non-JSON-native stats (date/timestamp keys) were stored via
+    # str(); compare bounds in the same domain — ISO-8601 strings
+    # order like their values. (Decimal keys would not: keep those
+    # out of the stats column or widen to double at write time.)
+    sample = next(iter(stats["files"].values()), None)
+    if sample is not None and isinstance(sample[0], str):
+        lo, hi = str(lo), str(hi)
     files = [
         f
         for f, (flo, fhi) in stats["files"].items()

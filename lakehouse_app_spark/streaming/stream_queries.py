@@ -43,11 +43,21 @@ def _staged_events_dir(sf_dir: str) -> str:
     if sf_dir not in _STREAM_DIRS:
         d = tempfile.mkdtemp(prefix="events_stream_")
         src = f"{sf_dir}/events.parquet"
-        dst = f"{d}/events.parquet"
-        try:
-            os.link(src, dst)
-        except OSError:
-            shutil.copyfile(src, dst)
+        if os.path.isdir(src):
+            # directory-style parquet table: stage its data files
+            for f in sorted(os.listdir(src)):
+                if f.startswith(("_", ".")):
+                    continue
+                try:
+                    os.link(os.path.join(src, f), os.path.join(d, f))
+                except OSError:
+                    shutil.copyfile(os.path.join(src, f), os.path.join(d, f))
+        else:
+            dst = f"{d}/events.parquet"
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copyfile(src, dst)
         _STREAM_DIRS[sf_dir] = d
     return _STREAM_DIRS[sf_dir]
 
@@ -91,21 +101,23 @@ def run_to_memory(
     name = f"{name_prefix}_{next(_counter)}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_", dir=_checkpoint_root())
     try:
         q = (
             df.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
             .trigger(availableNow=True)
-            .option(
-                "checkpointLocation",
-                tempfile.mkdtemp(prefix=f"ckpt_{name}_", dir=_checkpoint_root()),
-            )
+            .option("checkpointLocation", ckpt)
             .start()
         )
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        # the replay ran to completion and the result lives in the
+        # memory sink — the checkpoint's WAL/state tree is dead
+        # weight in the RAM-backed scratch dir; reclaim it
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
@@ -321,20 +333,19 @@ def q_stream_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pin the state partition count the same way
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "2")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_foreach_", dir=_checkpoint_root())
     try:
         q = (
             agg.writeStream.foreachBatch(write_batch)
             .outputMode("complete")
             .trigger(availableNow=True)
-            .option(
-                "checkpointLocation",
-                tempfile.mkdtemp(prefix="ckpt_foreach_", dir=_checkpoint_root()),
-            )
+            .option("checkpointLocation", ckpt)
             .start()
         )
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(out_dir).select("event_type", "n", "batch_id")
 
 
@@ -411,7 +422,6 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     State is one row per user; the sort runs over the aggregate's
     output, never the raw stream. Oracle = the batch duality query.
     """
-    load_tables(spark, sf_dir)
     stream = events_stream(spark, sf_dir)
     ranked = (
         stream.groupBy("user_id")

@@ -594,7 +594,7 @@ def test_layout_catalog_survives_process_restart(spark, sf_dir, tmp_path, monkey
 
     # simulate process death: wipe the in-process memo; a rebuild
     # attempt would trip the booby-trapped builder
-    L._BUILT.pop(("t_restart", sf_dir), None)
+    L._BUILT.pop(L._table_dir("t_restart", sf_dir), None)
 
     def must_not_build():
         raise AssertionError("layout rebuilt despite durable commit")
@@ -709,3 +709,48 @@ def test_stats_pruned_reader_empty_intersection_keeps_schema(spark, tmp_path):
     out = read_stats_pruned(spark, path, 10_000, 20_000)
     assert out.columns == ["id", "k"]
     assert out.count() == 0
+
+
+def test_rest_json_writer_two_phase_commit_and_overwrite(spark, tmp_path):
+    """Round-6 review fixes: tasks write dot-prefixed temps that the
+    driver-side commit renames (plus a _SUCCESS marker), and
+    overwrite clears prior part files so a smaller write can't leave
+    stale high-numbered parts mixed in."""
+    import os
+
+    from lakehouse_app_spark.sources.rest_json_source import (
+        register_rest_json_source,
+    )
+
+    register_rest_json_source(spark)
+    out = tmp_path / "w"
+    df8 = spark.range(16).selectExpr("CAST(id AS STRING) AS v").repartition(8)
+    df8.write.format("rest_json").option("path", str(out)).mode(
+        "overwrite"
+    ).save()
+    names = sorted(os.listdir(out))
+    assert "_SUCCESS" in names
+    assert sum(n.startswith("part-") for n in names) == 8
+    assert not any(n.endswith(".inprogress") for n in names)
+
+    df2 = spark.range(4).selectExpr("CAST(id AS STRING) AS v").repartition(2)
+    df2.write.format("rest_json").option("path", str(out)).mode(
+        "overwrite"
+    ).save()
+    names = sorted(os.listdir(out))
+    assert sum(n.startswith("part-") for n in names) == 2  # no stale parts
+    back = spark.read.json(str(out / "part-*.jsonl"))
+    assert back.count() == 4
+
+
+def test_bucketed_write_append_preserves_existing_rows(spark, tmp_path):
+    """write_bucketed_table(mode='append') must never run the
+    overwrite path's drop/rmtree preamble — appending doubles the
+    rows, it doesn't replace them."""
+    from lakehouse_app_spark.sources.sinks import write_bucketed_table
+
+    df = spark.range(10).selectExpr("id AS k", "id * 2 AS v")
+    write_bucketed_table(df, "t_bkt_append", "k", n_buckets=4)
+    write_bucketed_table(df, "t_bkt_append", "k", n_buckets=4, mode="append")
+    assert spark.table("t_bkt_append").count() == 20
+    spark.sql("DROP TABLE IF EXISTS t_bkt_append")
