@@ -68,6 +68,35 @@ def q_ann_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _query_vec(t) -> DataFrame:
+    """The benchmark query vector (vec_id 0) as a 1-row broadcastable
+    frame — shared by every IVF query so the query-side projection
+    cannot drift between them."""
+    return t.embeddings.where(F.col("vec_id") == 0).select(
+        as_double_array("embedding").alias("qv")
+    )
+
+
+def _probe_ids(cents: DataFrame, qv: DataFrame) -> list[int]:
+    """Rank the centroids against the query vector and collect the
+    top-N_PROBE cluster ids — coordinator-side index METADATA (a
+    centroid-sized job, 2-row result) that both IVF queries inline
+    as a literal partition filter. One copy, one tie-break."""
+    return [
+        r["cid"]
+        for r in (
+            cents.join(F.broadcast(qv))
+            .select(
+                "cid",
+                F.round(cosine_sim(F.col("cvec"), F.col("qv")), 6).alias("psim"),
+            )
+            .orderBy(F.col("psim").desc(), F.col("cid"))
+            .limit(N_PROBE)
+            .collect()
+        )
+    ]
+
+
 @query(
     "q_ann_ivf",
     oracle=f"""
@@ -100,23 +129,8 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`app/vector_search.py:29-33`)."""
     cents, assigned = ivf_index(spark, sf_dir, "ivf8", N_CENTROIDS, KM_ITERS)
     t = load_tables(spark, sf_dir)
-    qv = (
-        t.embeddings.where(F.col("vec_id") == 0)
-        .select(as_double_array("embedding").alias("qv"))
-    )
-    probes = [
-        r["cid"]
-        for r in (
-            cents.join(F.broadcast(qv))
-            .select(
-                "cid",
-                F.round(cosine_sim(F.col("cvec"), F.col("qv")), 6).alias("psim"),
-            )
-            .orderBy(F.col("psim").desc(), F.col("cid"))
-            .limit(N_PROBE)
-            .collect()
-        )
-    ]
+    qv = _query_vec(t)
+    probes = _probe_ids(cents, qv)
     return (
         assigned.where(F.col("cid").isin(probes))
         .join(F.broadcast(qv))
@@ -127,6 +141,67 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sim").desc(), F.col("vec_id"))
         .limit(TOP_K)
     )
+
+
+def _audit_frames(spark: SparkSession, sf_dir: str):
+    """Shared scaffolding of the two IVF audits ([[q_ann_recall]],
+    [[q_retrieval_ndcg]]): the sampled query set (every 100th id),
+    the per-query probed clusters, a rank-top-k factory, and ONE
+    persisted |corpus|x|queries| scoring pass over the total
+    assignment that serves both the exhaustive and IVF arms. One
+    copy keeps the tie-breaks and rounding bit-identical across both
+    audits and their oracles."""
+    cents, assigned = ivf_index(spark, sf_dir, "ivf8", N_CENTROIDS, KM_ITERS)
+    t = load_tables(spark, sf_dir)
+    qs = t.embeddings.where(F.col("vec_id") % 100 == 1).select(
+        F.col("vec_id").alias("qid"), as_double_array("embedding").alias("qv")
+    )
+    wq = Window.partitionBy("qid")
+    probed = (
+        qs.join(F.broadcast(cents))
+        .select(
+            "qid",
+            "cid",
+            F.round(cosine_sim(F.col("cvec"), F.col("qv")), 6).alias("psim"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(wq.orderBy(F.col("psim").desc(), F.col("cid"))),
+        )
+        .where(F.col("rn") <= N_PROBE)
+        .select("qid", "cid")
+    )
+
+    def rank(df: DataFrame, *cols: str) -> DataFrame:
+        return (
+            df.withColumn(
+                "rn",
+                F.row_number().over(
+                    wq.orderBy(F.col("sim").desc(), F.col("vec_id"))
+                ),
+            )
+            .where(F.col("rn") <= TOP_K)
+            .select(*cols)
+        )
+
+    # ONE scoring pass serves both arms: the stored assignment table
+    # contains every vector (assignment is total) plus its cid, so
+    # score once (spread across cores — the scan arrives
+    # single-partition), persist the slim (qid, vec_id, cid, sim)
+    # result, and derive the exhaustive ranking from all rows and
+    # the IVF ranking from the probed-(qid, cid) subset.
+    scored = (
+        spread(assigned)
+        .join(F.broadcast(qs))
+        .select(
+            "qid",
+            "vec_id",
+            "cid",
+            F.round(cosine_sim(F.col("emb"), F.col("qv")), 6).alias("sim"),
+        )
+        .transform(scoped_persist)
+    )
+    return probed, scored, rank
 
 
 @query(
@@ -184,57 +259,9 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query WindowGroupLimit; the IVF arm scores only probed
     clusters. At 100 TB you sample queries, never audit all of them
     — the shape is unchanged."""
-    centroids, assigned = ivf_index(
-        spark, sf_dir, "ivf8", N_CENTROIDS, KM_ITERS
-    )
-    t = load_tables(spark, sf_dir)
-    qs = t.embeddings.where(F.col("vec_id") % 100 == 1).select(
-        F.col("vec_id").alias("qid"), as_double_array("embedding").alias("qv")
-    )
-
-    wq = Window.partitionBy("qid")
-    probed = (
-        qs.join(F.broadcast(centroids))
-        .select(
-            "qid",
-            "cid",
-            F.round(cosine_sim(F.col("cvec"), F.col("qv")), 6).alias("psim"),
-        )
-        .withColumn(
-            "rn",
-            F.row_number().over(wq.orderBy(F.col("psim").desc(), F.col("cid"))),
-        )
-        .where(F.col("rn") <= N_PROBE)
-        .select("qid", "cid")
-    )
-    score_rank = lambda df: (  # noqa: E731
-        df.withColumn(
-            "rn",
-            F.row_number().over(wq.orderBy(F.col("sim").desc(), F.col("vec_id"))),
-        )
-        .where(F.col("rn") <= TOP_K)
-        .select("qid", "vec_id")
-    )
-    # ONE scoring pass serves both arms: the stored assignment table
-    # contains every vector (assignment is total) plus its cid, so
-    # score |corpus|×|queries| once (spread across cores — the scan
-    # arrives single-partition), persist the slim (qid, vec_id, cid,
-    # sim) result, and derive the exhaustive ranking from all rows
-    # and the IVF ranking from the probed-(qid, cid) subset. The old
-    # shape ran the 64-dim fold twice — once per arm.
-    scored = (
-        spread(assigned)
-        .join(F.broadcast(qs))
-        .select(
-            "qid",
-            "vec_id",
-            "cid",
-            F.round(cosine_sim(F.col("emb"), F.col("qv")), 6).alias("sim"),
-        )
-        .transform(scoped_persist)
-    )
-    ivf = score_rank(scored.join(F.broadcast(probed), ["qid", "cid"]))
-    exact = score_rank(scored)
+    probed, scored, rank = _audit_frames(spark, sf_dir)
+    ivf = rank(scored.join(F.broadcast(probed), ["qid", "cid"]), "qid", "vec_id")
+    exact = rank(scored, "qid", "vec_id")
     hit = ivf.withColumn("hit", F.lit(1))
     return (
         exact.join(hit, ["qid", "vec_id"], "left")
@@ -451,23 +478,8 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DuckDB oracle."""
     cents, assigned = ivf_index(spark, sf_dir, "ivf8", N_CENTROIDS, KM_ITERS)
     t = load_tables(spark, sf_dir)
-    qv = (
-        t.embeddings.where(F.col("vec_id") == 0)
-        .select(as_double_array("embedding").alias("qv"))
-    )
-    probes = [
-        r["cid"]
-        for r in (
-            cents.join(F.broadcast(qv))
-            .select(
-                "cid",
-                F.round(cosine_sim(F.col("cvec"), F.col("qv")), 6).alias("psim"),
-            )
-            .orderBy(F.col("psim").desc(), F.col("cid"))
-            .limit(N_PROBE)
-            .collect()
-        )
-    ]
+    qv = _query_vec(t)
+    probes = _probe_ids(cents, qv)
     pv = assigned.where(F.col("cid").isin(probes)).select("vec_id", "emb")
 
     sub = lambda c, j: F.slice(c, j * PQ_DSUB + 1, PQ_DSUB)  # noqa: E731
@@ -653,50 +665,13 @@ def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     both arms reuse q_ann_recall's (broadcast query set, probed
     partitions vs one full scored pass with WindowGroupLimit);
     the metric rollup is a qid-keyed aggregate over ≤5 rows each."""
-    cents, assigned = ivf_index(spark, sf_dir, "ivf8", N_CENTROIDS, KM_ITERS)
-    t = load_tables(spark, sf_dir)
-    qs = t.embeddings.where(F.col("vec_id") % 100 == 1).select(
-        F.col("vec_id").alias("qid"), as_double_array("embedding").alias("qv")
+    probed, scored, rank = _audit_frames(spark, sf_dir)
+    ivf = rank(
+        scored.join(F.broadcast(probed), ["qid", "cid"]), "qid", "vec_id", "rn"
     )
-    wq = Window.partitionBy("qid")
-    probed = (
-        qs.join(F.broadcast(cents))
-        .select(
-            "qid",
-            "cid",
-            F.round(cosine_sim(F.col("cvec"), F.col("qv")), 6).alias("psim"),
-        )
-        .withColumn(
-            "rn",
-            F.row_number().over(wq.orderBy(F.col("psim").desc(), F.col("cid"))),
-        )
-        .where(F.col("rn") <= N_PROBE)
-        .select("qid", "cid")
+    exact = rank(scored, "qid", "vec_id", "rn").withColumn(
+        "rel", F.lit(TOP_K + 1) - F.col("rn")
     )
-    rank = lambda df: (  # noqa: E731
-        df.withColumn(
-            "rn",
-            F.row_number().over(wq.orderBy(F.col("sim").desc(), F.col("vec_id"))),
-        )
-        .where(F.col("rn") <= TOP_K)
-        .select("qid", "vec_id", "rn")
-    )
-    # one scoring pass over the total assignment serves both arms
-    # (the q_ann_recall shape): exhaustive ranking from all rows,
-    # IVF ranking from the probed-(qid, cid) subset
-    scored = (
-        spread(assigned)
-        .join(F.broadcast(qs))
-        .select(
-            "qid",
-            "vec_id",
-            "cid",
-            F.round(cosine_sim(F.col("emb"), F.col("qv")), 6).alias("sim"),
-        )
-        .transform(scoped_persist)
-    )
-    ivf = rank(scored.join(F.broadcast(probed), ["qid", "cid"]))
-    exact = rank(scored).withColumn("rel", F.lit(TOP_K + 1) - F.col("rn"))
 
     gain = F.round(
         F.coalesce(F.col("rel"), F.lit(0)) / F.log2(F.col("i.rn") + 1), 6

@@ -116,13 +116,19 @@ def shingle_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh_all = spread(t.documents).select(
             "doc_id", F.explode(word_shingles(3)).alias("s")
         )
-        rare = (
+        # broadcast the SMALL side of the DF cap: frequent shingles
+        # (df > cap) are a bounded, tiny set at any corpus size,
+        # while the rare tail is ~the whole vocabulary — broadcasting
+        # the tail would blow the driver at scale (review r6)
+        frequent = (
             sh_all.groupBy("s")
             .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") <= SHINGLE_DF_CAP)
+            .where(F.col("df") > SHINGLE_DF_CAP)
             .select("s")
         )
-        return sh_all.join(F.broadcast(rare), "s").select("doc_id", "s")
+        return sh_all.join(F.broadcast(frequent), "s", "left_anti").select(
+            "doc_id", "s"
+        )
 
     return derived_table(spark, "sh3_df20", sf_dir, build)
 
@@ -354,9 +360,12 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(cand.select(F.col("b_id").alias("doc_id")))
         .distinct()
     )
+    # filter FIRST: candidates are ~0.1% of docs, so semi-join before
+    # any exchange — round-robin the survivors, not the corpus
+    # (review r6; q_dedup_incremental's filter-first shape)
     toks = (
-        spread(t.documents)
-        .join(cand_ids, "doc_id", "left_semi")
+        t.documents.join(cand_ids, "doc_id", "left_semi")
+        .transform(spread)
         .select("doc_id", F.explode(word_shingles(3)).alias("token"))
         .transform(scoped_persist)
     )

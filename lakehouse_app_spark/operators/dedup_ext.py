@@ -301,6 +301,48 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -------------------------------------------- MinHash estimator audit
 
 
+def _banded_pairs(sig) -> DataFrame:
+    """2x2-banded candidate pairs over a 4-hash signature table —
+    the ONE copy of the banding predicate shared by the estimator
+    audit, the from-layout integrity check, and (via the same mh0/1
+    + mh2/3 grouping) the incremental/streaming ingest variants.
+    Output carries a_mh*/b_mh* for :func:`_sig_est`."""
+    a = sig.select(
+        F.col("doc_id").alias("a_id"),
+        *[F.col(f"mh{i}").alias(f"a_mh{i}") for i in range(4)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("b_id"),
+        *[F.col(f"mh{i}").alias(f"b_mh{i}") for i in range(4)],
+    )
+    band1 = a.join(
+        b,
+        (F.col("a_mh0") == F.col("b_mh0"))
+        & (F.col("a_mh1") == F.col("b_mh1"))
+        & (F.col("a_id") < F.col("b_id")),
+    )
+    band2 = a.join(
+        b,
+        (F.col("a_mh2") == F.col("b_mh2"))
+        & (F.col("a_mh3") == F.col("b_mh3"))
+        & (F.col("a_id") < F.col("b_id")),
+    )
+    return band1.unionAll(band2).dropDuplicates(["a_id", "b_id"])
+
+
+def _sig_est(a_pfx: str = "a", b_pfx: str = "b"):
+    """Signature-parity Jaccard estimate (matching hashes / 4) —
+    shared by every banded-candidate consumer."""
+    return (
+        sum(
+            F.when(F.col(f"{a_pfx}_mh{i}") == F.col(f"{b_pfx}_mh{i}"), 1)
+            .otherwise(0)
+            for i in range(4)
+        )
+        / F.lit(4.0)
+    )
+
+
 def _mh_audit_oracle() -> str:
     eq = " + ".join(
         f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(4)
@@ -353,35 +395,17 @@ def q_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (previously it re-shingled and re-hashed all documents: ~5 s of
     # char-fold per run vs ~0.1% of docs actually audited).
     sig = minhash_sig_table(spark, sf_dir)
-    a = sig.select(
-        F.col("doc_id").alias("a_id"),
-        *[F.col(f"mh{i}").alias(f"a_mh{i}") for i in range(4)],
-    )
-    b = sig.select(
-        F.col("doc_id").alias("b_id"),
-        *[F.col(f"mh{i}").alias(f"b_mh{i}") for i in range(4)],
-    )
-    band1 = a.join(
-        b,
-        (F.col("a_mh0") == F.col("b_mh0"))
-        & (F.col("a_mh1") == F.col("b_mh1"))
-        & (F.col("a_id") < F.col("b_id")),
-    )
-    band2 = a.join(
-        b,
-        (F.col("a_mh2") == F.col("b_mh2"))
-        & (F.col("a_mh3") == F.col("b_mh3"))
-        & (F.col("a_id") < F.col("b_id")),
-    )
-    pairs = scoped_persist(band1.unionAll(band2).dropDuplicates(["a_id", "b_id"]))
+    pairs = scoped_persist(_banded_pairs(sig))
     cand_ids = (
         pairs.select(F.col("a_id").alias("doc_id"))
         .unionAll(pairs.select(F.col("b_id").alias("doc_id")))
         .distinct()
     )
+    # filter FIRST (review r6): semi-join down to candidate docs
+    # before any exchange, then round-robin only the survivors
     cand_toks = scoped_persist(
-        spread(t.documents)
-        .join(cand_ids, "doc_id", "left_semi")
+        t.documents.join(cand_ids, "doc_id", "left_semi")
+        .transform(spread)
         .select("doc_id", F.lower(F.col("text")).alias("text"))
         .select("doc_id", word_shingles(3).alias("toks"))
     )
@@ -396,13 +420,7 @@ def q_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "b_id",
     )
-    est = (
-        sum(
-            F.when(F.col(f"a_mh{i}") == F.col(f"b_mh{i}"), 1).otherwise(0)
-            for i in range(4)
-        )
-        / F.lit(4.0)
-    )
+    est = _sig_est()
     exact = F.size(F.array_intersect("a_toks", "b_toks")) / F.size(
         F.array_distinct(F.concat("a_toks", "b_toks"))
     ).cast("double")
@@ -479,37 +497,9 @@ def q_dedup_from_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures from text — the hash-match proves the STORED columns
     are bit-identical to a from-scratch recompute (write-path
     integrity), while the Spark plan never touches document text."""
-    sig = minhash_sig_table(spark, sf_dir)
-    a = sig.select(
-        F.col("doc_id").alias("a_id"),
-        *[F.col(f"mh{i}").alias(f"a_mh{i}") for i in range(4)],
-    )
-    b = sig.select(
-        F.col("doc_id").alias("b_id"),
-        *[F.col(f"mh{i}").alias(f"b_mh{i}") for i in range(4)],
-    )
-    band1 = a.join(
-        b,
-        (F.col("a_mh0") == F.col("b_mh0"))
-        & (F.col("a_mh1") == F.col("b_mh1"))
-        & (F.col("a_id") < F.col("b_id")),
-    )
-    band2 = a.join(
-        b,
-        (F.col("a_mh2") == F.col("b_mh2"))
-        & (F.col("a_mh3") == F.col("b_mh3"))
-        & (F.col("a_id") < F.col("b_id")),
-    )
-    pairs = band1.unionAll(band2).dropDuplicates(["a_id", "b_id"])
-    est = (
-        sum(
-            F.when(F.col(f"a_mh{i}") == F.col(f"b_mh{i}"), 1).otherwise(0)
-            for i in range(4)
-        )
-        / F.lit(4.0)
-    )
+    pairs = _banded_pairs(minhash_sig_table(spark, sf_dir))
     return pairs.select(
-        "a_id", "b_id", F.round(est, 6).alias("est_jaccard")
+        "a_id", "b_id", F.round(_sig_est(), 6).alias("est_jaccard")
     )
 
 
@@ -687,13 +677,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nb = bucketed(new, "n", "new_id")
     cb = bucketed(corpus, "c", "corpus_id")
-    est = (
-        sum(
-            F.when(F.col(f"n_mh{i}") == F.col(f"c_mh{i}"), 1).otherwise(0)
-            for i in range(4)
-        )
-        / 4.0
-    )
+    est = _sig_est("n", "c")
     return (
         nb.join(
             cb,

@@ -753,7 +753,11 @@ def arrow_norm_batches(batches):
         if n:
             m = vals.reshape(n, width)
             sq = np.cumsum(m * m, axis=1)  # sequential L->R accumulation
-            norms = np.round(np.sqrt(sq[:, -1]), 6)
+            # HALF_UP like Spark/DuckDB round() — np.round is
+            # banker's (half-to-even) and would diverge on a scaled
+            # value landing exactly on .5 (norms are non-negative,
+            # so floor(x*1e6 + 0.5) IS half-away-from-zero)
+            norms = np.floor(np.sqrt(sq[:, -1]) * 1e6 + 0.5) / 1e6
             vmax = m.max(axis=1)
         else:
             norms = vmax = np.zeros(0)

@@ -50,6 +50,13 @@ _SCOPED: list[DataFrame] = []
 
 _PLANS: dict[tuple[object, str, str], DataFrame] = {}
 
+# plan-key -> the DataFrames its builder scoped-persisted. A cache
+# HIT skips the builder, so the persists must be re-applied (and
+# re-registered for the next release_caches) or every consumer of a
+# shared intermediate would recompute it on repeat runs — silently
+# undoing the single-pass designs the persist exists for.
+_PLAN_SCOPED: dict[tuple[object, str, str], list[DataFrame]] = {}
+
 
 def session_key(spark: Any) -> object:
     """Stable identity for a live SparkSession. id(spark) can be
@@ -83,11 +90,15 @@ def prepared_plan(
     key = (session_key(spark), sf_dir, name)
     hit = _PLANS.get(key)
     if hit is not None:
+        for shared in _PLAN_SCOPED.get(key, []):
+            scoped_persist(shared)  # re-pin after any release_caches
         return hit
     before = _jobs_scheduled(spark)
+    scoped_before = len(_SCOPED)
     df = builder(spark, sf_dir)
     if before is not None and _jobs_scheduled(spark) == before:
         _PLANS[key] = df
+        _PLAN_SCOPED[key] = list(_SCOPED[scoped_before:])
     return df
 
 

@@ -91,3 +91,28 @@ def test_session_key_stable_and_not_address_based(spark):
     k1, k2 = session_key(spark), session_key(spark)
     assert k1 == k2 and k1 != id(spark)
     assert k1[0] == spark.sparkContext.applicationId
+
+
+def test_plan_cache_repersists_scoped_intermediates_on_hit(spark, sf_dir):
+    """A cached plan whose builder scoped-persisted a shared
+    intermediate must re-pin that intermediate on cache hits after
+    release_caches() — otherwise every consumer recomputes it and
+    the single-pass design silently degrades on repeat runs."""
+    from lakehouse_app_spark import runtime_cache as rc
+
+    def builder(s, d):
+        shared = rc.scoped_persist(s.range(100).selectExpr("id", "id*2 AS v"))
+        return shared.groupBy().sum("v")
+
+    a = rc.prepared_plan("__fake_shared__", builder, spark, sf_dir)
+    key = (rc.session_key(spark), sf_dir, "__fake_shared__")
+    (shared_df,) = rc._PLAN_SCOPED[key]
+    assert shared_df.storageLevel.useMemory
+    rc.release_caches()
+    assert not shared_df.storageLevel.useMemory
+    b = rc.prepared_plan("__fake_shared__", builder, spark, sf_dir)
+    assert b is a
+    assert shared_df.storageLevel.useMemory  # re-pinned on hit
+    rc.release_caches()
+    rc._PLANS.pop(key, None)
+    rc._PLAN_SCOPED.pop(key, None)
