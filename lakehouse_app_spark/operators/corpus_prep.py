@@ -36,6 +36,37 @@ MIN_AVG_TOKLEN = 2.5
 MAX_AVG_TOKLEN = 8.0
 
 
+def gate_features(*extra_cols: str):
+    """The C4 gate's feature projection over ``documents`` —
+    (n_tokens, avg_token_len, stop_ratio) plus any pass-through
+    columns — and the keep predicate, shared by [[q_corpus_gate]]
+    and [[q_dataset_card]] so the gate recipe (stopword list
+    included) lives in exactly one Spark expression tree."""
+    tk = F.split(F.col("text"), " ")
+    n_tokens = F.size(tk).cast("long")
+    n_spaces = F.length("text") - F.length(F.regexp_replace("text", " ", ""))
+    n_stop = F.size(
+        F.filter(
+            F.split(F.lower(F.col("text")), " "),
+            lambda w: w.isin("the", "a", "value"),
+        )
+    )
+    cols = [
+        *extra_cols,
+        n_tokens.alias("n_tokens"),
+        ((F.length("text") - n_spaces) / F.size(tk)).alias("avg_token_len"),
+        (n_stop / F.size(tk)).alias("stop_ratio"),
+    ]
+    ok = (
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("n_tokens") <= MAX_TOKENS)
+        & (F.col("stop_ratio") >= MIN_STOP_RATIO)
+        & (F.col("avg_token_len") >= MIN_AVG_TOKLEN)
+        & (F.col("avg_token_len") <= MAX_AVG_TOKLEN)
+    )
+    return cols, ok
+
+
 @query(
     "q_corpus_gate",
     oracle=f"""
@@ -73,28 +104,8 @@ def q_corpus_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison is bit-deterministic. Pure map work: at 100 TB this is
     a scan-local projection with zero shuffle."""
     t = load_tables(spark, sf_dir)
-    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
-    n_spaces = F.length("text") - F.length(F.regexp_replace("text", " ", ""))
-    n_alpha = F.length("text") - n_spaces
-    n_stop = F.size(
-        F.filter(
-            F.split(F.lower(F.col("text")), " "),
-            lambda tk: tk.isin("the", "a", "value"),
-        )
-    )
-    m = t.documents.select(
-        "doc_id",
-        n_tokens.alias("n_tokens"),
-        (n_alpha / F.size(F.split(F.col("text"), " "))).alias("avg_token_len"),
-        (n_stop / F.size(F.split(F.col("text"), " "))).alias("stop_ratio"),
-    )
-    ok = (
-        (F.col("n_tokens") >= MIN_TOKENS)
-        & (F.col("n_tokens") <= MAX_TOKENS)
-        & (F.col("stop_ratio") >= MIN_STOP_RATIO)
-        & (F.col("avg_token_len") >= MIN_AVG_TOKLEN)
-        & (F.col("avg_token_len") <= MAX_AVG_TOKLEN)
-    )
+    cols, ok = gate_features("doc_id")
+    m = t.documents.select(*cols)
     reason = (
         F.when(F.col("n_tokens") < MIN_TOKENS, "too_short")
         .when(F.col("n_tokens") > MAX_TOKENS, "too_long")
@@ -467,10 +478,15 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             _PHONE_RE,
             "<PHONE>",
         ).alias("redacted"),
-        F.size(F.expr(f"regexp_extract_all(body, '{_EMAIL_RE}', 0)"))
+        # Python-API patterns, NOT f-string-interpolated F.expr SQL:
+        # the SQL string-literal parser consumes backslashes, so an
+        # interpolated '\\.' silently became an any-char '.' and the
+        # count pattern diverged from the redaction pattern and the
+        # oracle (review r6, confirmed by repro)
+        F.size(F.regexp_extract_all("body", F.lit(_EMAIL_RE), F.lit(0)))
         .cast("long")
         .alias("n_emails"),
-        F.size(F.expr(f"regexp_extract_all(body, '{_PHONE_RE}', 0)"))
+        F.size(F.regexp_extract_all("body", F.lit(_PHONE_RE), F.lit(0)))
         .cast("long")
         .alias("n_phones"),
     )
@@ -607,29 +623,8 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     no joins, no windows, partial aggregation map-side, and the
     output is catalog-sized."""
     t = load_tables(spark, sf_dir)
-    tk = F.split(F.col("text"), " ")
-    n_tokens = F.size(tk).cast("long")
-    n_spaces = F.length("text") - F.length(F.regexp_replace("text", " ", ""))
-    n_stop = F.size(
-        F.filter(
-            F.split(F.lower(F.col("text")), " "),
-            lambda w: w.isin("the", "a", "value"),
-        )
-    )
-    m = t.documents.select(
-        "source",
-        "lang",
-        n_tokens.alias("n_tokens"),
-        ((F.length("text") - n_spaces) / F.size(tk)).alias("avg_token_len"),
-        (n_stop / F.size(tk)).alias("stop_ratio"),
-    )
-    ok = (
-        (F.col("n_tokens") >= MIN_TOKENS)
-        & (F.col("n_tokens") <= MAX_TOKENS)
-        & (F.col("stop_ratio") >= MIN_STOP_RATIO)
-        & (F.col("avg_token_len") >= MIN_AVG_TOKLEN)
-        & (F.col("avg_token_len") <= MAX_AVG_TOKLEN)
-    )
+    cols, ok = gate_features("source", "lang")
+    m = t.documents.select(*cols)
     return m.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),

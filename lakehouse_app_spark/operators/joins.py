@@ -435,13 +435,19 @@ def interval_bucket_pairs(ev: DataFrame, w_us: int) -> DataFrame:
             .cast("long")
             .alias("gap_sec"),
         )
-        .dropDuplicates(["a_id", "b_id"])
+        # no dedup needed: b carries exactly ONE bucket value and a's
+        # two replicas cover it, so a qualifying pair joins on exactly
+        # one bucket — a dropDuplicates here was a full extra shuffle
+        # that removed nothing (review r6; hypothesis-tested)
     )
 
 
 # ------------------------------------------------ bucketed co-located join
 
-_BUCKETED_BUILT: set[str] = set()
+# keyed by (session identity, sf_dir): the bucketed tables live in a
+# per-session in-memory catalog, so a fresh SparkSession in the same
+# process must rebuild/re-register them (review r6)
+_BUCKETED_BUILT: set[tuple[object, str]] = set()
 
 
 def _bucketed_tables(spark: SparkSession, sf_dir: str):
@@ -454,9 +460,12 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str):
 
     from lakehouse_app_spark.sources.sinks import write_bucketed_table
 
+    from lakehouse_app_spark.runtime_cache import session_key
+
     suffix = _re.sub(r"\W+", "_", sf_dir).strip("_")
     li, od = f"li_bkt_{suffix}", f"od_bkt_{suffix}"
-    if sf_dir not in _BUCKETED_BUILT:
+    key = (session_key(spark), sf_dir)
+    if key not in _BUCKETED_BUILT:
         t = load_tables(spark, sf_dir)
         write_bucketed_table(
             t.lineitem.select("l_orderkey", "l_extendedprice", "l_discount"),
@@ -470,7 +479,7 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str):
             "o_orderkey",
             n_buckets=8,
         )
-        _BUCKETED_BUILT.add(sf_dir)
+        _BUCKETED_BUILT.add(key)
     return spark.table(li), spark.table(od)
 
 

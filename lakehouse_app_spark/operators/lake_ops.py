@@ -26,10 +26,19 @@ def merge_upsert(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:
     scale both sides bucketed on the key ⇒ shuffle-free; with a
     transactional format the rewrite touches only matched files.
     """
-    u = updates.select([F.col(c).alias(f"_u_{c}") for c in updates.columns])
+    u = updates.select(
+        [F.col(c).alias(f"_u_{c}") for c in updates.columns]
+    ).withColumn("_u_present", F.lit(True))
     joined = base.join(u, base[key] == u[f"_u_{key}"], "full_outer")
+    # presence flag, NOT per-column coalesce: MERGE UPDATE takes the
+    # update row verbatim, including intentional NULLs — coalesce
+    # would silently keep the base value whenever an update column is
+    # NULL (review r6)
     merged = [
-        F.coalesce(F.col(f"_u_{c}"), F.col(c)).alias(c) for c in base.columns
+        F.when(F.col("_u_present"), F.col(f"_u_{c}"))
+        .otherwise(F.col(c))
+        .alias(c)
+        for c in base.columns
     ]
     return joined.select(merged)
 
@@ -46,11 +55,11 @@ def merge_upsert(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:
       SELECT -1, 0, 'N', 0.0, TIMESTAMP '2024-01-01', '0-NEW'
     )
     SELECT b.o_orderkey,
-           coalesce(u.o_custkey, b.o_custkey) AS o_custkey,
-           coalesce(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
-           coalesce(u.o_totalprice, b.o_totalprice) AS o_totalprice,
-           coalesce(u.o_orderdate, b.o_orderdate) AS o_orderdate,
-           coalesce(u.o_orderpriority, b.o_orderpriority) AS o_orderpriority
+           CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_custkey ELSE b.o_custkey END AS o_custkey,
+           CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus ELSE b.o_orderstatus END AS o_orderstatus,
+           CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice ELSE b.o_totalprice END AS o_totalprice,
+           CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderdate ELSE b.o_orderdate END AS o_orderdate,
+           CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderpriority ELSE b.o_orderpriority END AS o_orderpriority
     FROM orders b LEFT JOIN updates u ON b.o_orderkey = u.o_orderkey
     UNION ALL
     SELECT u.o_orderkey, u.o_custkey, u.o_orderstatus, u.o_totalprice,
@@ -171,7 +180,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", F.col("node")
     )
     cached = None  # the persisted frame behind `labels`, for unpersist
-    for _ in range(10):  # ≥ log2(max component size) rounds
+    converged = False
+    # plain min-label propagation needs DIAMETER rounds (log2 holds
+    # only for pointer-doubling variants); near-dup graphs are
+    # clique-like (diameter ~1-2), so 50 is a deep safety budget —
+    # and exhausting it without convergence is an ERROR, never a
+    # silently split component (review r6)
+    for _ in range(50):
         # propagate: candidate label = min over neighbors' labels
         neigh = (
             adj.join(labels, adj["dst"] == labels["node"])
@@ -199,8 +214,15 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         cached = new_labels
         labels = new_labels.drop("improved")
         if changed == 0:
+            converged = True
             break
     adj.unpersist()
+    if not converged:
+        raise RuntimeError(
+            "connected components did not converge within the round "
+            "budget — graph diameter exceeds 50; use the "
+            "star-contraction variant for path-heavy graphs"
+        )
     if cached is not None:
         # final round's labels stay pinned until the harness releases
         # query-scoped caches (the result still reads from them)

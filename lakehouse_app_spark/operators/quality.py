@@ -75,56 +75,47 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     b = F.lit(1)
 
-    def check(name, df):
-        return df.select(F.lit(name).alias("check_name"), "violations", "total")
-
-    orders_checks = [
-        check(
-            "orders_pk_unique",
-            t.orders.agg(
-                (F.count(b) - F.countDistinct("o_orderkey")).alias("violations"),
-                F.count(b).alias("total"),
-            ),
+    # ONE aggregate pass per table (the docstring's claim, now true
+    # in the plan — review r6): every conditional count rides the
+    # same scan, then stack() unpivots the 1-row result into
+    # (check_name, violations) rows. Only the FK check needs its own
+    # job (an anti-join is not a conditional count).
+    orders_row = t.orders.agg(
+        (F.count(b) - F.countDistinct("o_orderkey")).alias("pk"),
+        F.count_if(F.col("o_custkey").isNull()).alias("nn"),
+        F.count_if(~F.col("o_orderstatus").isin("O", "F", "P")).alias("av"),
+        F.count(b).alias("total"),
+    )
+    orders_checks = orders_row.select(
+        F.expr(
+            "stack(3, 'orders_pk_unique', pk,"
+            " 'orders_custkey_not_null', nn,"
+            " 'orders_status_accepted', av) AS (check_name, violations)"
         ),
-        check(
-            "orders_custkey_not_null",
-            t.orders.agg(
-                F.count_if(F.col("o_custkey").isNull()).alias("violations"),
-                F.count(b).alias("total"),
-            ),
+        "total",
+    )
+    li_row = t.lineitem.agg(
+        F.count_if(
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+        ).alias("rng"),
+        F.count(b).alias("total"),
+    )
+    li_checks = li_row.select(
+        F.expr(
+            "stack(1, 'lineitem_discount_in_range', rng)"
+            " AS (check_name, violations)"
         ),
-        check(
-            "orders_status_accepted",
-            t.orders.agg(
-                F.count_if(~F.col("o_orderstatus").isin("O", "F", "P")).alias(
-                    "violations"
-                ),
-                F.count(b).alias("total"),
-            ),
-        ),
-        check(
-            "lineitem_discount_in_range",
-            t.lineitem.agg(
-                F.count_if(
-                    (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
-                ).alias("violations"),
-                F.count(b).alias("total"),
-            ),
-        ),
-    ]
+        "total",
+    )
     orphans = t.lineitem.join(
         F.broadcast(t.orders.select("o_orderkey")),
         t.lineitem.l_orderkey == F.col("o_orderkey"),
         "left_anti",
     ).agg(F.count(b).alias("violations"))
-    fk = check(
-        "lineitem_order_fk",
-        orphans.crossJoin(t.lineitem.agg(F.count(b).alias("total"))),
+    fk = orphans.crossJoin(li_row.select("total")).select(
+        F.lit("lineitem_order_fk").alias("check_name"), "violations", "total"
     )
-    out = orders_checks[0]
-    for c in orders_checks[1:] + [fk]:
-        out = out.unionAll(c)
-    return out
+    return orders_checks.unionAll(li_checks).unionAll(fk)
 
 
 @query(

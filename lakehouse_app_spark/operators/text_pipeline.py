@@ -168,10 +168,13 @@ K1 = 1.2
 B = 0.75
 
 
-@query(
-    "q_bm25",
-    oracle=f"""
-    WITH tok AS (
+def _bm25_cte_sql() -> str:
+    """The BM25 scoring chain as shared DuckDB CTEs (tok/dl/stats/
+    tf/df) — one copy of the recipe for [[q_bm25]] and
+    [[q_hybrid_retrieve]]'s sparse arm (the mh_sig_cte_sql
+    convention: a scoring recipe lives in exactly one place per
+    engine), ending ready for a per-doc SUM of ``s_term``."""
+    return f"""tok AS (
       SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents
     ), dl AS (
       SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM tok
@@ -186,15 +189,21 @@ B = 0.75
       GROUP BY doc_id, w
     ), df AS (
       SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w
-    ), scored AS (
+    ), term_scored AS (
       SELECT tf.doc_id,
              ln((n_docs - df + 0.5) / (df + 0.5) + 1)
                * (tf * ({K1} + 1))
-               / (tf + {K1} * (1 - {B} + {B} * dl / avgdl)) AS s
+               / (tf + {K1} * (1 - {B} + {B} * dl / avgdl)) AS s_term
       FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN stats
-    )
-    SELECT doc_id, round(SUM(s), 6) AS bm25
-    FROM scored GROUP BY doc_id
+    )"""
+
+
+@query(
+    "q_bm25",
+    oracle=f"""
+    WITH {_bm25_cte_sql()}
+    SELECT doc_id, round(SUM(s_term), 6) AS bm25
+    FROM term_scored GROUP BY doc_id
     ORDER BY bm25 DESC, doc_id LIMIT 20
     """,
 )
@@ -255,28 +264,9 @@ RRF_K = 60
 @query(
     "q_hybrid_retrieve",
     oracle=f"""
-    WITH tok AS (
-      SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents
-    ), dl AS (
-      SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM tok
-    ), stats AS (
-      SELECT CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
-      FROM dl
-    ), tf AS (
-      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
-      FROM (SELECT doc_id, unnest(ts) AS w FROM tok)
-      WHERE w IN ('{BM25_TERMS[0]}', '{BM25_TERMS[1]}')
-      GROUP BY doc_id, w
-    ), df AS (
-      SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w
-    ), sparse_scored AS (
-      SELECT tf.doc_id, round(SUM(
-               ln((n_docs - df + 0.5) / (df + 0.5) + 1)
-                 * (tf * ({K1} + 1))
-                 / (tf + {K1} * (1 - {B} + {B} * dl / avgdl))), 6) AS bm25
-      FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN stats
-      GROUP BY tf.doc_id
+    WITH {_bm25_cte_sql()}, sparse_scored AS (
+      SELECT doc_id, round(SUM(s_term), 6) AS bm25
+      FROM term_scored GROUP BY doc_id
     ), sparse AS (
       SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_s
       FROM sparse_scored ORDER BY bm25 DESC, doc_id LIMIT 20
