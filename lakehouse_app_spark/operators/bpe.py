@@ -124,6 +124,45 @@ def _bpe_oracle(k: int = BPE_MERGES) -> str:
     return "WITH " + ",\n    ".join(parts) + "\n    " + rows
 
 
+def _train_bpe(wt: DataFrame, k: int, want_rules: bool):
+    """The ONE training loop behind [[q_bpe_merges]] (want_rules=True:
+    returns the merge table, skipping the k-th replace that nothing
+    would consume — mirroring the oracle's ``if i < k`` structure)
+    and [[q_bpe_encode]] (want_rules=False: returns the fully-merged
+    word table). A single copy keeps the argmax tie-break and the
+    bracket-boundary replace in lockstep between the two queries and
+    their oracles (review r6)."""
+    out = None
+    for step in range(1, k + 1):
+        best = scoped_persist(
+            _pair_counts(wt)
+            .orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+            .select(
+                F.lit(step).alias("step"),
+                F.col("l").alias("left_sym"),
+                F.col("r").alias("right_sym"),
+                F.concat("l", "r").alias("merged"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        if want_rules:
+            out = best if out is None else out.unionByName(best)
+        if step < k or not want_rules:
+            rule = best.select(
+                F.concat(
+                    F.lit("["), "left_sym", F.lit("]["), "right_sym", F.lit("]")
+                ).alias("pat"),
+                F.concat(F.lit("["), "merged", F.lit("]")).alias("rep"),
+            )
+            wt = scoped_persist(
+                wt.crossJoin(F.broadcast(rule)).select(
+                    "w", F.expr("replace(s, pat, rep)").alias("s"), "freq"
+                )
+            )
+    return out, wt
+
+
 @query("q_bpe_merges", oracle=_bpe_oracle())
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train {BPE_MERGES} BPE merge rules on the document corpus:
@@ -137,34 +176,8 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end, not just spot-audited."""
     t = load_tables(spark, sf_dir)
     wt = scoped_persist(_word_table(t.documents))
-    out = None
-    for step in range(1, BPE_MERGES + 1):
-        best = (
-            _pair_counts(wt)
-            .orderBy(F.col("cnt").desc(), "l", "r")
-            .limit(1)
-            .select(
-                F.lit(step).alias("step"),
-                F.col("l").alias("left_sym"),
-                F.col("r").alias("right_sym"),
-                F.concat("l", "r").alias("merged"),
-                F.col("cnt").alias("pair_count"),
-            )
-        )
-        best = scoped_persist(best)
-        rule = best.select(
-            F.concat(
-                F.lit("["), "left_sym", F.lit("]["), "right_sym", F.lit("]")
-            ).alias("pat"),
-            F.concat(F.lit("["), "merged", F.lit("]")).alias("rep"),
-        )
-        wt = scoped_persist(
-            wt.crossJoin(F.broadcast(rule)).select(
-                "w", F.expr("replace(s, pat, rep)").alias("s"), "freq"
-            )
-        )
-        out = best if out is None else out.unionByName(best)
-    return out
+    rules, _ = _train_bpe(wt, BPE_MERGES, want_rules=True)
+    return rules
 
 
 def _encode_oracle(k: int = BPE_MERGES) -> str:
@@ -247,25 +260,7 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the vocab once, then the corpus pass is a hash join."""
     t = load_tables(spark, sf_dir)
     wt = scoped_persist(_word_table(t.documents))
-    for step in range(1, BPE_MERGES + 1):
-        best = (
-            _pair_counts(wt)
-            .orderBy(F.col("cnt").desc(), "l", "r")
-            .limit(1)
-        )
-        rule = scoped_persist(
-            best.select(
-                F.concat(F.lit("["), "l", F.lit("]["), "r", F.lit("]")).alias(
-                    "pat"
-                ),
-                F.concat(F.lit("["), "l", "r", F.lit("]")).alias("rep"),
-            )
-        )
-        wt = scoped_persist(
-            wt.crossJoin(F.broadcast(rule)).select(
-                "w", F.expr("replace(s, pat, rep)").alias("s"), "freq"
-            )
-        )
+    _, wt = _train_bpe(wt, BPE_MERGES, want_rules=False)
     vocab = wt.select(
         "w",
         F.size(

@@ -243,13 +243,19 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     fp = F.expr(_FP_SPARK.format(w="w"))
-    keyed = counts.select(
-        "w",
-        "c",
-        *[
-            (((a * fp + b) % _P) % CMS_W).alias(f"col{r}")
-            for r, (a, b) in enumerate(_CMS_PARAMS)
-        ],
+    # persist: the char-fold fingerprint per distinct word is the
+    # dominant cost and keyed feeds CMS_D sketch builds + the
+    # estimate probe — without the pin each consumer re-folds the
+    # vocabulary (review r6)
+    keyed = scoped_persist(
+        counts.select(
+            "w",
+            "c",
+            *[
+                (((a * fp + b) % _P) % CMS_W).alias(f"col{r}")
+                for r, (a, b) in enumerate(_CMS_PARAMS)
+            ],
+        )
     )
     sketches = [
         keyed.groupBy(F.col(f"col{r}").alias("col")).agg(
@@ -311,8 +317,14 @@ def q_join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost of the join. Integer keys hash by two universal hashes
     directly — no fingerprint fold needed."""
     t = load_tables(spark, sf_dir)
-    urgent = t.orders.where(F.col("o_orderpriority") == "1-URGENT").select(
-        "o_orderkey"
+    # persist the filter-build inputs: urgent feeds the bit build AND
+    # the closing join, and bits feeds TWO broadcasts — without the
+    # pins each consumer re-runs the scan+build lineage (the
+    # q_bloom_membership convention; review r6)
+    urgent = scoped_persist(
+        t.orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+            "o_orderkey"
+        )
     )
 
     def positions(key):
@@ -334,6 +346,7 @@ def q_join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("slot")
         .agg(F.bit_or("m").alias("bits"))
     )
+    bits = scoped_persist(bits)
     facts = t.lineitem.select(
         "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount",
         *positions("l_orderkey"),

@@ -243,9 +243,9 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT count(*) AS n_docs FROM documents),
     scored AS (
       SELECT tf.lang, tf.term,
-             round(SUM(tf.tf * ln(n.n_docs / df.df)), 6) AS tfidf
+             round(SUM(tf.tf) * ln(n.n_docs / df.df), 6) AS tfidf
       FROM tf JOIN df USING (term), n
-      GROUP BY tf.lang, tf.term
+      GROUP BY tf.lang, tf.term, n.n_docs, df.df
     )
     SELECT lang, term, tfidf, CAST(rn AS INTEGER) AS rank
     FROM (
@@ -282,12 +282,17 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         tf.join(F.broadcast(df), "term")
         .crossJoin(F.broadcast(n_docs))
-        .groupBy("lang", "term")
+        .groupBy("lang", "term", "n_docs", "df")
         .agg(
+            # ln(N/df) is constant per group — hoisted outside the
+            # sum so the aggregation is an exact integer Σtf and the
+            # score is one double multiply: order-insensitive by
+            # construction, no decimal cast needed (review r6)
             F.round(
-                F.sum(F.col("tf") * F.log(F.col("n_docs") / F.col("df"))), 6
+                F.sum("tf") * F.log(F.col("n_docs") / F.col("df")), 6
             ).alias("tfidf")
         )
+        .drop("n_docs", "df")
     )
     w = Window.partitionBy("lang").orderBy(F.col("tfidf").desc(), F.col("term"))
     return (

@@ -227,7 +227,15 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     |days|-sized daily rollup, never raw events; both engines
     evaluate the identical closed form, rounded to 4 dp (the
     (1-α)^{-i} factors grow ~10^4 over 30 days — far inside double
-    range, and the rounding margin swallows libm pow ulps)."""
+    range, and the rounding margin swallows libm pow ulps).
+
+    DOMAIN BOUND (review r6): the factorization's (1-α)^{-i} term
+    overflows double past i ≈ 1990 distinct days (~5.5 years at
+    α=0.3), after which the whole series would silently turn NaN.
+    Out-of-domain rows therefore RAISE at evaluation instead of
+    shipping garbage; a longer history wants a block-rebased cascade
+    of this same factorization (chunk the index, carry one scaled
+    partial per chunk), which no fixture here needs."""
     t = load_tables(spark, sf_dir)
     alpha = 0.3
     daily = t.events.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
@@ -238,11 +246,21 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.row_number().over(Window.orderBy("d")).alias("i"),
     )
+    guard_i = F.when(
+        F.col("i") <= 1500, F.col("i")
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "q_ewma: series exceeds the factorization's double-range "
+                "domain (~1500 daily steps); use a block-rebased cascade"
+            )
+        )
+    )
     run = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
     ewma = (
         F.lit(alpha)
         * F.pow(F.lit(1 - alpha), F.col("i"))
-        * F.sum(F.col("n") * F.pow(F.lit(1 - alpha), -F.col("i"))).over(run)
+        * F.sum(F.col("n") * F.pow(F.lit(1 - alpha), -guard_i)).over(run)
     )
     return daily.select("day", "n", F.round(ewma, 4).alias("ewma"))
 

@@ -661,11 +661,24 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     The threshold compare (0.2×avg of integer-valued quantities) is
     exact in double, so both engines cut the same rows."""
     t = load_tables(spark, sf_dir)
-    thresholds = t.lineitem.groupBy(F.col("l_partkey").alias("tp_key")).agg(
-        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")
+    sel_parts = t.part.where(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_type") == "ECONOMY")
+    )
+    # thresholds ONLY for the filtered parts (semi-join first): the
+    # full per-partkey aggregate spans the whole part dimension and a
+    # forced broadcast of it would blow up at scale — the filtered
+    # set is the small side the hint is actually safe for (review r6)
+    thresholds = (
+        t.lineitem.join(
+            sel_parts.select("p_partkey"),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy(F.col("l_partkey").alias("tp_key"))
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut"))
     )
     sel = (
-        t.part.where((F.col("p_brand") == "Brand#1") & (F.col("p_type") == "ECONOMY"))
+        sel_parts
         .join(t.lineitem, F.col("p_partkey") == F.col("l_partkey"))
         .join(F.broadcast(thresholds), F.col("p_partkey") == F.col("tp_key"))
         .where(F.col("l_quantity") < F.col("qty_cut"))
@@ -1075,7 +1088,9 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM scoped GROUP BY ps_partkey
     ),
     tot AS (
-      SELECT CAST(SUM(vi) AS DOUBLE) / 10000.0 AS total_value FROM scoped
+      SELECT CAST(SUM(CAST(vi AS DECIMAL(38,0))) AS DOUBLE) / 10000.0
+        AS total_value
+      FROM scoped
     )
     SELECT p.ps_partkey, p.part_value
     FROM per_part p, tot
@@ -1111,8 +1126,15 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = scoped.groupBy("ps_partkey").agg(
         (F.sum("vi").cast("double") / 10000.0).alias("part_value")
     )
+    # the GLOBAL total sums scaled longs over the whole nation scope:
+    # a plain long sum wraps past 2^63 at very large part counts
+    # (DuckDB promotes to HUGEINT and would diverge) — decimal
+    # accumulation is exact and order-insensitive at any scale
+    # (review r6; the per-part sums stay long: bounded per group)
     tot = scoped.agg(
-        (F.sum("vi").cast("double") / 10000.0).alias("total_value")
+        (
+            F.sum(F.col("vi").cast("decimal(38,0)")).cast("double") / 10000.0
+        ).alias("total_value")
     )
     return (
         per_part.crossJoin(F.broadcast(tot))
