@@ -224,7 +224,7 @@ def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     div = F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 5)
     return t.orders.select(
         "o_orderkey",
-        F.try_to_number(dirty, F.lit("999999999")).cast("bigint").alias(
+        F.try_to_number(dirty, F.lit("999999999999999999")).cast("bigint").alias(
             "parsed_key"
         ),
         div.alias("price_per_bucket"),

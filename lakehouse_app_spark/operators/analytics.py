@@ -149,15 +149,14 @@ def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     through from the data, so no rounding is required for the hash
     match; both engines pick the same element by the standard
     inverse-CDF definition."""
-    t = load_tables(spark, sf_dir)
-    t.orders.createOrReplaceTempView("_orders_pd")
+    load_tables(spark, sf_dir)  # registers the `orders` temp view
     return spark.sql(
         """
         SELECT o_orderstatus,
                percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
                percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
                percentile_disc(0.90) WITHIN GROUP (ORDER BY o_totalprice) AS p90
-        FROM _orders_pd GROUP BY o_orderstatus
+        FROM orders GROUP BY o_orderstatus
         """
     )
 
@@ -225,8 +224,7 @@ def q_approx_quantiles_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     3 — a violated sketch guarantee or a broken percentile path
     breaks the hash match, where the old rows-only check saw
     nothing."""
-    t = load_tables(spark, sf_dir)
-    t.orders.createOrReplaceTempView("_orders_aq")
+    load_tables(spark, sf_dir)  # registers the `orders` temp view
     return spark.sql(
         """
         WITH ea AS (
@@ -235,7 +233,7 @@ def q_approx_quantiles_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                  percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice) AS e50,
                  percentile_disc(0.90) WITHIN GROUP (ORDER BY o_totalprice) AS e90,
                  approx_percentile(o_totalprice, array(0.25, 0.5, 0.9), 1000) AS a
-          FROM _orders_aq GROUP BY o_orderstatus
+          FROM orders GROUP BY o_orderstatus
         ),
         ranks AS (
           -- one re-scan of orders against the broadcast 3-row ea;
@@ -250,7 +248,7 @@ def q_approx_quantiles_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                  SUM(CASE WHEN o.o_totalprice <= ea.a[1] THEN 1 ELSE 0 END) AS le50,
                  SUM(CASE WHEN o.o_totalprice <  ea.a[2] THEN 1 ELSE 0 END) AS lt90,
                  SUM(CASE WHEN o.o_totalprice <= ea.a[2] THEN 1 ELSE 0 END) AS le90
-          FROM _orders_aq o JOIN ea ON o.o_orderstatus = ea.o_orderstatus
+          FROM orders o JOIN ea ON o.o_orderstatus = ea.o_orderstatus
           GROUP BY o.o_orderstatus
         )
         SELECT o_orderstatus, e25, e50, e90,

@@ -205,7 +205,12 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = load_tables(spark, sf_dir)
     w = Window.partitionBy("event_type")
-    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    # nullif-guard the denominator: a zero-variance partition would
+    # make z = 0/0 = NaN in Spark (and NaN compares TRUE under
+    # abs(z) > 2) while DuckDB's division yields NULL and drops the
+    # row — NULL here matches the oracle on any data (review r6)
+    sd = F.stddev_samp("value").over(w)
+    z = (F.col("value") - F.avg("value").over(w)) / F.nullif(sd, F.lit(0.0))
     return (
         t.events.select(
             "event_id", "event_type", "value", z.alias("z")

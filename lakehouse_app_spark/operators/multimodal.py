@@ -61,9 +61,13 @@ def _image_codec() -> Any:
     consulted first so a codec installed (or injected) after the
     first failure is still picked up — a dict lookup, not an import."""
     global _PIL_ABSENT
-    mod = sys.modules.get("PIL")
+    # consult the SUBMODULE entry: a bare `import PIL` elsewhere
+    # loads the package without Image, and keying on "PIL" alone
+    # would then return None forever without ever attempting the
+    # fallback import (review r6)
+    mod = sys.modules.get("PIL.Image")
     if mod is not None:
-        return getattr(mod, "Image", None)
+        return mod
     if _PIL_ABSENT:
         return None
     try:
@@ -140,7 +144,7 @@ def byte_features(media: DataFrame) -> DataFrame:
                 {
                     "media_id": pdf["media_id"],
                     "n_bytes": arrs.apply(len).astype("int64"),
-                    "first_byte": arrs.apply(lambda a: int(a[0]) if len(a) else -1),
+                    "first_byte": arrs.apply(lambda a: int(a[0]) if len(a) else 0),
                     "mean_byte": arrs.apply(
                         lambda a: round_half_up(float(a.mean())) if len(a) else None
                     ),

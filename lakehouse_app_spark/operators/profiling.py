@@ -226,6 +226,35 @@ PR_ITERS = 3
 DAMP = 0.85
 
 
+def _build_word_graph(t):
+    """Builder for the stored ``word_graph`` layout: directed bigram
+    edges with counts and source totals — shared by [[q_pagerank]]
+    (ranking) and [[q_triangles]] (undirected projection)."""
+
+    def build() -> DataFrame:
+        # spread pays in the build (single-row-group input, corpus-
+        # sized tokenize); the stored table is vocab²-bounded
+        pairs = (
+            spread(t.documents)
+            .select(F.split(F.lower(F.col("text")), " ").alias("ts"))
+            .where(F.size("ts") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(ts) - 1),"
+                        " i -> struct(ts[i-1] AS w1, ts[i] AS w2))"
+                    )
+                ).alias("p")
+            )
+            .select("p.w1", "p.w2")
+        )
+        edges = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("wt"))
+        outw = edges.groupBy("w1").agg(F.sum("wt").alias("tot"))
+        return edges.join(outw, "w1")
+
+    return build
+
+
 def _pr_oracle() -> str:
     """Unrolled fixed-iteration PageRank in pure SQL (DuckDB side).
 
@@ -289,34 +318,13 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
 
-    def build_graph() -> DataFrame:
-        # spread pays in the build (single-row-group input, corpus-
-        # sized tokenize); the stored table is vocab²-bounded
-        pairs = (
-            spread(t.documents)
-            .select(F.split(F.lower(F.col("text")), " ").alias("ts"))
-            .where(F.size("ts") >= 2)
-            .select(
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(ts) - 1),"
-                        " i -> struct(ts[i-1] AS w1, ts[i] AS w2))"
-                    )
-                ).alias("p")
-            )
-            .select("p.w1", "p.w2")
-        )
-        edges = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("wt"))
-        outw = edges.groupBy("w1").agg(F.sum("wt").alias("tot"))
-        return edges.join(outw, "w1")
-
     # the word co-occurrence graph is a STORED LAYOUT (built once per
     # corpus — graph extraction is ingest work, iteration is query
     # work); each ranking run reads (w1, w2, wt, tot) and never
-    # touches document text
-    e = derived_table(spark, "word_graph", sf_dir, build_graph).transform(
-        scoped_persist
-    )
+    # touches document text. q_triangles reads the same layout.
+    e = derived_table(
+        spark, "word_graph", sf_dir, _build_word_graph(t)
+    ).transform(scoped_persist)
     nodes = (
         e.select(F.col("w1").alias("node"))
         .union(e.select("w2"))
@@ -470,23 +478,18 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate — no wedge enumeration. All joins here run over the
     deduplicated edge list, orders of magnitude smaller than the
     corpus that produced it."""
+    # edges come from the STORED word_graph layout (q_pagerank's
+    # ingest artifact) — the undirected distinct edge set is a pure
+    # projection of it, so triangle counting never re-tokenizes the
+    # corpus (review r6: the inline rebuild re-scanned document text
+    # single-threaded on every run)
+    from lakehouse_app_spark.sources.layout import derived_table
+
     t = load_tables(spark, sf_dir)
-    pairs = (
-        t.documents.select(F.split(F.lower(F.col("text")), " ").alias("ts"))
-        .where(F.size("ts") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(ts) - 1),"
-                    " i -> struct(ts[i-1] AS w1, ts[i] AS w2))"
-                )
-            ).alias("p")
-        )
-        .select("p.w1", "p.w2")
-        .where(F.col("w1") != F.col("w2"))
-    )
+    graph = derived_table(spark, "word_graph", sf_dir, _build_word_graph(t))
     und = (
-        pairs.select(
+        graph.where(F.col("w1") != F.col("w2"))
+        .select(
             F.least("w1", "w2").alias("a"), F.greatest("w1", "w2").alias("b")
         )
         .distinct()

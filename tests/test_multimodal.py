@@ -73,7 +73,11 @@ def test_decode_image_gates_on_codec(monkeypatch):
     fake_image_mod = types.SimpleNamespace(open=lambda buf: _FakeImg())
     fake_pil = types.ModuleType("PIL")
     fake_pil.Image = fake_image_mod
+    # a real `from PIL import Image` registers BOTH entries; the
+    # codec lookup keys on the submodule (a bare `import PIL` never
+    # loads Image, so the package entry alone proves nothing)
     monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
     assert mm.frame_dims(b"anything") == (640, 480)
 
 
