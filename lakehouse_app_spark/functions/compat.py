@@ -64,10 +64,16 @@ def fpsum(col: Column | str, alias: str, scale: int = 10000) -> Column:
     beyond that. Oracle equivalent:
     ``CAST(SUM(CAST(round(x * scale) AS BIGINT)) AS DOUBLE) / scale.0``
     """
+    return (fp_long_sum(col, scale).cast("double") / float(scale)).alias(alias)
+
+
+def fp_long_sum(col: Column | str, scale: int = 10000) -> Column:
+    """The scaled-long accumulation at :func:`fpsum`'s core, undivided
+    and unaliased — for callers composing it further (e.g. fixed-point
+    averages dividing by a count). ONE copy of the +0.5-truncate
+    recipe."""
     c = F.col(col) if isinstance(col, str) else col
-    return (
-        F.sum((c * scale + F.lit(0.5)).cast("long")).cast("double") / float(scale)
-    ).alias(alias)
+    return F.sum((c * scale + F.lit(0.5)).cast("long"))
 
 
 def fpsum_sql(expr: str, alias: str, scale: int = 10000) -> str:

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lakehouse_app_spark.functions.compat import DEC, dsum, fpsum
+from lakehouse_app_spark.functions.compat import fp_long_sum, DEC, dsum, fpsum
 from lakehouse_app_spark.registry import query
 from lakehouse_app_spark.sources.tables import load_tables
 
@@ -60,11 +60,12 @@ def q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     n = F.count(F.lit(1))
-    # +0.5-truncate == round-half-up for these non-negative operands;
-    # avoids Spark ROUND's per-row BigDecimal path (see compat.fpsum).
-    fp = lambda c, scale=10000: F.sum(  # noqa: E731
-        (c * scale + F.lit(0.5)).cast("long")
-    ).cast("double") / float(scale)
+    # fixed-point average numerators share fpsum's one accumulation
+    # recipe (compat.fp_long_sum) — no second copy of the
+    # +0.5-truncate trick to keep in sync (review r6)
+    fp = lambda c, scale=10000: (  # noqa: E731
+        fp_long_sum(c, scale).cast("double") / float(scale)
+    )
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         fpsum("l_quantity", "sum_qty"),
         fpsum("l_extendedprice", "sum_base_price"),

@@ -21,7 +21,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lakehouse_app_spark.operators import corpus_prep, quality  # noqa: F401
 from lakehouse_app_spark.operators.corpus_prep import q_corpus_gate
 from lakehouse_app_spark.operators.dedup import rep_docs, spread
 from lakehouse_app_spark.operators.quality import q_quality_classifier

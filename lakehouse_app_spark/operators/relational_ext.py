@@ -124,6 +124,8 @@ def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="token: string, pos: int")
     class SplitTokens:
         def eval(self, text: str):
+            if text is None:  # total function: NULL text -> no rows,
+                return  # like the oracle's string_split(NULL, ' ')
             for i, tok in enumerate(text.split(" ")):
                 yield tok, i
 

@@ -24,12 +24,20 @@ from lakehouse_app_spark.sources.tables import load_tables
 
 def _zscore(pdf: pd.DataFrame) -> pd.DataFrame:
     v = pdf["c_acctbal"]
-    z = (v - v.mean()) / v.std(ddof=1)
+    sd = v.std(ddof=1)
+    # NULL (not NaN/inf) for degenerate groups — a single-customer or
+    # constant-balance segment gives sd NaN/0, where pandas would
+    # emit NaN/inf but the SQL oracle's division yields NULL
+    # (review r6); None round-trips Arrow as SQL NULL
+    if not sd or sd != sd:
+        z = pd.Series([None] * len(v), dtype="float64")
+    else:
+        z = ((v - v.mean()) / sd).round(4)
     return pd.DataFrame(
         {
             "c_custkey": pdf["c_custkey"],
             "segment": pdf["c_mktsegment"],
-            "z": z.round(4),
+            "z": z,
         }
     )
 

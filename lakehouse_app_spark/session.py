@@ -70,20 +70,34 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
 
-    import tempfile
-
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        # managed tables (bucketed writers) land in a scratch dir, not cwd
-        .config("spark.sql.warehouse.dir", tempfile.mkdtemp(prefix="spark_wh_"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )
+    if SparkSession.getActiveSession() is None:
+        # managed tables (bucketed writers) land in a scratch dir, not
+        # cwd. Created only when a session will actually be BUILT —
+        # getOrCreate ignores configs on an existing session, so a
+        # per-call mkdtemp leaked one orphan dir per get_spark call
+        # (review r6)
+        import tempfile
+
+        builder = builder.config(
+            "spark.sql.warehouse.dir", tempfile.mkdtemp(prefix="spark_wh_")
+        )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
+    # AFTER the RUNTIME_CONFS loop — that dict carries its own
+    # default for this key and silently overrode the parameter/env
+    # knob when this was set first (review r6, confirmed live)
+    builder = builder.config(
+        "spark.sql.shuffle.partitions", str(shuffle_partitions)
+    )
     spark = builder.getOrCreate()
-    return ensure_runtime_confs(spark)
+    ensure_runtime_confs(spark)
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return spark

@@ -58,19 +58,34 @@ def normalize_event_ts(raw: DataFrame) -> DataFrame:
     return raw.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
 
+# session identity -> the sf_dir whose tables currently back the
+# session's temp views. A cache hit must re-register when the views
+# point at a DIFFERENT scale factor, or every spark.sql-path builder
+# silently reads the wrong dataset (review r6, confirmed live: the
+# driver mixes sf0.001 smoke and sf0.01 correctness in one session).
+_VIEWS_FOR: dict[object, str] = {}
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, register_views: bool = True
 ) -> SimpleNamespace:
     """Load all testdata tables as DataFrames; register temp views.
 
     Returns a namespace with one attribute per table. Cached per
-    (session, sf_dir) so repeated query builders share scan nodes.
+    (session, sf_dir) so repeated query builders share scan nodes;
+    the temp views always track the MOST RECENTLY requested sf_dir.
     """
     from lakehouse_app_spark.runtime_cache import session_key
 
-    key = (session_key(spark), sf_dir)
-    if key in _CACHE:
-        return _CACHE[key]
+    skey = session_key(spark)
+    key = (skey, sf_dir)
+    hit = _CACHE.get(key)
+    if hit is not None:
+        if register_views and _VIEWS_FOR.get(skey) != sf_dir:
+            for name in TABLE_NAMES:
+                getattr(hit, name).createOrReplaceTempView(name)
+            _VIEWS_FOR[skey] = sf_dir
+        return hit
     ensure_runtime_confs(spark)
     tables = {}
     for name in TABLE_NAMES:
@@ -80,6 +95,8 @@ def load_tables(
         tables[name] = df
         if register_views:
             df.createOrReplaceTempView(name)
+    if register_views:
+        _VIEWS_FOR[skey] = sf_dir
     ns = SimpleNamespace(**tables)
     _CACHE[key] = ns
     return ns

@@ -754,3 +754,21 @@ def test_bucketed_write_append_preserves_existing_rows(spark, tmp_path):
     write_bucketed_table(df, "t_bkt_append", "k", n_buckets=4, mode="append")
     assert spark.table("t_bkt_append").count() == 20
     spark.sql("DROP TABLE IF EXISTS t_bkt_append")
+
+
+def test_load_tables_views_track_requested_sf_dir(spark):
+    """Review r6 (confirmed live): a load_tables cache hit must
+    re-register the session temp views when they currently point at
+    a DIFFERENT scale factor — otherwise every spark.sql-path
+    builder silently reads the wrong dataset."""
+    from lakehouse_app_spark.sources.tables import load_tables
+
+    a, b = "/root/testdata/sf0.001", "/root/testdata/sf0.01"
+    n_a = load_tables(spark, a).orders.count()
+    n_b = load_tables(spark, b).orders.count()
+    assert n_a != n_b
+    assert spark.sql("SELECT count(*) FROM orders").first()[0] == n_b
+    load_tables(spark, a)  # cache hit — views must flip back
+    assert spark.sql("SELECT count(*) FROM orders").first()[0] == n_a
+    load_tables(spark, a)  # repeat hit, still consistent
+    assert spark.sql("SELECT count(*) FROM orders").first()[0] == n_a
