@@ -54,6 +54,18 @@ def with_cid(df: DataFrame, emb: Column, cents: DataFrame) -> DataFrame:
     packed = cents.agg(
         F.collect_list(F.struct(F.col("cid"), F.col("cvec"))).alias("cb")
     )
+    # fail LOUDLY on an empty codebook: collect_list over zero rows
+    # still yields one row with an empty array, whose array_max is
+    # NULL — every vector would get cid NULL and the durable layout
+    # would commit a poisoned cid=__HIVE_DEFAULT_PARTITION__
+    # assignment that probe queries silently read forever (review r6)
+    packed = packed.select(
+        F.when(
+            F.size("cb") > 0, F.col("cb")
+        ).otherwise(
+            F.raise_error(F.lit("with_cid: empty centroid codebook"))
+        ).alias("cb")
+    )
     best = F.array_max(
         F.transform(
             F.col("cb"),

@@ -16,6 +16,17 @@ from pyspark.sql import DataFrame, SparkSession
 from lakehouse_app_spark.registry import QUERIES, query
 from lakehouse_app_spark.sources.sinks import read_table, write_table
 
+_SCRATCH: dict[tuple[str, str], str] = {}
+
+
+def _scratch_dir(tag: str, sf_dir: str) -> str:
+    """One stable scratch dir per (query, corpus), reused with
+    mode=overwrite across repeated invocations."""
+    key = (tag, sf_dir)
+    if key not in _SCRATCH:
+        _SCRATCH[key] = tempfile.mkdtemp(prefix=f"{tag}_")
+    return _SCRATCH[key]
+
 
 import lakehouse_app_spark.operators.aggregates  # noqa: F401  (registers q_agg_pricing's oracle)
 from lakehouse_app_spark.registry import ORACLES as _ORACLES
@@ -31,7 +42,10 @@ from lakehouse_app_spark.registry import ORACLES as _ORACLES
 # could not see.
 @query("q_sink_roundtrip", oracle=_ORACLES["q_agg_pricing"])
 def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = tempfile.mkdtemp(prefix="sink_roundtrip_")
+    # fixed per-corpus scratch path + overwrite: these builders are
+    # never plan-cached (they schedule jobs), so a fresh mkdtemp per
+    # call leaked one full data copy per invocation (review r6)
+    out = _scratch_dir("sink_roundtrip", sf_dir)
     result = QUERIES["q_agg_pricing"](spark, sf_dir)
     write_table(result, out, partition_by=["l_returnflag"])
     back = read_table(spark, out)
@@ -67,9 +81,12 @@ def q_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_app_spark.sources.tables import load_tables
 
     t = load_tables(spark, sf_dir)
-    out = tempfile.mkdtemp(prefix="json_ingest_")
+    out = _scratch_dir("json_ingest", sf_dir)
     cols = ["doc_id", "source", "lang", "text"]
-    t.documents.select(*cols).coalesce(1).write.mode("overwrite").json(out)
+    # no coalesce(1): multiple JSONL part files verify identically
+    # (explicit schema + order-insensitive aggregates) and the write
+    # and read-back stay parallel (review r6)
+    t.documents.select(*cols).write.mode("overwrite").json(out)
     schema = "doc_id long, source string, lang string, text string"
     back = spark.read.schema(schema).json(out)
     return back.groupBy("source").agg(

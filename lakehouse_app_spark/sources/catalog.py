@@ -19,8 +19,13 @@ def list_tables(spark: SparkSession) -> DataFrame:
 
 def describe_table(spark: SparkSession, name: str) -> DataFrame:
     """DESCRIBE as a (column, type) DataFrame (console `details()`
-    analog — the dict→rows transpose shape)."""
-    return spark.sql(f"DESCRIBE TABLE {name}").select(
+    analog — the dict→rows transpose shape). The identifier is
+    backtick-quoted (and embedded backticks rejected) so nonstandard
+    names describe cleanly and a caller-supplied string can never
+    smuggle SQL into the statement."""
+    if "`" in name:
+        raise ValueError(f"invalid table name: {name!r}")
+    return spark.sql(f"DESCRIBE TABLE `{name}`").select(
         F.col("col_name").alias("column"), F.col("data_type").alias("dtype")
     )
 
