@@ -301,67 +301,103 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -------------------------------------------- MinHash estimator audit
 
 
+# Signature width and band layout derive from _MH_PARAMS in ONE
+# place (review r6: the streaming twin hardcoded `/ 4.0` and mh0..mh3,
+# so a width change would silently skew est_jaccard there).
+_N_MH = len(_MH_PARAMS)
+_N_BANDS = _N_MH // 2
+
+
+def _band_structs(name):
+    """posexplode-able array of (h1, h2) band structs over the
+    signature columns named by ``name(i)`` — the one copy of the
+    2-hashes-per-band layout shared by the incremental batch ingest
+    and its streaming twin. Band k pairs hashes (2k, 2k+1)."""
+    return F.array(
+        *[
+            F.struct(
+                F.col(name(2 * k)).alias("h1"),
+                F.col(name(2 * k + 1)).alias("h2"),
+            )
+            for k in range(_N_BANDS)
+        ]
+    )
+
+
 def _banded_pairs(sig) -> DataFrame:
-    """2x2-banded candidate pairs over a 4-hash signature table —
-    the ONE copy of the banding predicate shared by the estimator
-    audit, the from-layout integrity check, and (via the same mh0/1
-    + mh2/3 grouping) the incremental/streaming ingest variants.
+    """Banded candidate pairs over the signature table (2 hashes per
+    band, width from ``_MH_PARAMS``) — the ONE copy of the banding
+    predicate shared by the estimator audit, the from-layout
+    integrity check, and (via the same hash grouping) the
+    incremental/streaming ingest variants.
     Output carries a_mh*/b_mh* for :func:`_sig_est`."""
     a = sig.select(
         F.col("doc_id").alias("a_id"),
-        *[F.col(f"mh{i}").alias(f"a_mh{i}") for i in range(4)],
+        *[F.col(f"mh{i}").alias(f"a_mh{i}") for i in range(_N_MH)],
     )
     b = sig.select(
         F.col("doc_id").alias("b_id"),
-        *[F.col(f"mh{i}").alias(f"b_mh{i}") for i in range(4)],
+        *[F.col(f"mh{i}").alias(f"b_mh{i}") for i in range(_N_MH)],
     )
-    band1 = a.join(
-        b,
-        (F.col("a_mh0") == F.col("b_mh0"))
-        & (F.col("a_mh1") == F.col("b_mh1"))
-        & (F.col("a_id") < F.col("b_id")),
-    )
-    band2 = a.join(
-        b,
-        (F.col("a_mh2") == F.col("b_mh2"))
-        & (F.col("a_mh3") == F.col("b_mh3"))
-        & (F.col("a_id") < F.col("b_id")),
-    )
-    return band1.unionAll(band2).dropDuplicates(["a_id", "b_id"])
+    out = None
+    for k in range(_N_BANDS):
+        band = a.join(
+            b,
+            (F.col(f"a_mh{2 * k}") == F.col(f"b_mh{2 * k}"))
+            & (F.col(f"a_mh{2 * k + 1}") == F.col(f"b_mh{2 * k + 1}"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        out = band if out is None else out.unionAll(band)
+    return out.dropDuplicates(["a_id", "b_id"])
 
 
 def _sig_est(a_pfx: str = "a", b_pfx: str = "b"):
-    """Signature-parity Jaccard estimate (matching hashes / 4) —
+    """Signature-parity Jaccard estimate (matching hashes / width) —
     shared by every banded-candidate consumer."""
     return (
         sum(
             F.when(F.col(f"{a_pfx}_mh{i}") == F.col(f"{b_pfx}_mh{i}"), 1)
             .otherwise(0)
-            for i in range(4)
+            for i in range(_N_MH)
         )
-        / F.lit(4.0)
+        / F.lit(float(_N_MH))
+    )
+
+
+def _sql_sig_est(a: str, b: str) -> str:
+    """SQL twin of :func:`_sig_est` — parity count over the width."""
+    eq = " + ".join(
+        f"(CASE WHEN {a}.mh{i} = {b}.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(_N_MH)
+    )
+    return f"({eq}) / {float(_N_MH)}"
+
+
+def _sql_bands(a: str, b: str) -> str:
+    """SQL twin of the banding predicate (2 hashes per band)."""
+    return " OR ".join(
+        f"({a}.mh{2 * k} = {b}.mh{2 * k}"
+        f" AND {a}.mh{2 * k + 1} = {b}.mh{2 * k + 1})"
+        for k in range(_N_BANDS)
     )
 
 
 def _mh_audit_oracle() -> str:
-    eq = " + ".join(
-        f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(4)
-    )
+    est = _sql_sig_est("a", "b")
     return f"""
     WITH {mh_sig_cte_sql(with_toks=True)}
     SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-           round(({eq}) / 4.0, 6) AS est_jaccard,
+           round({est}, 6) AS est_jaccard,
            round(len(list_intersect(a.toks, b.toks))
                  / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE), 6)
              AS exact_jaccard,
-           round(abs(({eq}) / 4.0
+           round(abs({est}
                  - len(list_intersect(a.toks, b.toks))
                    / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE)), 6)
              AS abs_err
     FROM sig a JOIN sig b
       ON a.doc_id < b.doc_id
-     AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1)
-          OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3))
+     AND ({_sql_bands('a', 'b')})
     """
 
 
@@ -604,17 +640,13 @@ def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _incremental_oracle() -> str:
-    eq = " + ".join(
-        f"(CASE WHEN n.mh{i} = c.mh{i} THEN 1 ELSE 0 END)" for i in range(4)
-    )
     return f"""
     WITH {mh_sig_cte_sql()}
     SELECT n.doc_id AS new_id, c.doc_id AS corpus_id,
-           round(({eq}) / 4.0, 6) AS est_jaccard
+           round({_sql_sig_est('n', 'c')}, 6) AS est_jaccard
     FROM sig n JOIN sig c
       ON n.doc_id % 10 = 7 AND c.doc_id % 10 <> 7
-     AND ((n.mh0 = c.mh0 AND n.mh1 = c.mh1)
-          OR (n.mh2 = c.mh2 AND n.mh3 = c.mh3))
+     AND ({_sql_bands('n', 'c')})
     """
 
 
@@ -638,7 +670,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = minhash_sig_table(spark, sf_dir)
     corpus = sig.where(F.col("doc_id") % 10 != 7).select(
         F.col("doc_id").alias("corpus_id"),
-        *[F.col(f"mh{i}").alias(f"c_mh{i}") for i in range(4)],
+        *[F.col(f"mh{i}").alias(f"c_mh{i}") for i in range(_N_MH)],
     )
     # the new batch is signed FRESH from text — at ingest time the
     # batch has no stored layout yet (that write happens on commit)
@@ -649,27 +681,21 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", word_shingles(3).alias("toks"))
         .where(F.size("toks") > 0)
         .select(F.col("doc_id").alias("new_id"), *_mh_sig_cols())
-        .withColumnsRenamed({f"mh{i}": f"n_mh{i}" for i in range(4)})
+        .withColumnsRenamed({f"mh{i}": f"n_mh{i}" for i in range(_N_MH)})
     )
-    # single-scan posexplode banding on BOTH sides (band 0 =
-    # (mh0,mh1), band 1 = (mh2,mh3)) → one equi-join on the band
-    # key; a per-band join pair would re-sign the new batch twice
+    # single-scan posexplode banding on BOTH sides (band k =
+    # (mh{2k}, mh{2k+1}) via the shared _band_structs layout) → one
+    # equi-join on the band key; a per-band join pair would re-sign
+    # the new batch per band
     def bucketed(df, pfx, idcol):
-        arr = F.array(
-            F.struct(
-                F.col(f"{pfx}_mh0").alias("h1"), F.col(f"{pfx}_mh1").alias("h2")
-            ),
-            F.struct(
-                F.col(f"{pfx}_mh2").alias("h1"), F.col(f"{pfx}_mh3").alias("h2")
-            ),
-        )
+        arr = _band_structs(lambda i: f"{pfx}_mh{i}")
         return df.select(
             idcol,
-            *[f"{pfx}_mh{i}" for i in range(4)],
+            *[f"{pfx}_mh{i}" for i in range(_N_MH)],
             F.posexplode(arr).alias("band", "b"),
         ).select(
             idcol,
-            *[f"{pfx}_mh{i}" for i in range(4)],
+            *[f"{pfx}_mh{i}" for i in range(_N_MH)],
             "band",
             F.col("b.h1").alias(f"{pfx}_h1"),
             F.col("b.h2").alias(f"{pfx}_h2"),

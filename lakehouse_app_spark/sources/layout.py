@@ -134,38 +134,61 @@ def _commit_build(
     partition_by: list[str] | None,
 ) -> int:
     os.makedirs(tdir, exist_ok=True)
-    # next version = past BOTH committed manifests and orphan v= dirs:
-    # a crashed writer's garbage data dir (no manifest) must never
-    # wedge future builds on the errorifexists write
-    used = [
-        int(f.split("=", 1)[1])
-        for f in os.listdir(tdir)
-        if f.startswith("v=") and f.split("=", 1)[1].isdigit()
-    ] + [
-        int(f[2:-5])
-        for f in os.listdir(tdir)
-        if f.startswith("_v") and f.endswith(".json")
-    ]
-    version = max(used, default=-1) + 1
-    data_dir = os.path.join(tdir, f"v={version}")
+    # Two-phase commit with an ATOMIC claim (review r6: the old
+    # scheme's list-then-errorifexists was check-then-act — two
+    # concurrent builders could interleave part files into the same
+    # v=N in the race window). Phase 1 writes into a uniquely-named
+    # staging dir (no coordination needed); phase 2 claims v=N via
+    # os.rename, which the filesystem makes atomic: exactly one
+    # process lands each version, a collided claimant retries under
+    # the next free slot with its already-built data, and readers
+    # still trust only manifest-last commits.
+    import uuid as _uuid
+
+    staging = os.path.join(
+        tdir, f"_staging-{os.getpid()}-{_uuid.uuid4().hex[:8]}"
+    )
     try:
         w = build().write.mode("errorifexists").format("parquet")
         if partition_by:
             w = w.partitionBy(*partition_by)
-        w.save(data_dir)
+        w.save(staging)
     except Exception:
-        # lost a race (or died mid-write): trust only a manifest. The
-        # winner may still be mid-write (data dir exists, manifest
-        # not yet landed), so poll briefly for its commit before
-        # giving up — the documented loser-re-reads-winner contract.
+        import shutil
         import time
 
+        shutil.rmtree(staging, ignore_errors=True)
+        # the build itself failed — if a concurrent winner is mid-
+        # commit, poll briefly for its manifest before giving up
         for _ in range(60):
             committed = _committed_version(tdir)
             if committed is not None:
                 return committed
             time.sleep(0.5)
         raise
+    version = None
+    for _ in range(1000):  # bound: pathological claim storms error out
+        used = [
+            int(f.split("=", 1)[1])
+            for f in os.listdir(tdir)
+            if f.startswith("v=") and f.split("=", 1)[1].isdigit()
+        ] + [
+            int(f[2:-5])
+            for f in os.listdir(tdir)
+            if f.startswith("_v") and f.endswith(".json")
+        ]
+        candidate = max(used, default=-1) + 1
+        data_dir = os.path.join(tdir, f"v={candidate}")
+        try:
+            os.rename(staging, data_dir)
+            version = candidate
+            break
+        except OSError:
+            if not os.path.exists(data_dir):
+                raise  # rename failed for a non-race reason
+            continue  # lost the slot; retry under the next version
+    if version is None:
+        raise RuntimeError(f"could not claim a layout version under {tdir}")
     manifest = {
         "version": version,
         "note": "derived-table layout",

@@ -120,10 +120,19 @@ class RestJsonWriter(DataSourceWriter):
     def write(self, iterator: Iterator[Row]) -> WriterCommitMessage:
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        # temp name carries the TASK ATTEMPT id (review r6): a retried
+        # or speculative attempt overlapping a zombie attempt for the
+        # same partition writes its OWN temp file; commit renames only
+        # the attempt named in each commit message, so a zombie can
+        # never corrupt the bytes the winner committed.
+        attempt = ctx.taskAttemptId()
         os.makedirs(self.path, exist_ok=True)
         final = os.path.join(self.path, f"part-{pid:05d}.jsonl")
-        tmp = os.path.join(self.path, f".part-{pid:05d}.jsonl.inprogress")
+        tmp = os.path.join(
+            self.path, f".part-{pid:05d}-attempt{attempt}.jsonl.inprogress"
+        )
         with open(tmp, "w", encoding="utf-8") as fh:
             for row in iterator:
                 fh.write(json.dumps(row.asDict()) + "\n")

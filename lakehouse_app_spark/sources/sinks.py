@@ -372,14 +372,20 @@ def read_stats_pruned(
     # str(); compare bounds in the same domain — ISO-8601 strings
     # order like their values. (Decimal keys would not: keep those
     # out of the stats column or widen to double at write time.)
-    sample = next(iter(stats["files"].values()), None)
+    # files whose key column is all NULL store [null, null] bounds —
+    # no range evidence either way, so they are always read (and must
+    # not drive the str-domain probe or the comparison, review r6)
+    bounded = {
+        f: b
+        for f, b in stats["files"].items()
+        if b[0] is not None and b[1] is not None
+    }
+    sample = next(iter(bounded.values()), None)
     if sample is not None and isinstance(sample[0], str):
         lo, hi = str(lo), str(hi)
     files = [
-        f
-        for f, (flo, fhi) in stats["files"].items()
-        if not (fhi < lo or flo > hi)
-    ]
+        f for f, (flo, fhi) in bounded.items() if not (fhi < lo or flo > hi)
+    ] + [f for f in stats["files"] if f not in bounded]
     if not files:
         return spark.read.format(fmt).load(path).limit(0)
     return spark.read.format(fmt).load(files)

@@ -914,27 +914,24 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded replay must produce exactly the batch result, so it
     shares that query's oracle SQL (registered below via the
     registry, keeping the recipe in one place)."""
-    from lakehouse_app_spark.operators.corpus_prep import _MH_PARAMS
     from lakehouse_app_spark.operators.dedup import word_shingles
     from lakehouse_app_spark.operators.dedup_ext import (
+        _N_MH,
+        _band_structs,
         _mh_sig_cols,
+        _sig_est,
         minhash_sig_table,
     )
 
     ensure_runtime_confs(spark)
-    n_mh = len(_MH_PARAMS)
+    n_mh = _N_MH
     staged = _staged_new_docs_dir(spark, sf_dir)
     schema = spark.read.parquet(staged).schema
 
     def bucket_arr(pfx: str):
-        return F.array(
-            F.struct(
-                F.col(f"{pfx}mh0").alias("h1"), F.col(f"{pfx}mh1").alias("h2")
-            ),
-            F.struct(
-                F.col(f"{pfx}mh2").alias("h1"), F.col(f"{pfx}mh3").alias("h2")
-            ),
-        )
+        # shared band layout (review r6: this used to hardcode
+        # mh0..mh3 and would silently break on a width change)
+        return _band_structs(lambda i: f"{pfx}mh{i}")
 
     new_sig = (
         spark.readStream.schema(schema)
@@ -975,13 +972,7 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.h2").alias("c_h2"),
     )
 
-    est = (
-        sum(
-            F.when(F.col(f"n_mh{i}") == F.col(f"c_mh{i}"), 1).otherwise(0)
-            for i in range(n_mh)
-        )
-        / 4.0
-    )
+    est = _sig_est("n", "c")
     joined = (
         nb.join(
             F.broadcast(cb),
