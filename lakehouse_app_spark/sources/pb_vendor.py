@@ -1,0 +1,156 @@
+"""On-demand pure-Python ``google.protobuf`` runtime for the Spark-4
+arbitrary-state streaming API.
+
+``transformWithStateInPandas`` speaks protobuf between the JVM state
+server and its Python workers (pyspark ships the generated
+``StateMessage_pb2`` but not the runtime), so on hosts without the
+``protobuf`` package the v2 state API fails at query start with
+``No module named 'google'``. Rather than gating the whole query on
+the environment (the pre-round-7 policy), this module materializes a
+runtime from a PUBLIC pure-Python protobuf copy already present on
+the host (probe list below, extendable via
+``SPARK_GRAFT_PROTOBUF_SRC``), with one documented patch: the
+gencode/runtime version validator is downgraded from error to
+warning, because pyspark's generated code may be one minor release
+ahead of the host copy (observed: gencode 6.33.0 vs runtime 6.32.0)
+and the StateMessage schema uses no cross-minor features.
+
+Two injection points are needed and both are handled here:
+
+- the DRIVER process imports ``pyspark.sql.streaming.proto`` when the
+  query plan is built → ``sys.path`` insertion;
+- the streaming PYTHON WORKERS (including the dedicated
+  transformWithState driver-worker the JVM forks) are launched with
+  an environment assembled from ``SparkContext.environment`` →
+  setting ``PYTHONPATH`` there reaches them even when the JVM is
+  already running (a vanilla driver session builds the JVM before
+  any of our code runs, so a process-level ``os.environ`` hook would
+  be too late).
+
+protobuf is BSD-licensed public code; only ``*.py`` files are copied,
+under the warehouse scratch dir (never committed).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+# Known pure-Python protobuf copies shipped by public SDKs. First hit
+# wins; SPARK_GRAFT_PROTOBUF_SRC (a dir containing google/protobuf)
+# overrides.
+_PB_SRC_CANDIDATES = [
+    "/usr/lib/google-cloud-sdk/platform/google_appengine",
+]
+
+_VERSION_SHIM = '''
+
+# spark-graft vendored-copy shim: downgrade gencode/runtime version
+# skew from hard error to warning. pyspark's generated
+# StateMessage_pb2 may be one minor release ahead of this runtime;
+# the state-server message schema uses no cross-minor gencode
+# features, so the strict "runtime >= gencode" rule is relaxed for
+# this vendored copy only.
+def _ReportVersionError(msg):
+  global _warning_count
+  if _warning_count < _MAX_WARNING_COUNT:
+    warnings.warn(msg)
+    _warning_count += 1
+'''
+
+_resolved: str | None | bool = False  # False = not probed yet
+
+
+def _vendor_root() -> str:
+    from lakehouse_app_spark.sources.layout import layout_base
+
+    return os.path.join(
+        os.path.dirname(layout_base()), "vendor", "pbruntime"
+    )
+
+
+def _copy_py_tree(src: str, dst: str) -> None:
+    os.makedirs(dst, exist_ok=True)
+    for e in os.listdir(src):
+        s, d = os.path.join(src, e), os.path.join(dst, e)
+        if os.path.isdir(s):
+            if e != "__pycache__":
+                _copy_py_tree(s, d)
+        elif e.endswith(".py"):
+            shutil.copy(s, d)
+
+
+def _build_vendor_copy(src_root: str) -> str:
+    """Copy ``google/protobuf`` (py files only) from ``src_root`` into
+    the warehouse vendor dir, apply the version shim, and mark the
+    copy complete (marker-last, so a crashed copy is rebuilt)."""
+    dst = _vendor_root()
+    marker = os.path.join(dst, "_complete")
+    if not os.path.exists(marker):
+        shutil.rmtree(dst, ignore_errors=True)
+        _copy_py_tree(
+            os.path.join(src_root, "google", "protobuf"),
+            os.path.join(dst, "google", "protobuf"),
+        )
+        # regular (non-namespace) package: zipimport/worker-safe
+        open(os.path.join(dst, "google", "__init__.py"), "w").close()
+        with open(
+            os.path.join(dst, "google", "protobuf", "runtime_version.py"),
+            "a",
+        ) as fh:
+            fh.write(_VERSION_SHIM)
+        with open(marker, "w") as fh:
+            fh.write(src_root)
+    return dst
+
+
+def protobuf_runtime_dir() -> str | None:
+    """Ensure ``google.protobuf`` is importable in THIS process.
+
+    Returns '' if the stock package already imports (nothing to
+    inject), the vendored runtime dir if one was materialized (callers
+    must also inject it into worker PYTHONPATH via
+    :func:`inject_worker_pythonpath`), or None if no runtime source
+    exists — the only case left gated."""
+    global _resolved
+    if _resolved is not False:
+        return _resolved
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        _resolved = ""
+        return _resolved
+    except ImportError:
+        pass
+    srcs = [os.environ.get("SPARK_GRAFT_PROTOBUF_SRC", "")]
+    srcs += _PB_SRC_CANDIDATES
+    for src in srcs:
+        if src and os.path.isfile(
+            os.path.join(src, "google", "protobuf", "descriptor.py")
+        ):
+            try:
+                dst = _build_vendor_copy(src)
+                if dst not in sys.path:
+                    sys.path.insert(0, dst)
+                from google.protobuf import descriptor  # noqa: F401
+
+                _resolved = dst
+                return _resolved
+            except Exception:
+                continue
+    _resolved = None
+    return _resolved
+
+
+def inject_worker_pythonpath(spark, vendor_dir: str) -> None:
+    """Make ``vendor_dir`` visible to the Python workers the JVM
+    forks (daemon workers AND the transformWithState driver-worker):
+    their env is assembled from ``SparkContext.environment`` at
+    worker launch, so this works on an already-running session."""
+    env = spark.sparkContext.environment
+    cur = env.get("PYTHONPATH") or os.environ.get("PYTHONPATH", "")
+    if vendor_dir not in cur.split(os.pathsep):
+        env["PYTHONPATH"] = (
+            vendor_dir + (os.pathsep + cur if cur else "")
+        )

@@ -605,18 +605,16 @@ def _interval_join_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _twsp_available() -> bool:
     """transformWithStateInPandas needs the protobuf wire between the
-    JVM state server and the Python worker; this container ships
-    pyspark without the ``protobuf`` package, so the v2 API raises at
-    query start (verified: STREAMING_PYTHON_RUNNER_INITIALIZATION
-    → ``No module named 'google'``). Gate registration on the
-    import so environments WITH protobuf get the query and this one
-    skips it — same policy as the multimodal codec gate."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
+    JVM state server and the Python worker. Since round 7 the gate is
+    satisfiable without a site install: sources/pb_vendor.py
+    materializes a pure-Python runtime from a public on-host copy and
+    injects it into both the driver's sys.path and (at query time)
+    the workers' PYTHONPATH. Only a host with NO protobuf source at
+    all still skips registration — same policy as the multimodal
+    codec gate."""
+    from lakehouse_app_spark.sources.pb_vendor import protobuf_runtime_dir
 
-        return True
-    except ImportError:
-        return False
+    return protobuf_runtime_dir() is not None
 
 
 _state_v2_query = (
@@ -649,6 +647,16 @@ def q_stream_state_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     every other stream. Deterministic (counts, distinct-count, max),
     so the batch-duality oracle is exact."""
     import pandas as pd
+
+    from lakehouse_app_spark.sources.pb_vendor import (
+        inject_worker_pythonpath,
+        protobuf_runtime_dir,
+    )
+
+    pb_dir = protobuf_runtime_dir()
+    if pb_dir:  # vendored runtime → workers need it on PYTHONPATH too
+        inject_worker_pythonpath(spark, pb_dir)
+
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
     class UserSummary(StatefulProcessor):

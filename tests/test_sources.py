@@ -772,3 +772,30 @@ def test_load_tables_views_track_requested_sf_dir(spark):
     assert spark.sql("SELECT count(*) FROM orders").first()[0] == n_a
     load_tables(spark, a)  # repeat hit, still consistent
     assert spark.sql("SELECT count(*) FROM orders").first()[0] == n_a
+
+
+def test_pb_vendor_runtime_materializes_and_is_idempotent(monkeypatch, tmp_path):
+    """The vendored protobuf runtime (sources/pb_vendor.py) must build
+    a complete, shimmed google.protobuf copy from an on-host source,
+    marker-last (a crashed half-copy rebuilds), and cache the probe
+    result per process."""
+    import lakehouse_app_spark.sources.pb_vendor as pbv
+
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT_DIR", str(tmp_path / "layouts"))
+    monkeypatch.setattr(pbv, "_resolved", False)
+    d = pbv.protobuf_runtime_dir()
+    if d is None:
+        import pytest
+
+        pytest.skip("no protobuf source on this host")
+    if d == "":
+        return  # stock package importable: nothing vendored
+    import os
+
+    assert os.path.isfile(os.path.join(d, "_complete"))
+    rv = open(os.path.join(d, "google/protobuf/runtime_version.py")).read()
+    assert "spark-graft vendored-copy shim" in rv
+    # idempotent: second resolve returns the memo without rebuilding
+    before = os.stat(os.path.join(d, "_complete")).st_mtime_ns
+    assert pbv.protobuf_runtime_dir() == d
+    assert os.stat(os.path.join(d, "_complete")).st_mtime_ns == before
