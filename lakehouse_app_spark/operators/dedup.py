@@ -36,13 +36,25 @@ def spread(docs: DataFrame) -> DataFrame:
     threaded — the dominant cold-run cost of every dedup pipeline
     here. The round-robin exchange it buys costs one pass over the
     raw text; the parallelized shingle/hash map work it unlocks
-    costs many. At cluster scale, where the scan already has ample
-    partitions, drop this call (or gate it on
-    df.rdd.getNumPartitions()) — the trade only pays when input
-    partitions < cores.
+    costs many. GATED on input width (r6 verdict item 5): at cluster
+    scale the scan already has ample partitions and the exchange
+    would be a wasted full pass over the corpus — the trade only pays
+    when input partitions < target, i.e. small local tables. The
+    probe is ``inputFiles()`` (a plan walk over the relation's file
+    index — no physical planning, unlike ``rdd.getNumPartitions()``
+    which costs ~0.2 s of plan compilation per call): the scan's
+    partition count is at least its file count, so ≥ npart files ⇒
+    the exchange cannot widen anything. Fewer files than npart keeps
+    today's behavior (repartition), which is also the safe fallback
+    for post-shuffle inputs the file count can't see.
     """
     spark = docs.sparkSession
     npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    try:
+        if len(docs.inputFiles()) >= npart:
+            return docs
+    except Exception:
+        pass  # non-file-backed plans: fall through to the exchange
     return docs.repartition(npart)
 
 
@@ -389,14 +401,37 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- simhash
 
-SIMHASH_BITS = 63  # keep the sign bit clear
+SIMHASH_BITS = 62  # two 31-bit portable halves; sign bit stays clear
 CHUNK_BITS = 16
 HAMMING_MAX = 8
 
+# (a, b) of the two affine universal hashes (mod the Mersenne prime
+# 2^31-1) whose concatenation forms the 62-bit portable token hash:
+# th = h1 * 2^31 + h2. Distinct from _MH_PARAMS so the SimHash and
+# MinHash tiers never share hash functions. Overflow-safe in ANSI
+# int64: a*fp < 2^31 * 2^31 and h1 << 31 | h2 < 2^62.
+_SH_PARAMS = [(1610612741, 19), (805306457, 23)]
+
+
+def _portable_token_hash() -> Column:
+    """62-bit cross-engine token hash over the Karp-Rabin fingerprint
+    ([[q_minhash_sig]]'s portability recipe, widened): two affine
+    universal hashes mod 2^31-1, concatenated. Pure integer
+    arithmetic — bit-identical in Spark and DuckDB, which is what
+    upgraded q_dedup_simhash from rows-only to an exact oracle (r6
+    verdict item 3)."""
+    from lakehouse_app_spark.operators.corpus_prep import _FP_SPARK, _MH_P
+
+    fp = F.expr(_FP_SPARK.format(w="token"))
+    (a1, b1), (a2, b2) = _SH_PARAMS
+    h1 = (F.lit(a1) * fp + F.lit(b1)) % F.lit(_MH_P)
+    h2 = (F.lit(a2) * fp + F.lit(b2)) % F.lit(_MH_P)
+    return h1 * F.lit(1 << 31) + h2
+
 
 def simhash(df: DataFrame) -> DataFrame:
-    """63-bit SimHash per doc from shingle-frequency-weighted hash bits,
-    entirely in Catalyst expressions (63 conditional-sum aggregate
+    """62-bit SimHash per doc from shingle-frequency-weighted hash bits,
+    entirely in Catalyst expressions (62 conditional-sum aggregate
     columns in one pass → bit reassembly)."""
     # word_shingles is array_distinct'd, so every (doc, shingle) is
     # unique — votes are ±1 per shingle, no tf-weighting groupBy
@@ -415,7 +450,7 @@ def simhash(df: DataFrame) -> DataFrame:
     nlongs = (SIMHASH_BITS + lanes - 1) // lanes
     tok_h = df.select(
         "doc_id", F.explode(word_shingles(3)).alias("token")
-    ).select("doc_id", F.xxhash64("token").alias("th"))
+    ).select("doc_id", _portable_token_hash().alias("th"))
 
     def packed(g: int):
         parts = [
@@ -443,13 +478,89 @@ def simhash(df: DataFrame) -> DataFrame:
     return votes.select("doc_id", sh.alias("sh"))
 
 
-@query("q_dedup_simhash")  # rows-only: hash-seeded signatures
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: hamming distance ≤ 8 of 63 bits.
+def _simhash_oracle() -> str:
+    """DuckDB replay of the ENTIRE SimHash pipeline from raw text:
+    exact-dedup representatives (min doc_id per distinct token set —
+    rep_docs' semantics with the string itself as the group key),
+    word-trigram shingles, the portable 62-bit token hash, majority-
+    vote signature bits, 16-bit chunk candidate buckets, and hamming
+    verification. Generated, not hand-written: the 62 per-bit vote
+    columns come from SIMHASH_BITS so a width change retunes the
+    oracle with the engine."""
+    from lakehouse_app_spark.operators.corpus_prep import _FP_DUCK, _MH_P
 
-    Candidates via the chunk trick (pigeonhole: distance ≤ 8 over 4
-    chunks ⇒ some 16-bit chunk collides exactly) — bucket equi-join
-    on (chunk_id, chunk_value), then exact hamming via bit_count(xor).
+    (a1, b1), (a2, b2) = _SH_PARAMS
+    fp = _FP_DUCK.format(w="w")
+    votes = ", ".join(
+        f"SUM((th >> {b}) & 1) AS c{b}" for b in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN 2 * c{b} > n THEN (CAST(1 AS BIGINT) << {b}) "
+        f"ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    n_chunks = (SIMHASH_BITS + CHUNK_BITS - 1) // CHUNK_BITS
+    mask = (1 << CHUNK_BITS) - 1
+    return f"""
+    WITH rep AS (
+      SELECT min(doc_id) AS doc_id
+      FROM (SELECT doc_id,
+                   array_to_string(list_sort(list_distinct(
+                     string_split(text, ' '))), ' ') AS fpset
+            FROM documents)
+      GROUP BY fpset
+    ),
+    sh_toks AS (
+      SELECT d.doc_id,
+             list_distinct(list_transform(range(1, len(tk) - 1),
+               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS toks
+      FROM (SELECT doc_id, string_split(text, ' ') AS tk
+            FROM documents) d
+      JOIN rep r ON d.doc_id = r.doc_id
+      WHERE len(tk) >= 3
+    ),
+    th AS (
+      SELECT doc_id,
+             (({a1} * ({fp}) + {b1}) % {_MH_P}) * {1 << 31}
+               + (({a2} * ({fp}) + {b2}) % {_MH_P}) AS th
+      FROM (SELECT doc_id, unnest(toks) AS w FROM sh_toks)
+    ),
+    votes AS (
+      SELECT doc_id, count(*) AS n, {votes} FROM th GROUP BY doc_id
+    ),
+    sig AS (SELECT doc_id, {sig} AS sh FROM votes),
+    chunks AS (
+      SELECT doc_id, sh, j AS chunk, (sh >> (j * {CHUNK_BITS})) & {mask} AS cval
+      FROM sig CROSS JOIN (SELECT unnest(range({n_chunks})) AS j)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             a.sh AS a_sh, b.sh AS b_sh
+      FROM chunks a JOIN chunks b
+        ON a.chunk = b.chunk AND a.cval = b.cval AND a.doc_id < b.doc_id
+    )
+    SELECT a_id, b_id,
+           CAST(bit_count(xor(a_sh, b_sh)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(a_sh, b_sh)) <= {HAMMING_MAX}
+    """
+
+
+@query("q_dedup_simhash", oracle=_simhash_oracle())
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: hamming distance ≤ 8 of 62 bits.
+
+    Candidates via 16-bit chunk collision (bucket equi-join on
+    (chunk_id, chunk_value)), then exact hamming via bit_count(xor).
+    Pigeonhole guarantee: distance ≤ n_chunks-1 = 3 always collides
+    in some chunk (Manku et al. 2007's multi-table design at its
+    standard radius); pairs out to HAMMING_MAX = 8 are reported
+    best-effort when they share a chunk — wider chunks keep bucket
+    sizes ~n/2^16, which is what keeps the join linear at 100 TB
+    (7-bit chunks for a guaranteed radius 8 would put ~n/128 docs in
+    every bucket: quadratic). Exact oracle since r7: tokens are
+    hashed by the portable 62-bit recipe (:func:`_portable_token_hash`)
+    instead of engine-private xxhash64, so DuckDB replays signatures
+    bit-for-bit from raw text.
     """
     from lakehouse_app_spark.sources.layout import derived_table
 
@@ -461,14 +572,17 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = load_tables(spark, sf_dir)
         return simhash(rep_docs(spread(t.documents)))
 
-    sh = derived_table(spark, "sh_sig", sf_dir, build)
+    # layout name carries the hash recipe generation: the r7 portable-
+    # hash upgrade must not reuse a stored xxhash64-era signature table
+    sh = derived_table(spark, "sh_sig_p62", sf_dir, build)
     # single-scan posexplode over the 4 chunk values (the unioned
     # formulation re-read the signature layout once per chunk)
+    n_chunks = (SIMHASH_BITS + CHUNK_BITS - 1) // CHUNK_BITS
     chunk_arr = F.array(
         *[
             F.shiftright(F.col("sh"), j * CHUNK_BITS)
             .bitwiseAND(F.lit((1 << CHUNK_BITS) - 1))
-            for j in range(4)
+            for j in range(n_chunks)
         ]
     )
     chunks = sh.select(
@@ -486,7 +600,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", "a_sh", "b_sh")
         .dropDuplicates(["a_id", "b_id"])
     )
-    hamming = F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh")))
+    hamming = F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh"))).cast(
+        "long"
+    )
     return (
         cand.select("a_id", "b_id", hamming.alias("hamming"))
         .where(F.col("hamming") <= HAMMING_MAX)

@@ -487,16 +487,26 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     graph = derived_table(spark, "word_graph", sf_dir, _build_word_graph(t))
+    # No persist (r6 regression fix: caching a vocab-bounded edge set
+    # forced a blocking materialization stage that dominated the
+    # one-shot runtime; each consumer branch re-reads the tiny stored
+    # layout instead). The two-hop extension sides are broadcast: the
+    # DISTINCT undirected bigram edge list is vocab-co-occurrence-
+    # bounded index metadata, orders of magnitude smaller than the
+    # corpus that produced it — for general graphs whose edge lists
+    # scale with data, drop the hints and orient by degree (the
+    # docstring's web-scale note); the plan shape is unchanged.
     und = (
         graph.where(F.col("w1") != F.col("w2"))
         .select(
             F.least("w1", "w2").alias("a"), F.greatest("w1", "w2").alias("b")
         )
         .distinct()
-        .transform(scoped_persist)
     )
-    e2 = und.select(F.col("a").alias("b2"), F.col("b").alias("c"))
-    e3 = und.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    e2 = F.broadcast(und.select(F.col("a").alias("b2"), F.col("b").alias("c")))
+    e3 = F.broadcast(
+        und.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    )
     tri = (
         und.join(e2, und.b == e2.b2)
         .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
