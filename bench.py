@@ -121,6 +121,93 @@ def _measure_stream_floor(spark, runs: int = 5) -> tuple[float, float]:
     return plain[len(plain) // 2], stateful[len(stateful) // 2]
 
 
+def _measure_tws_floor(spark, runs: int = 3) -> float:
+    """Median wall-clock of a MINIMAL (1-row, 1-key, trivial state)
+    transformWithStateInPandas query — the fixed startup of the
+    arbitrary-state-v2 API, which is structurally higher than the
+    applyInPandasWithState floor: the JVM forks a dedicated Python
+    driver-worker per query (fresh interpreter + pyspark + protobuf
+    imports), starts the state server, and initializes the RocksDB
+    provider. Decomposes q_stream_state_v2's residual the same way
+    stream_floor_stateful_sec decomposes the other stateful streams.
+    Returns -1.0 when the v2 API is unavailable (no protobuf source)."""
+    from lakehouse_app_spark.streaming.stream_queries import _twsp_available
+
+    if not _twsp_available():
+        return -1.0
+    import pandas as pd  # noqa: F401
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming import StatefulProcessor
+
+    from lakehouse_app_spark.sources.pb_vendor import (
+        inject_worker_pythonpath,
+        protobuf_runtime_dir,
+    )
+    from lakehouse_app_spark.streaming.stream_queries import (
+        _checkpoint_root,
+        run_to_memory,
+    )
+
+    pb_dir = protobuf_runtime_dir()
+    if pb_dir:
+        inject_worker_pythonpath(spark, pb_dir)
+
+    src = tempfile.mkdtemp(prefix="tws_floor_src_", dir=_checkpoint_root())
+    spark.range(1).select(F.col("id").alias("k"), F.col("id").alias("v")).write.mode(
+        "overwrite"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    class _One(StatefulProcessor):
+        def init(self, handle):
+            self.s = handle.getValueState("s", "n long")
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as _pd
+
+            n = sum(len(p) for p in rows)
+            self.s.update((int(n),))
+            yield _pd.DataFrame({"k": [key[0]], "n": [n]})
+
+        def close(self):
+            pass
+
+    def once() -> float:
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = stream.groupBy("k").transformWithStateInPandas(
+            statefulProcessor=_One(),
+            outputStructType="k long, n long",
+            outputMode="Update",
+            timeMode="None",
+        )
+        prev = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", None
+        )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        t0 = time.perf_counter()
+        try:
+            run_to_memory(out, "_tws_floor", output_mode="update", partitions=2)
+        finally:
+            if prev is None:
+                spark.conf.unset(
+                    "spark.sql.streaming.stateStore.providerClass"
+                )
+            else:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev
+                )
+        return time.perf_counter() - t0
+
+    ts = sorted(once() for _ in range(runs))
+    return ts[len(ts) // 2]
+
+
 def main() -> None:
     eng.load_all_queries()
     spark = eng.get_spark(app_name="lakehouse-app-spark-bench")
@@ -152,6 +239,7 @@ def main() -> None:
     # value decomposes the streaming family's residual the same way
     # floor_per_query_sec decomposes the batch tail.
     stream_floor, stream_floor_stateful = _measure_stream_floor(spark)
+    tws_floor = _measure_tws_floor(spark)
 
     per_query: dict[str, float] = {}
     for name in sorted(eng.QUERIES):
@@ -173,6 +261,7 @@ def main() -> None:
         "floor_per_query_sec": round(floor_per_query, 4),
         "stream_floor_per_query_sec": round(stream_floor, 4),
         "stream_floor_stateful_sec": round(stream_floor_stateful, 4),
+        "tws_floor_sec": round(tws_floor, 4),
     }
 
     if RUN_DUCKDB:
@@ -218,6 +307,7 @@ def main() -> None:
         "floor_per_query_sec": full["floor_per_query_sec"],
         "stream_floor_per_query_sec": full["stream_floor_per_query_sec"],
         "stream_floor_stateful_sec": full["stream_floor_stateful_sec"],
+        "tws_floor_sec": full["tws_floor_sec"],
     }
     if RUN_DUCKDB:
         compact["duckdb_total"] = full["duckdb_total"]

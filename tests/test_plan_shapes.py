@@ -500,3 +500,18 @@ def test_spread_gates_on_input_file_count(spark, tmp_path):
     out = spread(narrow)
     assert out is not narrow
     assert out.rdd.getNumPartitions() == npart
+
+
+def test_ivfpq_probe_prunes_stored_codes(spark, sf_dir):
+    """q_ann_ivfpq must score the STORED pq_codes layout, pruned to
+    the probed clusters at the scan (PartitionFilters on cid), with
+    no per-query coding pass: the codes scan reads only (vec_id,
+    codes) and full vectors appear solely in the shortlist rerank."""
+    import re
+
+    df = QUERIES["q_ann_ivfpq"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "pq_codes" in plan, plan
+    # every scan of the codes layout carries a cid partition filter
+    m = re.search(r"PartitionFilters: \[([^\]]*cid[^\]]*IN[^\]]*)\]", plan)
+    assert m, plan
