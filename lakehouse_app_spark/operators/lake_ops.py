@@ -232,6 +232,77 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+@query(
+    "q_dedup_keep_best",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, n_chars,
+             array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')
+               AS fp
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, n_chars,
+             min(doc_id) OVER (PARTITION BY fp) AS cluster_id,
+             count(*) OVER (PARTITION BY fp) AS sz
+      FROM f
+    ),
+    m AS (SELECT * FROM sized WHERE sz > 1)
+    SELECT cluster_id, doc_id AS keep_id,
+           CAST(n_chars AS BIGINT) AS keep_chars,
+           CAST(sz AS BIGINT) AS n_members
+    FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                      ORDER BY n_chars DESC, doc_id) AS r FROM m)
+    WHERE r = 1
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative SELECTION on top of [[q_dedup_clusters]]: per
+    near-dup cluster keep the single best member — here "best" =
+    longest text (most complete variant), doc_id tie-break — the
+    decision stage every production dedup pipeline runs after
+    clustering (pick one survivor, drop the rest; quality-score
+    argmax is the same plan with a different ORDER BY). Cluster
+    assignments are read from the STORED ``dup_clusters`` layout
+    (label propagation runs once per corpus at ingest — the pipeline
+    split: [[q_dedup_clusters]] is the algorithm, this layout is its
+    product); the selection itself is one WindowGroupLimit per
+    cluster over that pair table joined to per-doc metadata —
+    document text never moves, and the window key is the cluster id,
+    so the argmax is shuffle-balanced at any corpus size. Oracle
+    replays the cluster derivation (components ≡ fingerprint classes
+    on this graph, as proven by q_dedup_clusters) plus the argmax."""
+    from pyspark.sql import Window
+
+    from lakehouse_app_spark.sources.layout import derived_table
+
+    clusters = derived_table(
+        spark, "dup_clusters", sf_dir, lambda: q_dedup_clusters(spark, sf_dir)
+    )
+    meta = load_tables(spark, sf_dir).documents.select("doc_id", "n_chars")
+    sized = clusters.join(meta, "doc_id").select(
+        "cluster_id",
+        "doc_id",
+        "n_chars",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("cluster_id"))
+        .alias("n_members"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        sized.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_id"),
+            F.col("n_chars").alias("keep_chars"),
+            "n_members",
+        )
+    )
+
+
 # ---------------------------------------------------------------- z-order
 
 ZBITS = 16
