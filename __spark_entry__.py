@@ -57,6 +57,7 @@ _SHOWCASE = [
     # (b) upgrades + this round's changed paths + new r7 queries
     "q_agg_approx", "q_dedup_simhash", "q_stream_state_v2",
     "q_dedup_keep_best", "q_fuzzy_join", "q_knn_classify",
+    "q_ngram_novelty",
     "q_ann_ivfpq", "q_pq_quantize", "q_minhash_audit",
     "q_dedup_from_layout", "q_dedup_minhash", "q_triangles", "q_pagerank",
     "q_json_ingest", "q_sink_roundtrip", "q_neardup_exact",
@@ -71,13 +72,12 @@ _SHOWCASE = [
     "q_udf_cosine", "q_vs_retrieve", "q_window_lag", "q_window_rank",
     "q_window_sessionize", "q_join_asof_tolerance",
     "q_array_funcs", "q_date_funcs", "q_map_funcs", "q_math_funcs",
-    "q_string_funcs",
 ]
 
 # Keys that would rotate in next if the driver over-samples past 50:
 # the oldest-green cycle continues through the r04 window.
 _NEXT_UP = [
-    "q_minhash_sig", "q_mix_weights", "q_pack_batches",
+    "q_string_funcs", "q_minhash_sig", "q_mix_weights", "q_pack_batches",
     "q_perplexity", "q_pii_redact", "q_train_split", "q_url_parse",
     "q_udaf_normalize", "q_corpus_gate", "q_regex_transform",
     "q_truncate_render", "q_window_running",

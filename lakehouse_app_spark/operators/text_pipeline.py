@@ -509,3 +509,96 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(PMI_TOP)
     )
+
+
+def _novelty_oracle() -> str:
+    from lakehouse_app_spark.operators.corpus_prep import _FP_DUCK, _MH_P
+    from lakehouse_app_spark.operators.dedup import _SH_PARAMS
+
+    (a1, b1), (a2, b2) = _SH_PARAMS
+    fp = _FP_DUCK.format(w="w")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(tk) - 1),
+               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS toks
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk
+            FROM documents)
+      WHERE len(tk) >= 3
+    ),
+    sh AS (
+      SELECT doc_id,
+             (({a1} * ({fp}) + {b1}) % {_MH_P}) * {1 << 31}
+               + (({a2} * ({fp}) + {b2}) % {_MH_P}) AS th
+      FROM (SELECT doc_id, unnest(toks) AS w FROM toks)
+    ),
+    firsts AS (SELECT th, min(doc_id) AS fd FROM sh GROUP BY th)
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(*) FILTER (f.fd = sh.doc_id) AS BIGINT) AS n_novel,
+           round(count(*) FILTER (f.fd = sh.doc_id)
+                 / CAST(count(*) AS DOUBLE), 6) AS novelty
+    FROM sh JOIN firsts f ON f.th = sh.th
+    GROUP BY sh.doc_id
+    """
+
+
+@query("q_ngram_novelty", oracle=_novelty_oracle())
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY score — the corpus-curation signal
+    behind "how much of this document have we already ingested?":
+    novelty = fraction of a doc's distinct word-trigram shingles whose
+    FIRST corpus occurrence (min doc_id, the ingest-order stand-in)
+    is this document. Boilerplate and templated spam score near 0 even
+    when no single earlier doc is a near-duplicate — the failure mode
+    pairwise dedup can't see, which is why curation pipelines run both.
+    Plan: one shingle explode (scan-local), one hash aggregate keyed
+    by shingle for the global first-occurrence table, one equi-join
+    back, one per-doc rollup — the inverted-index build shape, never
+    any pairwise comparison; both shuffles carry (shingle, doc_id)
+    keys only. The pair table is stored once per corpus as the
+    ``shingle_fps`` layout with shingles as PORTABLE 62-bit hashes
+    (16-byte rows, long-keyed shuffles — the DF-capped
+    [[shingle_postings]] sibling is wrong here: novelty is precisely
+    about the frequent shingles a DF cap drops, and string keys
+    double the shuffle bytes). Hash collisions merge identically in
+    both engines (the oracle replays the same arithmetic), so the
+    cross-engine contract is exact. At 100 TB the firsts table is the
+    stored ingest-order index and arriving batches join against it
+    incrementally (the [[q_dedup_incremental]] topology applied to
+    shingle provenance)."""
+    from lakehouse_app_spark.operators.dedup import (
+        _portable_token_hash,
+        spread,
+        word_shingles,
+    )
+    from lakehouse_app_spark.sources.layout import derived_table
+
+    def build() -> DataFrame:
+        t = load_tables(spark, sf_dir)
+        return (
+            spread(t.documents)
+            .select("doc_id", F.lower(F.col("text")).alias("text"))
+            .select("doc_id", F.explode(word_shingles(3)).alias("token"))
+            .select("doc_id", _portable_token_hash().alias("s"))
+        )
+
+    sh = derived_table(spark, "shingle_fps", sf_dir, build)
+    firsts = sh.groupBy("s").agg(F.min("doc_id").alias("fd"))
+    novel = F.sum(F.when(F.col("fd") == F.col("doc_id"), 1).otherwise(0))
+    return (
+        sh.join(firsts, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            novel.cast("long").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(
+                F.col("n_novel") / F.col("n_shingles").cast("double"), 6
+            ).alias("novelty"),
+        )
+    )

@@ -311,3 +311,92 @@ def test_stream_state_v2_gated_or_green(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_tws_liststate_accumulates_across_micro_batches(spark, tmp_path):
+    """transformWithStateInPandas ListState coverage: with
+    maxFilesPerTrigger=1 the two staged files replay as two
+    micro-batches, and the per-key list (one appended element per
+    batch the key appears in) must survive the batch boundary through
+    the RocksDB store — the cross-batch-persistence property
+    q_stream_state_v2's single-batch replay cannot witness."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+
+    from lakehouse_app_spark.sources.pb_vendor import (
+        inject_worker_pythonpath,
+        protobuf_runtime_dir,
+    )
+    from lakehouse_app_spark.streaming.stream_queries import (
+        _twsp_available,
+        run_to_memory,
+    )
+
+    if not _twsp_available():
+        pytest.skip("no protobuf source on this host")
+    pb = protobuf_runtime_dir()
+    if pb:
+        inject_worker_pythonpath(spark, pb)
+
+    src = str(tmp_path / "tws_src")
+    for batch, rows in enumerate([[(1, 10.0), (2, 20.0)], [(1, 11.0)]]):
+        spark.createDataFrame(rows, "k long, v double").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    class ListAcc(StatefulProcessor):
+        def init(self, handle):
+            self.seen = handle.getListState("seen", "v double")
+
+        def handleInputRows(self, key, rows, timer_values):
+            mx = max(float(p["v"].max()) for p in rows)
+            self.seen.appendValue((mx,))
+            vals = [t[0] for t in self.seen.get()]
+            yield pd.DataFrame(
+                {
+                    "k": [key[0]],
+                    "n_batches": [len(vals)],
+                    "last_v": [vals[-1]],
+                }
+            )
+
+        def close(self):
+            pass
+
+    stream = (
+        spark.readStream.schema("k long, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = stream.groupBy("k").transformWithStateInPandas(
+        statefulProcessor=ListAcc(),
+        outputStructType="k long, n_batches long, last_v double",
+        outputMode="Update",
+        timeMode="None",
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        res = run_to_memory(out, "tws_list", output_mode="update", partitions=2)
+        # update-mode memory sink keeps every emitted row and collect
+        # order is not guaranteed — reduce to the final state per key
+        # by max batch count
+        rows = {}
+        for r in res.collect():
+            if r["k"] not in rows or r["n_batches"] > rows[r["k"]]["n_batches"]:
+                rows[r["k"]] = r
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    # Key 1 appears in both batches (list length 2, last element
+    # 11.0); key 2 only in batch 1.
+    assert rows[1]["n_batches"] == 2 and rows[1]["last_v"] == 11.0, rows
+    assert rows[2]["n_batches"] == 1 and rows[2]["last_v"] == 20.0, rows
