@@ -515,3 +515,14 @@ def test_ivfpq_probe_prunes_stored_codes(spark, sf_dir):
     # every scan of the codes layout carries a cid partition filter
     m = re.search(r"PartitionFilters: \[([^\]]*cid[^\]]*IN[^\]]*)\]", plan)
     assert m, plan
+
+
+def test_fuzzy_join_blocks_as_equi_join(spark, sf_dir):
+    """The edit-distance join must plan as an equi-join on the prefix
+    block key with levenshtein only in the post-join filter — an
+    all-pairs BroadcastNestedLoopJoin/CartesianProduct would defeat
+    the blocking design."""
+    plan = formatted_plan(QUERIES["q_fuzzy_join"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "levenshtein" in plan, plan

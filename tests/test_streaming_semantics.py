@@ -319,7 +319,16 @@ def test_tws_liststate_accumulates_across_micro_batches(spark, tmp_path):
     micro-batches, and the per-key list (one appended element per
     batch the key appears in) must survive the batch boundary through
     the RocksDB store — the cross-batch-persistence property
-    q_stream_state_v2's single-batch replay cannot witness."""
+    q_stream_state_v2's single-batch replay cannot witness.
+
+    (Processing-time TIMERS are deliberately not covered: in this
+    Spark build a transformWithStateInPandas query with
+    timeMode=ProcessingTime and an already-due registered timer never
+    terminates under trigger(availableNow) — the micro-batch executor
+    keeps scheduling batches even after handleExpiredTimer ran and
+    the timer was explicitly deleted; reproduced standalone outside
+    pytest. Upstream trigger/timer interaction, not an engine
+    property this repo controls.)"""
     import pandas as pd
     from pyspark.sql.streaming import StatefulProcessor
 
@@ -400,3 +409,4 @@ def test_tws_liststate_accumulates_across_micro_batches(spark, tmp_path):
     # 11.0); key 2 only in batch 1.
     assert rows[1]["n_batches"] == 2 and rows[1]["last_v"] == 11.0, rows
     assert rows[2]["n_batches"] == 1 and rows[2]["last_v"] == 20.0, rows
+
