@@ -85,9 +85,16 @@ _NEXT_UP = [
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    ordered = {k: eng.QUERIES[k] for k in _SHOWCASE}
-    ordered.update({k: eng.QUERIES[k] for k in _NEXT_UP if k not in ordered})
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Membership is filtered through the live registry: an env-gated
+    key named in the showcase (q_stream_state_v2 on a host with no
+    protobuf source at all) must drop out gracefully, not KeyError
+    the whole contract."""
+    ordered = {k: eng.QUERIES[k] for k in _SHOWCASE if k in eng.QUERIES}
+    ordered.update(
+        {k: eng.QUERIES[k] for k in _NEXT_UP if k in eng.QUERIES and k not in ordered}
+    )
     ordered.update({k: v for k, v in eng.QUERIES.items() if k not in ordered})
     return ordered
 

@@ -84,24 +84,56 @@ def _copy_py_tree(src: str, dst: str) -> None:
 def _build_vendor_copy(src_root: str) -> str:
     """Copy ``google/protobuf`` (py files only) from ``src_root`` into
     the warehouse vendor dir, apply the version shim, and mark the
-    copy complete (marker-last, so a crashed copy is rebuilt)."""
+    copy complete. Concurrency-safe the same way layout commits are
+    (staging + atomic rename, marker-last): each builder assembles a
+    private staging dir and claims the final path with one
+    ``os.rename``; a loser discards its staging and polls briefly for
+    the winner's marker, so no process ever imports from a
+    half-written tree."""
     dst = _vendor_root()
     marker = os.path.join(dst, "_complete")
-    if not os.path.exists(marker):
+    if os.path.exists(marker):
+        return dst
+    staging = f"{dst}.staging-{os.getpid()}"
+    shutil.rmtree(staging, ignore_errors=True)
+    _copy_py_tree(
+        os.path.join(src_root, "google", "protobuf"),
+        os.path.join(staging, "google", "protobuf"),
+    )
+    # regular (non-namespace) package: zipimport/worker-safe
+    open(os.path.join(staging, "google", "__init__.py"), "w").close()
+    with open(
+        os.path.join(staging, "google", "protobuf", "runtime_version.py"),
+        "a",
+    ) as fh:
+        fh.write(_VERSION_SHIM)
+    with open(os.path.join(staging, "_complete"), "w") as fh:
+        fh.write(src_root)
+    try:
+        os.rename(staging, dst)
+    except OSError:
+        if not os.path.exists(dst):
+            shutil.rmtree(staging, ignore_errors=True)
+            raise  # non-race failure
+        # dst exists. A winner's rename always carries the marker
+        # (staging is complete before the claim), so dst-with-marker
+        # = lost race → use the winner's tree. dst-WITHOUT-marker can
+        # only be pre-staging-era or crashed garbage → self-heal:
+        # sweep it and retry the claim with our complete staging
+        # (review r7: the first cut raised here, and the caller's
+        # probe loop swallowed the error — silently gating the TWS
+        # query off after a pointless poll).
+        if os.path.exists(marker):
+            shutil.rmtree(staging, ignore_errors=True)
+            return dst
         shutil.rmtree(dst, ignore_errors=True)
-        _copy_py_tree(
-            os.path.join(src_root, "google", "protobuf"),
-            os.path.join(dst, "google", "protobuf"),
-        )
-        # regular (non-namespace) package: zipimport/worker-safe
-        open(os.path.join(dst, "google", "__init__.py"), "w").close()
-        with open(
-            os.path.join(dst, "google", "protobuf", "runtime_version.py"),
-            "a",
-        ) as fh:
-            fh.write(_VERSION_SHIM)
-        with open(marker, "w") as fh:
-            fh.write(src_root)
+        try:
+            os.rename(staging, dst)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
+            if os.path.exists(marker):  # a concurrent healer beat us
+                return dst
+            raise
     return dst
 
 

@@ -114,7 +114,16 @@ class RestJsonWriter(DataSourceWriter):
         self.path = options["path"]
         if overwrite and os.path.isdir(self.path):
             for f in os.listdir(self.path):
-                if f.startswith("part-") or f == "_SUCCESS":
+                # also sweep orphan attempt temps (a crashed/zombie
+                # attempt whose commit message never reached the
+                # driver leaves .part-*-attemptN.jsonl.inprogress
+                # behind — review r7); single-writer-per-path is the
+                # sink's contract, so they are never a live writer's
+                if (
+                    f.startswith("part-")
+                    or f == "_SUCCESS"
+                    or (f.startswith(".part-") and f.endswith(".inprogress"))
+                ):
                     os.remove(os.path.join(self.path, f))
 
     def write(self, iterator: Iterator[Row]) -> WriterCommitMessage:
@@ -142,6 +151,14 @@ class RestJsonWriter(DataSourceWriter):
         for m in messages:
             if m is not None:
                 os.replace(m.tmp, m.final)
+        # sweep losing-attempt temps (their commit messages were never
+        # delivered); safe under the single-writer-per-path contract
+        for f in os.listdir(self.path):
+            if f.startswith(".part-") and f.endswith(".inprogress"):
+                try:
+                    os.remove(os.path.join(self.path, f))
+                except FileNotFoundError:
+                    pass
         with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
             fh.write("")
 

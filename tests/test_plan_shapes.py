@@ -482,17 +482,42 @@ def test_stats_prune_reads_file_subset(spark, sf_dir):
     assert 1 <= n_scanned < n_total, (n_scanned, n_total, plan)
 
 
-def test_spread_gates_on_input_file_count(spark, tmp_path):
-    """spread() must be a no-op when the scan already fans out to >=
-    shuffle.partitions files (the cluster-scale case) and keep
-    repartitioning narrow local scans (r6 verdict item 5)."""
-    from lakehouse_app_spark.operators.dedup import spread
+def test_spread_gates_on_actual_scan_width(spark, tmp_path):
+    """spread() must be a no-op when the scan ALREADY plans >=
+    shuffle.partitions partitions (the cluster-scale case) and keep
+    repartitioning narrow local scans (r6 verdict item 5). The probe
+    is the real planned width, not the file count — Spark bin-packs
+    small files into one FilePartition, so file count alone
+    over-estimates (review r7)."""
+    from lakehouse_app_spark.operators.dedup import _SPREAD_MEMO, spread
 
     npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
     wide_dir = str(tmp_path / "wide")
     spark.range(npart * 100).repartition(npart).write.parquet(wide_dir)
-    wide = spark.read.parquet(wide_dir)
-    assert spread(wide) is wide  # gate hit: no exchange inserted
+
+    # tiny files get bin-packed into few partitions → gate must still
+    # repartition even though the FILE count reaches the target
+    packed = spark.read.parquet(wide_dir)
+    assert len(packed.inputFiles()) >= npart
+    if packed.rdd.getNumPartitions() < npart:
+        out = spread(packed)
+        assert out is not packed
+
+    # force one split per file → scan genuinely plans >= npart
+    # partitions → gate is a no-op
+    prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    prev_oc = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try:
+        _SPREAD_MEMO.clear()  # conf change invalidates prior probes
+        wide = spark.read.parquet(wide_dir)
+        assert wide.rdd.getNumPartitions() >= npart
+        assert spread(wide) is wide  # gate hit: no exchange inserted
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", prev_oc)
+        _SPREAD_MEMO.clear()
 
     narrow_dir = str(tmp_path / "narrow")
     spark.range(100).coalesce(1).write.parquet(narrow_dir)

@@ -348,10 +348,19 @@ def test_tws_liststate_accumulates_across_micro_batches(spark, tmp_path):
         inject_worker_pythonpath(spark, pb)
 
     src = str(tmp_path / "tws_src")
+    seen_files: set = set()
     for batch, rows in enumerate([[(1, 10.0), (2, 20.0)], [(1, 11.0)]]):
         spark.createDataFrame(rows, "k long, v double").coalesce(1).write.mode(
             "append"
         ).parquet(src)
+        # FileStreamSource orders by modification time with no stable
+        # tie-break; pin strictly increasing mtimes per wave so the
+        # two files always replay in write order (review r7)
+        for f in os.listdir(src):
+            p = os.path.join(src, f)
+            if p not in seen_files and f.endswith(".parquet"):
+                os.utime(p, (1_700_000_000 + batch * 60,) * 2)
+                seen_files.add(p)
 
     class ListAcc(StatefulProcessor):
         def init(self, handle):
