@@ -58,6 +58,7 @@ def load_all_queries() -> None:
     import lakehouse_app_spark.operators.corpus_prep  # noqa: F401
     import lakehouse_app_spark.operators.dedup_ext  # noqa: F401
     import lakehouse_app_spark.operators.sketches  # noqa: F401
+    import lakehouse_app_spark.operators.span_dedup  # noqa: F401
     import lakehouse_app_spark.operators.bpe  # noqa: F401
     import lakehouse_app_spark.functions.batteries  # noqa: F401
     import lakehouse_app_spark.streaming.stream_queries  # noqa: F401
