@@ -427,6 +427,77 @@ def q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------- domain cap
+
+DOMAIN_CAP = 10
+
+
+@query(
+    "q_domain_cap",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, source,
+             length(text) AS n_chars_actual,
+             len(string_split(text, ' ')) AS n_tokens,
+             length(text) - length(replace(text, ' ', '')) AS n_spaces,
+             len(list_filter(string_split(lower(text), ' '),
+                             t -> t = 'the' OR t = 'a' OR t = 'value')) AS n_stop
+      FROM documents
+    ),
+    s AS (
+      SELECT source, doc_id,
+             round(0.5::DOUBLE * (n_stop / n_tokens)
+                   + 0.5::DOUBLE * (least((n_chars_actual - n_spaces) / n_tokens,
+                                          8.0::DOUBLE) / 8.0::DOUBLE), 6)
+               AS quality
+      FROM m
+    )
+    SELECT source, doc_id, CAST(rn AS INTEGER) AS rank, quality
+    FROM (
+      SELECT source, doc_id, quality,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY quality DESC, doc_id) AS rn
+      FROM s
+    ) WHERE rn <= {DOMAIN_CAP}
+    """,
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain contribution cap (RefinedWeb/CCNet-style): keep at
+    most DOMAIN_CAP docs per source, ranked by [[q_quality_score]]'s
+    quality metric (identical expression tree → identical doubles),
+    doc_id tie-break. Prevents any one crawl domain from dominating
+    the training mix — the deterministic quota counterpart of
+    [[q_mix_weights]]'s rate sampling. Scale: one window partitioned
+    by source; Spark's WindowGroupLimit pushes the rank<=K filter
+    map-side, so each partition ships at most K rows per source into
+    the shuffle — a hot domain with 10^8 pages still contributes K
+    rows per input partition, not 10^8 (pinned in
+    tests/test_plan_shapes.py)."""
+    t = load_tables(spark, sf_dir)
+    n_chars_actual = F.length("text")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    n_spaces = n_chars_actual - F.length(F.regexp_replace("text", " ", ""))
+    n_stop = F.size(
+        F.filter(
+            F.split(F.lower(F.col("text")), " "),
+            lambda tk: tk.isin("the", "a", "value"),
+        )
+    )
+    avg_token_len = (n_chars_actual - n_spaces) / n_tokens
+    quality = F.round(
+        F.lit(0.5) * (n_stop / n_tokens)
+        + F.lit(0.5) * (F.least(avg_token_len, F.lit(8.0)) / F.lit(8.0)),
+        6,
+    )
+    s = t.documents.select("source", "doc_id", quality.alias("quality"))
+    w = Window.partitionBy("source").orderBy(F.desc("quality"), "doc_id")
+    return (
+        s.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= DOMAIN_CAP)
+        .select("source", "doc_id", "rank", "quality")
+    )
+
+
 # ------------------------------------------------------------- pii redact
 
 _EMAIL_RE = "[a-z0-9]+@[a-z0-9.]+\\.[a-z]+"

@@ -551,3 +551,20 @@ def test_fuzzy_join_blocks_as_equi_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "levenshtein" in plan, plan
+
+
+def test_domain_cap_uses_window_group_limit(spark, sf_dir):
+    """The per-domain cap must plan the rank<=K filter as a
+    WindowGroupLimit (map-side local top-K per source before the
+    shuffle) — the property that keeps a hot domain from shipping its
+    whole page set through the exchange."""
+    assert_in_plan(QUERIES["q_domain_cap"](spark, sf_dir), "WindowGroupLimit")
+
+
+def test_dedup_spans_broadcasts_shared_grams(spark, sf_dir):
+    """The shared-gram semi-join must broadcast the (small) shared
+    set, not shuffle the full gram table a second time, and the span
+    merge must stay a per-doc window."""
+    plan = formatted_plan(QUERIES["q_dedup_spans"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
