@@ -58,7 +58,7 @@ _SHOWCASE = [
     "q_agg_approx", "q_dedup_simhash", "q_stream_state_v2",
     "q_dedup_keep_best", "q_fuzzy_join", "q_knn_classify",
     "q_ngram_novelty", "q_dedup_spans", "q_winnow_fingerprint",
-    "q_domain_cap",
+    "q_domain_cap", "q_hll_distinct",
     "q_ann_ivfpq", "q_pq_quantize", "q_minhash_audit",
     "q_dedup_from_layout", "q_dedup_minhash", "q_triangles", "q_pagerank",
     "q_json_ingest", "q_sink_roundtrip", "q_neardup_exact",
@@ -71,7 +71,7 @@ _SHOWCASE = [
     "q_orderby_limit", "q_set_union", "q_text_stats",
     "q_tokenize_wordcount", "q_topk_cosine", "q_topk_per_group",
     "q_udf_cosine", "q_vs_retrieve", "q_window_lag", "q_window_rank",
-    "q_window_sessionize", "q_join_asof_tolerance", "q_array_funcs",
+    "q_window_sessionize", "q_join_asof_tolerance",
 ]
 
 # Keys that would rotate in next if the driver over-samples past 50:

@@ -372,3 +372,134 @@ def q_join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(revenue.cast("decimal(25,6)")).cast("double").alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------- hll
+
+HLL_M = 256  # registers (b=8); std error 1.04/sqrt(m) ~ 6.5%
+_HLL_A, _HLL_B = 48271, 29  # universal-hash params, fresh family
+# alpha_m * m^2 * 2^40, with the 2^40 factor matching the
+# integer-domain register sum below. Identical double literals and
+# operation order on both engines -> identical doubles (Spark needs
+# the D suffix: bare fractional literals parse as DECIMAL there).
+_HLL_SCALE_SPARK = (
+    "((0.7213D / (1.0D + 1.079D / 256.0D)) * 65536.0D) * 1099511627776.0D"
+)
+_HLL_SCALE_DUCK = (
+    "((CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+    " + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)))"
+    " * CAST(65536.0 AS DOUBLE)) * CAST(1099511627776.0 AS DOUBLE)"
+)
+
+
+@query(
+    "q_hll_distinct",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, string_split(lower(text), ' ') AS tk FROM documents
+    ),
+    sh AS (
+      SELECT source,
+             unnest(list_transform(range(1, len(tk) - 1),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+      FROM toks WHERE len(tk) >= 3
+    ),
+    hashed AS (
+      SELECT source, s,
+             (({_HLL_A} * ({_FP_DUCK.format(w='s')}) + {_HLL_B}) % {_P}) AS h
+      FROM sh
+    ),
+    regs AS (
+      SELECT source, h % {HLL_M} AS idx,
+             max(CASE WHEN h // {HLL_M} = 0 THEN 24
+                      ELSE 24 - length(bin(h // {HLL_M})) END) AS rho
+      FROM hashed GROUP BY source, h % {HLL_M}
+    ),
+    agg AS (
+      SELECT source,
+             CAST(sum(CAST(1 AS BIGINT) << (40 - rho)) AS BIGINT) AS psum,
+             count(*) AS n_present
+      FROM regs GROUP BY source
+    ),
+    ex AS (
+      SELECT source, count(DISTINCT s) AS n_exact FROM sh GROUP BY source
+    )
+    SELECT a.source, ex.n_exact,
+           round({_HLL_SCALE_DUCK}
+                 / (a.psum + ({HLL_M} - a.n_present)
+                    * (CAST(1 AS BIGINT) << 40)), 4) AS hll_est,
+           round(abs(round({_HLL_SCALE_DUCK}
+                 / (a.psum + ({HLL_M} - a.n_present)
+                    * (CAST(1 AS BIGINT) << 40)), 4) - ex.n_exact)
+                 / ex.n_exact, 6) AS rel_err
+    FROM agg a JOIN ex USING (source)
+    """,
+)
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch with exact cross-engine
+    parity, audited against the exact cardinality (completing the
+    sketch tier: Bloom = membership, CMS = frequency, HLL =
+    cardinality; Flajolet et al. 2007).
+
+    Per-source word-trigram shingles hash through a universal hash
+    over the portable Karp-Rabin fingerprint (31 bits): low 8 bits
+    pick one of 256 registers, the remaining 23-bit word's
+    leading-zero rank (rho = 24 - bit_length, via the engine-portable
+    ``bin()`` string) maxes into the register. The harmonic-mean
+    denominator sum(2^-rho) is computed IN INTEGER DOMAIN as
+    sum(2^(40-rho)) — exact BIGINT, immune to float-summation order,
+    the same associativity trap [[q_agg_approx]]'s history documents
+    — with empty registers contributing 2^40 each. The single
+    double division by the alpha*m^2 literal is then deterministic on
+    both engines. Raw-estimate branch only: every source here carries
+    ≥1000 distinct shingles >> 2.5m = 640, so the small-range
+    linear-counting correction (whose ln() is NOT cross-engine
+    bit-stable) never triggers; the audit columns prove the estimate
+    lands within HLL's 1.04/sqrt(256) error envelope. At 100 TB the
+    register table is 256 rows x 1 byte per group — the map-side
+    partial agg ships registers, never shingles, exactly how Spark's
+    own approx_count_distinct HLL++ partials merge."""
+    t = load_tables(spark, sf_dir)
+    sh = (
+        t.documents.select("source", F.split(F.lower("text"), " ").alias("tk"))
+        .where(F.size("tk") >= 3)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 2), "
+                    "i -> concat(tk[i-1], ' ', tk[i], ' ', tk[i+1]))"
+                )
+            ).alias("s"),
+        )
+        .transform(scoped_persist)
+    )
+    fp = F.expr(_FP_SPARK.format(w="s"))
+    h = (F.lit(_HLL_A) * fp + F.lit(_HLL_B)) % F.lit(_P)
+    hashed = sh.select("source", h.alias("h"))
+    w = F.expr(f"h div {HLL_M}")
+    rho = F.when(w == 0, F.lit(24)).otherwise(
+        F.lit(24) - F.length(F.bin(w))
+    )
+    regs = (
+        hashed.select("source", (F.col("h") % HLL_M).alias("idx"), rho.alias("r"))
+        .groupBy("source", "idx")
+        .agg(F.max("r").alias("rho"))
+    )
+    agg = regs.groupBy("source").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 40 - rho)")).alias("psum"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    ex = sh.groupBy("source").agg(F.count_distinct("s").alias("n_exact"))
+    denom = F.col("psum") + (F.lit(HLL_M) - F.col("n_present")) * F.expr(
+        "shiftleft(CAST(1 AS BIGINT), 40)"
+    )
+    est = F.round(F.expr(_HLL_SCALE_SPARK) / denom, 4)
+    return agg.join(ex, "source").select(
+        "source",
+        "n_exact",
+        est.alias("hll_est"),
+        F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6).alias(
+            "rel_err"
+        ),
+    )

@@ -531,3 +531,19 @@ def test_incremental_dedup_is_cross_partition_slice_of_audit(spark, sf_dir):
         for r in inc
     }
     assert cross_inc == cross_audit
+
+
+def test_hll_estimate_within_error_envelope(spark, sf_dir):
+    """HLL with m=256 has std error 1.04/sqrt(256) ~ 6.5%; every
+    per-source estimate must land within 3 sigma of exact (and the
+    audit columns must be self-consistent)."""
+    from lakehouse_app_spark import QUERIES
+
+    rows = QUERIES["q_hll_distinct"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_exact"] > 640, "raw-branch precondition (>2.5m)"
+        assert r["rel_err"] <= 0.20, (r["source"], r["rel_err"])
+        assert abs(r["hll_est"] - r["n_exact"]) / r["n_exact"] == pytest.approx(
+            r["rel_err"], abs=1e-6
+        )
