@@ -58,7 +58,8 @@ _SHOWCASE = [
     "q_agg_approx", "q_dedup_simhash", "q_stream_state_v2",
     "q_dedup_keep_best", "q_fuzzy_join", "q_knn_classify",
     "q_ngram_novelty", "q_dedup_spans", "q_winnow_fingerprint",
-    "q_domain_cap", "q_hll_distinct",
+    "q_domain_cap", "q_hll_distinct", "q_kmv_distinct", "q_target_encode",
+    "q_bootstrap_ci", "q_drift_ks",
     "q_ann_ivfpq", "q_pq_quantize", "q_minhash_audit",
     "q_dedup_from_layout", "q_dedup_minhash", "q_triangles", "q_pagerank",
     "q_json_ingest", "q_sink_roundtrip", "q_neardup_exact",

@@ -265,3 +265,127 @@ def q_approx_quantiles_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ranks
         """
     )
+
+
+# ---------------------------------------------- poisson bootstrap CIs
+
+BOOT_R = 32  # bootstrap replicates
+_BOOT_A, _BOOT_B = 1103515245, 12345  # LCG-grade multiplier: the replicate
+# index must jump the hash by ~half the modulus, or every replicate
+# draws near-identical weights (a small multiplier shifts h by only
+# A per replicate, so no row crosses a Poisson threshold and all
+# replicate means collapse — caught by the bracket test)
+_BOOT_P = 2147483647
+# Poisson(1) inverse-CDF thresholds: floor(CDF(k) * (2^31 - 1)) for
+# k = 0..6; a uniform hash >= threshold k contributes one more count,
+# so w = sum of 7 comparisons in {0..7} with P(w=k) = e^-1 / k!.
+_POIS_T = (
+    790015083, 1580030167, 1975037709, 2106706890,
+    2139624185, 2146207644, 2147304887,
+)
+
+
+def _boot_w_sql(h: str) -> str:
+    """Portable Poisson(1) draw: count of CDF thresholds <= h."""
+    return " + ".join(
+        f"(CASE WHEN ({h}) >= {t} THEN 1 ELSE 0 END)" for t in _POIS_T
+    )
+
+
+@query(
+    "q_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (
+      SELECT o.o_orderpriority AS category,
+             CAST(o.o_totalprice AS DECIMAL(25,2)) AS y,
+             t.r AS r,
+             ({_boot_w_sql(
+                 f"({_BOOT_A} * (o.o_orderkey * {BOOT_R} + t.r)"
+                 f" + {_BOOT_B}) % {_BOOT_P}"
+             )}) AS w
+      FROM orders o CROSS JOIN (SELECT range AS r FROM range({BOOT_R})) t
+    ),
+    rm AS (
+      SELECT category, r,
+             CAST(SUM(w * y) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS m
+      FROM reps GROUP BY category, r
+    ),
+    full_mean AS (
+      SELECT o_orderpriority AS category,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS mean
+      FROM orders GROUP BY 1
+    )
+    SELECT f.category, f.n,
+           round(f.mean, 6) AS mean,
+           round(quantile_disc(rm.m, 0.025), 6) AS ci_lo,
+           round(quantile_disc(rm.m, 0.975), 6) AS ci_hi
+    FROM rm JOIN full_mean f USING (category)
+    GROUP BY f.category, f.n, f.mean
+    """,
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence intervals — the bootstrap that
+    actually distributes (Chamandy et al. 2012, "Estimating
+    uncertainty for massive data streams"): classical resampling
+    needs n draws WITH replacement per replicate (a shuffle per
+    replicate); the Poisson approximation gives every row an
+    independent Poisson(1) weight per replicate, so all {BOOT_R}
+    resamples ride ONE scan as map-side-combinable weighted partial
+    sums. The per-replicate weight is a deterministic inverse-CDF
+    draw from a universal hash of (row key, replicate) — both engines
+    replay identical integers, so the whole sketch is exact-oracle
+    checkable. The replicate-mean table is |groups| x {BOOT_R} rows;
+    the 95% interval is discrete order statistics over it
+    ([[q_percentile_disc]]'s engine-portable quantile recipe). At
+    100 TB: one fact scan, {BOOT_R}x scan-local row amplification
+    before partial aggregation, and aggregate-sized everything after —
+    the uncertainty layer every metrics pipeline should ship but
+    skips because naive resampling can't scale."""
+    t = load_tables(spark, sf_dir)
+    reps = t.orders.select(
+        F.col("o_orderpriority").alias("category"),
+        F.col("o_totalprice").cast("decimal(25,2)").alias("y"),
+        "o_orderkey",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_R - 1))).alias("r"),
+    ).withColumn(
+        "h",
+        (
+            F.lit(_BOOT_A) * (F.col("o_orderkey") * BOOT_R + F.col("r"))
+            + F.lit(_BOOT_B)
+        )
+        % F.lit(_BOOT_P),
+    )
+    w = None
+    for thr in _POIS_T:
+        term = F.when(F.col("h") >= thr, 1).otherwise(0)
+        w = term if w is None else (w + term)
+    rm = (
+        reps.withColumn("w", w)
+        .groupBy("category", "r")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("y")).cast("double")
+                / F.sum("w").cast("double")
+            ).alias("m")
+        )
+    )
+    fm = t.orders.groupBy(F.col("o_orderpriority").alias("category")).agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(25,2)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean"),
+    )
+    ci = rm.groupBy("category").agg(
+        F.expr(
+            "round(percentile_disc(0.025) WITHIN GROUP (ORDER BY m), 6)"
+        ).alias("ci_lo"),
+        F.expr(
+            "round(percentile_disc(0.975) WITHIN GROUP (ORDER BY m), 6)"
+        ).alias("ci_hi"),
+    )
+    return fm.join(ci, "category").select(
+        "category", "n", F.round("mean", 6).alias("mean"), "ci_lo", "ci_hi"
+    )

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from lakehouse_app_spark.functions.compat import DEC
 from lakehouse_app_spark.registry import query
+from lakehouse_app_spark.runtime_cache import scoped_persist
 from lakehouse_app_spark.sources.tables import load_tables
 
 
@@ -541,4 +542,223 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("logit"),
         (F.col("raw") > 0).alias("keep"),
+    )
+
+
+# ------------------------------------------- out-of-fold target encoding
+
+TE_SMOOTH = 20.0  # pseudo-count weight pulling rare categories to the prior
+TE_FOLDS = 5
+
+
+@query(
+    "q_target_encode",
+    oracle=f"""
+    WITH g AS (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS gmean
+      FROM orders
+    ),
+    cf AS (
+      SELECT o_orderpriority AS category,
+             o_orderkey % {TE_FOLDS} AS fold,
+             CAST(count(*) AS BIGINT) AS n_cf,
+             SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS sum_cf
+      FROM orders GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT category, CAST(SUM(n_cf) AS BIGINT) AS n_c,
+             SUM(sum_cf) AS sum_c
+      FROM cf GROUP BY category
+    )
+    SELECT cf.category, cf.fold, cf.n_cf AS n_in_fold,
+           round((CAST(c.sum_c - cf.sum_cf AS DOUBLE)
+                  + {TE_SMOOTH!r} * g.gmean)
+                 / (CAST(c.n_c - cf.n_cf AS DOUBLE) + {TE_SMOOTH!r}), 6)
+             AS oof_enc,
+           round((CAST(c.sum_c AS DOUBLE) + {TE_SMOOTH!r} * g.gmean)
+                 / (CAST(c.n_c AS DOUBLE) + {TE_SMOOTH!r}), 6) AS full_enc,
+           round(g.gmean, 6) AS global_mean
+    FROM cf JOIN c USING (category) CROSS JOIN g
+    """,
+)
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free out-of-fold target encoding — the categorical
+    feature-engineering step of every tabular training pipeline
+    (Micci-Barreca 2001): each category's encoding for fold f is the
+    smoothed target mean computed WITHOUT fold f's own rows, so the
+    feature a training row sees never contains its own label. The
+    smoothing pseudo-count ({TE_SMOOTH} rows of the global prior)
+    shrinks rare categories toward the global mean instead of
+    memorizing them.
+
+    Plan shape: one hash-aggregate to (category, fold) partials —
+    map-side combinable, |categories|x{TE_FOLDS} rows — from which the
+    per-category totals roll up WITHOUT rescanning (the leave-fold-out
+    numerator is total minus fold partial, the classic
+    partial-aggregate subtraction trick), and the 1-row global prior
+    broadcasts. Sums stay in exact DECIMAL until the single rounded
+    double division, so both engines agree bit-for-bit. At 100 TB the
+    fact scan happens exactly once and everything downstream is
+    aggregate-sized."""
+    t = load_tables(spark, sf_dir)
+    # persist the (category, fold) partials: the per-category rollup
+    # and the output join both consume them, and without the pin the
+    # rollup re-executes the fact scan — the docstring's
+    # scan-exactly-once claim, enforced (test_plan_shapes pins it)
+    cf = scoped_persist(
+        t.orders.groupBy(
+            F.col("o_orderpriority").alias("category"),
+            (F.col("o_orderkey") % TE_FOLDS).alias("fold"),
+        ).agg(
+            F.count(F.lit(1)).alias("n_cf"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,2)")).alias("sum_cf"),
+        )
+    )
+    c = cf.groupBy("category").agg(
+        F.sum("n_cf").alias("n_c"), F.sum("sum_cf").alias("sum_c")
+    )
+    g = t.orders.agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(25,2)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("gmean")
+    )
+    sm = F.lit(TE_SMOOTH)
+    oof = (
+        (F.col("sum_c") - F.col("sum_cf")).cast("double") + sm * F.col("gmean")
+    ) / ((F.col("n_c") - F.col("n_cf")).cast("double") + sm)
+    full = (F.col("sum_c").cast("double") + sm * F.col("gmean")) / (
+        F.col("n_c").cast("double") + sm
+    )
+    return (
+        cf.join(c, "category")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "category",
+            "fold",
+            F.col("n_cf").alias("n_in_fold"),
+            F.round(oof, 6).alias("oof_enc"),
+            F.round(full, 6).alias("full_enc"),
+            F.round(F.col("gmean"), 6).alias("global_mean"),
+        )
+    )
+
+
+# -------------------------------------------- two-sample KS drift test
+
+KS_ALPHA_C = 1.358  # c(alpha) for alpha = 0.05 in the KS critical value
+
+
+@query(
+    "q_drift_ks",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT o_orderpriority AS category, o_totalprice AS v,
+             o_orderkey % 2 AS split
+      FROM orders
+    ),
+    vals AS (
+      SELECT category, v,
+             CAST(count(*) FILTER (WHERE split = 0) AS BIGINT) AS na,
+             CAST(count(*) FILTER (WHERE split = 1) AS BIGINT) AS nb
+      FROM tagged GROUP BY category, v
+    ),
+    tot AS (
+      SELECT category, CAST(SUM(na) AS BIGINT) AS ta,
+             CAST(SUM(nb) AS BIGINT) AS tb
+      FROM vals GROUP BY category
+    ),
+    cdf AS (
+      SELECT v.category,
+             SUM(v.na) OVER w AS ca, SUM(v.nb) OVER w AS cb,
+             t.ta, t.tb
+      FROM vals v JOIN tot t USING (category)
+      WINDOW w AS (PARTITION BY v.category ORDER BY v.v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    ks AS (
+      SELECT category, ta AS n_a, tb AS n_b,
+             max(abs(CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)
+                     - CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))) AS d
+      FROM cdf GROUP BY category, ta, tb
+    )
+    SELECT category, n_a, n_b,
+           round(d, 6) AS ks_stat,
+           round({KS_ALPHA_C!r} * sqrt(CAST(n_a + n_b AS DOUBLE)
+                 / CAST(n_a * n_b AS DOUBLE)), 6) AS ks_crit,
+           round(d, 6) > round({KS_ALPHA_C!r} * sqrt(CAST(n_a + n_b AS DOUBLE)
+                 / CAST(n_a * n_b AS DOUBLE)), 6) AS drifted
+    FROM ks
+    """,
+)
+def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift detection per category —
+    the train/serve (or yesterday/today) distribution-shift gate a
+    production feature pipeline runs before every model refresh. The
+    statistic is max |F_a(x) - F_b(x)| over the pooled support:
+    per-(category, value) split counts collapse ties FIRST (the
+    correct discrete-tie handling), one ordered window accumulates
+    both empirical CDFs in integer domain, and the max-abs-difference
+    reduces per category; the alpha = 0.05 critical value
+    {KS_ALPHA_C} * sqrt((n_a + n_b) / (n_a * n_b)) flags drift. The
+    comparison runs on the 6-dp-rounded doubles so the boolean is
+    cross-engine stable. Plan: one scan -> (category, value) hash
+    aggregate -> one window sort over DISTINCT values only (far
+    smaller than the fact table) -> aggregate-sized output. No
+    sampling, no collect; at 100 TB the only sort is per-category
+    over distinct values, exactly how a warehouse computes exact
+    CDFs."""
+    t = load_tables(spark, sf_dir)
+    tagged = t.orders.select(
+        F.col("o_orderpriority").alias("category"),
+        F.col("o_totalprice").alias("v"),
+        (F.col("o_orderkey") % 2).alias("split"),
+    )
+    vals = tagged.groupBy("category", "v").agg(
+        F.count_if(F.col("split") == 0).alias("na"),
+        F.count_if(F.col("split") == 1).alias("nb"),
+    )
+    tot = vals.groupBy("category").agg(
+        F.sum("na").alias("ta"), F.sum("nb").alias("tb")
+    )
+    w = (
+        Window.partitionBy("category")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cdf = (
+        vals.join(F.broadcast(tot), "category")
+        .select(
+            "category",
+            "ta",
+            "tb",
+            F.sum("na").over(w).alias("ca"),
+            F.sum("nb").over(w).alias("cb"),
+        )
+    )
+    ks = cdf.groupBy("category", "ta", "tb").agg(
+        F.max(
+            F.abs(
+                F.col("ca").cast("double") / F.col("ta").cast("double")
+                - F.col("cb").cast("double") / F.col("tb").cast("double")
+            )
+        ).alias("d")
+    )
+    crit = F.round(
+        F.lit(KS_ALPHA_C)
+        * F.sqrt(
+            (F.col("ta") + F.col("tb")).cast("double")
+            / (F.col("ta") * F.col("tb")).cast("double")
+        ),
+        6,
+    )
+    d6 = F.round(F.col("d"), 6)
+    return ks.select(
+        "category",
+        F.col("ta").alias("n_a"),
+        F.col("tb").alias("n_b"),
+        d6.alias("ks_stat"),
+        crit.alias("ks_crit"),
+        (d6 > crit).alias("drifted"),
     )

@@ -15,7 +15,7 @@ exact-oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakehouse_app_spark.operators.corpus_prep import _FP_DUCK, _FP_SPARK
@@ -502,4 +502,241 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6).alias(
             "rel_err"
         ),
+    )
+
+
+# ----------------------------------------------- kmv set-op cardinality
+
+KMV_K = 256           # sketch size; std error ~ 1/sqrt(k) ~ 6.2%
+_KMV_A, _KMV_B = 48611, 19  # universal-hash params, fresh family
+KMV_SOURCES = ("src0", "src1", "src2", "src3")  # bounded pairwise audit
+# (KMV_K - 1) * (2^31 - 1), exactly representable in a double: the
+# single-division estimator constant shared verbatim by both engines.
+_KMV_C = float((KMV_K - 1) * _P)  # 547608329985.0
+
+
+@query(
+    "q_kmv_distinct",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, string_split(lower(text), ' ') AS tk FROM documents
+      WHERE source IN {KMV_SOURCES!r}
+    ),
+    sh AS (
+      SELECT DISTINCT source, s FROM (
+        SELECT source,
+               unnest(list_transform(range(1, len(tk) - 1),
+                      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+        FROM toks WHERE len(tk) >= 3
+      )
+    ),
+    hd AS (
+      SELECT DISTINCT source,
+             (({_KMV_A} * ({_FP_DUCK.format(w='s')}) + {_KMV_B}) % {_P}) AS h
+      FROM sh
+    ),
+    kept AS (
+      SELECT source, h FROM (
+        SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        FROM hd
+      ) WHERE rn <= {KMV_K}
+    ),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b
+      FROM (SELECT DISTINCT source FROM kept) a
+      JOIN (SELECT DISTINCT source FROM kept) b ON a.source < b.source
+    ),
+    m AS (
+      SELECT src_a, src_b, h, max(ia) AS ia, max(ib) AS ib FROM (
+        SELECT p.src_a, p.src_b, k.h, 1 AS ia, 0 AS ib
+        FROM pairs p JOIN kept k ON k.source = p.src_a
+        UNION ALL
+        SELECT p.src_a, p.src_b, k.h, 0 AS ia, 1 AS ib
+        FROM pairs p JOIN kept k ON k.source = p.src_b
+      ) GROUP BY src_a, src_b, h
+    ),
+    mk AS (
+      SELECT * FROM (
+        SELECT src_a, src_b, h, ia, ib,
+               row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn
+        FROM m
+      ) WHERE rn <= {KMV_K}
+    ),
+    pst AS (
+      SELECT src_a, src_b,
+             count(*) AS n_m, max(h) AS kth_m,
+             count(*) FILTER (WHERE ia = 1 AND ib = 1) AS rho
+      FROM mk GROUP BY src_a, src_b
+    ),
+    nx AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact
+           FROM sh GROUP BY source),
+    ix AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT p.src_a, p.src_b, p.n_m, p.rho,
+             CASE WHEN p.n_m < {KMV_K} THEN CAST(p.n_m AS DOUBLE)
+                  ELSE {_KMV_C!r} / CAST(p.kth_m AS DOUBLE) END AS eu
+      FROM pst p
+    )
+    SELECT e.src_a, e.src_b,
+           round(e.eu, 4) AS est_union,
+           round((CAST(e.rho AS DOUBLE) * e.eu) / CAST(e.n_m AS DOUBLE), 4)
+             AS est_intersect,
+           round(CAST(e.rho AS DOUBLE) / CAST(e.n_m AS DOUBLE), 6)
+             AS jaccard_est,
+           na.n_exact + nb.n_exact - coalesce(ix.n_inter, 0) AS n_union_exact,
+           coalesce(ix.n_inter, 0) AS n_inter_exact,
+           round(abs(round(e.eu, 4)
+                     - (na.n_exact + nb.n_exact - coalesce(ix.n_inter, 0)))
+                 / (na.n_exact + nb.n_exact - coalesce(ix.n_inter, 0)), 6)
+             AS rel_err_union
+    FROM est e
+    JOIN nx na ON na.source = e.src_a
+    JOIN nx nb ON nb.source = e.src_b
+    LEFT JOIN ix ON ix.src_a = e.src_a AND ix.src_b = e.src_b
+    """,
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) sketches with SET-OPERATION cardinality
+    — the capability that completes the sketch tier: Bloom answers
+    membership, CMS frequency, HLL cardinality, and KMV answers
+    union/intersection/Jaccard BETWEEN sketches (Beyer et al. 2007,
+    "On synopses for distinct-value estimation under multiset
+    operations"). An HLL register array cannot estimate an
+    intersection; two KMV sketches can, because the k smallest hash
+    values of A ∪ B are computable from the two k-row sketches alone.
+
+    Per source (bounded to {KMV_SOURCES} so the pairwise audit stays
+    a 6-row output), distinct word-trigram shingles hash through a
+    fresh universal family over the portable Karp-Rabin fingerprint;
+    the k = {KMV_K} smallest distinct hash values form the sketch via
+    a rank-window that Spark executes as map-side WindowGroupLimit
+    (each task forwards at most k rows per source — the partial
+    top-k IS the sketch merge operator). For each source pair the
+    merged sketch is the k smallest of the union of the two sketches;
+    |union| estimates as (k-1)·2³¹⁻¹ / h₍ₖ₎ (single deterministic
+    double division; exact-count branch when the union holds < k),
+    the intersection by the fraction rho of merged-sketch members
+    present in BOTH sketches, and Jaccard as rho/k. The exact
+    distinct-set audit (n_union_exact, n_inter_exact, rel_err_union)
+    exists only to expose the error envelope, mirroring
+    [[q_hll_distinct]]/[[q_cms_heavy_hitters]]. At 100 TB the
+    sketches are k longs per source — per-source partials merge
+    map-side, pair algebra runs on KB-sized aggregates, and the raw
+    shingle stream is touched exactly once."""
+    t = load_tables(spark, sf_dir)
+    sh = (
+        t.documents.where(F.col("source").isin(*KMV_SOURCES))
+        .select("source", F.split(F.lower("text"), " ").alias("tk"))
+        .where(F.size("tk") >= 3)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 2), "
+                    "i -> concat(tk[i-1], ' ', tk[i], ' ', tk[i+1]))"
+                )
+            ).alias("s"),
+        )
+        .distinct()
+        .transform(scoped_persist)
+    )
+    fp = F.expr(_FP_SPARK.format(w="s"))
+    hd = sh.select(
+        "source", ((F.lit(_KMV_A) * fp + F.lit(_KMV_B)) % F.lit(_P)).alias("h")
+    ).distinct()
+    rn = F.row_number().over(Window.partitionBy("source").orderBy("h"))
+    kept = (
+        hd.withColumn("rn", rn)
+        .where(F.col("rn") <= KMV_K)
+        .select("source", "h")
+        .transform(scoped_persist)
+    )
+    srcs = kept.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("src_a"))
+        .join(
+            F.broadcast(srcs.select(F.col("source").alias("src_b"))),
+            F.col("src_a") < F.col("src_b"),
+        )
+    )
+    la = pairs.join(
+        kept.select(
+            F.col("source").alias("src_a"),
+            "h",
+            F.lit(1).alias("ia"),
+            F.lit(0).alias("ib"),
+        ),
+        "src_a",
+    )
+    rb = pairs.join(
+        kept.select(
+            F.col("source").alias("src_b"),
+            "h",
+            F.lit(0).alias("ia"),
+            F.lit(1).alias("ib"),
+        ),
+        "src_b",
+    )
+    m = (
+        la.select("src_a", "src_b", "h", "ia", "ib")
+        .unionByName(rb.select("src_a", "src_b", "h", "ia", "ib"))
+        .groupBy("src_a", "src_b", "h")
+        .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib"))
+    )
+    mrn = F.row_number().over(
+        Window.partitionBy("src_a", "src_b").orderBy("h")
+    )
+    mk = m.withColumn("rn", mrn).where(F.col("rn") <= KMV_K)
+    pst = mk.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).alias("n_m"),
+        F.max("h").alias("kth_m"),
+        F.count_if((F.col("ia") == 1) & (F.col("ib") == 1)).alias("rho"),
+    )
+    eu = F.when(
+        F.col("n_m") < KMV_K, F.col("n_m").cast("double")
+    ).otherwise(F.lit(_KMV_C) / F.col("kth_m").cast("double"))
+    est = pst.select("src_a", "src_b", "n_m", "rho", eu.alias("eu"))
+
+    nx = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_exact"))
+    sa = sh.select(F.col("source").alias("src_a"), "s")
+    sb = sh.select(F.col("source").alias("src_b"), "s")
+    ix = (
+        sa.join(sb, ["s"])
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = nx.select(F.col("source").alias("src_a"), F.col("n_exact").alias("na"))
+    nb = nx.select(F.col("source").alias("src_b"), F.col("n_exact").alias("nb"))
+    out = (
+        est.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .join(F.broadcast(ix), ["src_a", "src_b"], "left")
+        .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)))
+    )
+    n_union_exact = F.col("na") + F.col("nb") - F.col("n_inter")
+    est_u = F.round(F.col("eu"), 4)
+    return out.select(
+        "src_a",
+        "src_b",
+        est_u.alias("est_union"),
+        F.round(
+            (F.col("rho").cast("double") * F.col("eu"))
+            / F.col("n_m").cast("double"),
+            4,
+        ).alias("est_intersect"),
+        F.round(
+            F.col("rho").cast("double") / F.col("n_m").cast("double"), 6
+        ).alias("jaccard_est"),
+        n_union_exact.alias("n_union_exact"),
+        F.col("n_inter").alias("n_inter_exact"),
+        F.round(
+            F.abs(est_u - n_union_exact) / n_union_exact, 6
+        ).alias("rel_err_union"),
     )

@@ -568,3 +568,23 @@ def test_dedup_spans_broadcasts_shared_grams(spark, sf_dir):
     plan = formatted_plan(QUERIES["q_dedup_spans"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_kmv_sketch_topk_is_map_side_group_limit(spark, sf_dir):
+    """The per-source k-min selection must rewrite to
+    WindowGroupLimit (each task forwards at most k rows per source —
+    the partial top-k IS the distributed sketch merge); losing the
+    rewrite would shuffle every distinct hash instead of k per
+    source, and a nested-loop pair expansion would defeat the
+    sketch-algebra design."""
+    plan = formatted_plan(QUERIES["q_kmv_distinct"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_target_encode_single_fact_scan(spark, sf_dir):
+    """The leave-fold-out rollup must come from the (category, fold)
+    partials, not a second scan per fold: at most 2 orders scans
+    (partials + the 1-row global prior) appear in the plan."""
+    plan = formatted_plan(QUERIES["q_target_encode"](spark, sf_dir))
+    assert plan.count("orders.parquet") <= 2 or plan.count("Scan parquet") <= 2, plan

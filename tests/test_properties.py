@@ -547,3 +547,115 @@ def test_hll_estimate_within_error_envelope(spark, sf_dir):
         assert abs(r["hll_est"] - r["n_exact"]) / r["n_exact"] == pytest.approx(
             r["rel_err"], abs=1e-6
         )
+
+
+def test_kmv_sketch_estimates_and_audit_consistency(spark, sf_dir):
+    """KMV with k=256: union estimate within the ~6 sigma envelope of
+    the exact union; intersection/Jaccard columns self-consistent;
+    every declared source pair present exactly once."""
+    from lakehouse_app_spark import QUERIES
+    from lakehouse_app_spark.operators.sketches import KMV_SOURCES
+
+    rows = QUERIES["q_kmv_distinct"](spark, sf_dir).collect()
+    n_src = len(KMV_SOURCES)
+    assert len(rows) == n_src * (n_src - 1) // 2
+    for r in rows:
+        assert r["src_a"] < r["src_b"]
+        assert r["n_union_exact"] >= r["n_inter_exact"] >= 0
+        assert r["rel_err_union"] <= 0.40, (r["src_a"], r["src_b"], r)
+        assert abs(r["est_union"] - r["n_union_exact"]) / r["n_union_exact"] == (
+            pytest.approx(r["rel_err_union"], abs=1e-6)
+        )
+        # est_intersect = jaccard_est * est_union (up to rounding)
+        assert r["est_intersect"] == pytest.approx(
+            r["jaccard_est"] * r["est_union"], abs=0.02 * r["est_union"] + 0.01
+        )
+
+
+def test_target_encode_is_leakage_free(spark, sf_dir):
+    """The out-of-fold encoding for (category, fold) must equal the
+    smoothed mean recomputed from scratch WITHOUT that fold's rows —
+    the no-label-leakage contract, checked independently of the
+    partial-aggregate subtraction the operator uses."""
+    from lakehouse_app_spark import QUERIES
+    from lakehouse_app_spark.operators.quality import TE_FOLDS, TE_SMOOTH
+    from lakehouse_app_spark.sources.tables import load_tables
+
+    rows = QUERIES["q_target_encode"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    orders = load_tables(spark, sf_dir).orders.select(
+        F.col("o_orderpriority").alias("category"),
+        (F.col("o_orderkey") % TE_FOLDS).alias("fold"),
+        F.col("o_totalprice").cast("double").alias("y"),
+    ).collect()
+    gmean = sum(r["y"] for r in orders) / len(orders)
+    for r in rows[:8]:
+        held_out = [
+            o["y"]
+            for o in orders
+            if o["category"] == r["category"] and o["fold"] != r["fold"]
+        ]
+        expect = (sum(held_out) + TE_SMOOTH * gmean) / (
+            len(held_out) + TE_SMOOTH
+        )
+        assert r["oof_enc"] == pytest.approx(expect, rel=1e-9)
+        n_fold = sum(
+            1
+            for o in orders
+            if o["category"] == r["category"] and o["fold"] == r["fold"]
+        )
+        assert r["n_in_fold"] == n_fold
+
+
+def test_bootstrap_ci_brackets_sample_mean(spark, sf_dir):
+    """Poisson-bootstrap replicate means center on the SAMPLE mean,
+    so the 95% interval must bracket it, be properly ordered, and be
+    nondegenerate for every category."""
+    from lakehouse_app_spark import QUERIES
+
+    rows = QUERIES["q_bootstrap_ci"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["ci_lo"] < r["ci_hi"], r
+        assert r["ci_lo"] <= r["mean"] <= r["ci_hi"], r
+
+
+def test_drift_ks_matches_pure_python_recompute(spark, sf_dir):
+    """KS statistic and drift flag re-derived row-by-row in pure
+    Python for every category — independent of the windowed-CDF
+    formulation the operator uses."""
+    from lakehouse_app_spark import QUERIES
+    from lakehouse_app_spark.operators.quality import KS_ALPHA_C
+    from lakehouse_app_spark.sources.tables import load_tables
+
+    rows = {r["category"]: r for r in QUERIES["q_drift_ks"](spark, sf_dir).collect()}
+    orders = load_tables(spark, sf_dir).orders.select(
+        F.col("o_orderpriority").alias("c"),
+        F.col("o_totalprice").cast("double").alias("v"),
+        (F.col("o_orderkey") % 2).alias("s"),
+    ).collect()
+    import math
+    from collections import defaultdict
+
+    by_cat = defaultdict(lambda: ([], []))
+    for o in orders:
+        by_cat[o["c"]][o["s"]].append(o["v"])
+    assert set(rows) == set(by_cat)
+    for c, (a, b) in by_cat.items():
+        a.sort()
+        b.sort()
+        support = sorted(set(a) | set(b))
+        import bisect
+
+        d = max(
+            abs(
+                bisect.bisect_right(a, x) / len(a)
+                - bisect.bisect_right(b, x) / len(b)
+            )
+            for x in support
+        )
+        r = rows[c]
+        assert r["n_a"] == len(a) and r["n_b"] == len(b)
+        assert r["ks_stat"] == pytest.approx(d, abs=1e-6)
+        crit = KS_ALPHA_C * math.sqrt((len(a) + len(b)) / (len(a) * len(b)))
+        assert r["drifted"] == (r["ks_stat"] > round(crit, 6))
