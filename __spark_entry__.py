@@ -59,7 +59,9 @@ _SHOWCASE = [
     "q_dedup_keep_best", "q_fuzzy_join", "q_knn_classify",
     "q_ngram_novelty", "q_dedup_spans", "q_winnow_fingerprint",
     "q_domain_cap", "q_hll_distinct", "q_kmv_distinct", "q_target_encode",
-    "q_bootstrap_ci", "q_drift_ks",
+    "q_bootstrap_ci", "q_drift_ks", "q_drift_psi", "q_cohens_kappa",
+    "q_anomaly_mad", "q_mutual_info", "q_freq_pairs", "q_dpo_pairs",
+    "q_compact_plan",
     "q_ann_ivfpq", "q_pq_quantize", "q_minhash_audit",
     "q_dedup_from_layout", "q_dedup_minhash", "q_triangles", "q_pagerank",
     "q_json_ingest", "q_sink_roundtrip", "q_neardup_exact",

@@ -389,3 +389,237 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fm.join(ci, "category").select(
         "category", "n", F.round("mean", 6).alias("mean"), "ci_lo", "ci_hi"
     )
+
+
+# ------------------------------------------ frequent pair mining
+
+FP_MIN_ITEM = 20  # a-priori item support floor (orders containing it)
+FP_MIN_PAIR = 3   # pair support floor
+
+
+@query(
+    "q_freq_pairs",
+    oracle=f"""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey AS oid, l_partkey AS item FROM lineitem
+    ),
+    n_orders AS (
+      SELECT CAST(count(DISTINCT oid) AS BIGINT) AS n FROM baskets
+    ),
+    freq AS (
+      SELECT item, CAST(count(*) AS BIGINT) AS c
+      FROM baskets GROUP BY item HAVING count(*) >= {FP_MIN_ITEM}
+    ),
+    fb AS (
+      SELECT b.oid, b.item, f.c
+      FROM baskets b JOIN freq f USING (item)
+    ),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b,
+             max(a.c) AS c_a, max(b.c) AS c_b,
+             CAST(count(*) AS BIGINT) AS c_ab
+      FROM fb a JOIN fb b ON a.oid = b.oid AND a.item < b.item
+      GROUP BY 1, 2 HAVING count(*) >= {FP_MIN_PAIR}
+    )
+    SELECT p.item_a, p.item_b, p.c_a, p.c_b, p.c_ab,
+           round(CAST(p.c_ab AS DOUBLE) / CAST(p.c_a AS DOUBLE), 6)
+             AS confidence,
+           round(CAST(n.n AS DOUBLE) * CAST(p.c_ab AS DOUBLE)
+                 / (CAST(p.c_a AS DOUBLE) * CAST(p.c_b AS DOUBLE)), 6)
+             AS lift
+    FROM pairs p CROSS JOIN n_orders n
+    """,
+)
+def q_freq_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-priori frequent-pair mining with support pruning — market-
+    basket co-occurrence (orders as baskets, parts as items) the way
+    it survives scale: the downward-closure property (Agrawal &
+    Srikant 1994) says a pair can only be frequent if BOTH items are,
+    so the per-item support aggregate runs FIRST and the pair
+    self-join sees only the frequent-item survivors. Without the
+    prune, pair generation is quadratic in basket width over the full
+    item universe; with it, the join input shrinks to the head of the
+    item-frequency distribution before anything quadratic happens —
+    at 100 TB the frequent-item table is small enough to broadcast
+    into the basket scan.
+
+    Pair counting is the standard per-basket self-join on the basket
+    key with item_a < item_b (each unordered pair counted once),
+    followed by a hash aggregate; confidence c_ab/c_a and lift
+    n·c_ab/(c_a·c_b) come from exact BIGINT counts, rounded once.
+    Output: every pair with item support >= {FP_MIN_ITEM} and pair
+    support >= {FP_MIN_PAIR}."""
+    t = load_tables(spark, sf_dir)
+    baskets = t.lineitem.select(
+        F.col("l_orderkey").alias("oid"), F.col("l_partkey").alias("item")
+    ).distinct()
+    n_orders = baskets.agg(F.count_distinct("oid").alias("n"))
+    freq = (
+        baskets.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= FP_MIN_ITEM)
+    )
+    fb = baskets.join(F.broadcast(freq), "item")
+    a = fb.select(
+        "oid", F.col("item").alias("item_a"), F.col("c").alias("ca")
+    )
+    b = fb.select(
+        "oid", F.col("item").alias("item_b"), F.col("c").alias("cb")
+    )
+    pairs = (
+        a.join(b, "oid")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(
+            F.max("ca").alias("c_a"),
+            F.max("cb").alias("c_b"),
+            F.count(F.lit(1)).alias("c_ab"),
+        )
+        .where(F.col("c_ab") >= FP_MIN_PAIR)
+    )
+    return pairs.crossJoin(F.broadcast(n_orders)).select(
+        "item_a", "item_b", "c_a", "c_b", "c_ab",
+        F.round(
+            F.col("c_ab").cast("double") / F.col("c_a").cast("double"), 6
+        ).alias("confidence"),
+        F.round(
+            F.col("n").cast("double") * F.col("c_ab").cast("double")
+            / (F.col("c_a").cast("double") * F.col("c_b").cast("double")),
+            6,
+        ).alias("lift"),
+    )
+
+
+# --------------------------------------------- mutual information
+
+@query(
+    "q_mutual_info",
+    oracle="""
+    WITH pairs AS (
+      SELECT 'documents:lang~source' AS feature_pair,
+             lang AS x, source AS y FROM documents
+      UNION ALL
+      SELECT 'orders:priority~status',
+             o_orderpriority, o_orderstatus FROM orders
+    ),
+    joint AS (
+      SELECT feature_pair, x, y, CAST(count(*) AS BIGINT) AS c
+      FROM pairs GROUP BY 1, 2, 3
+    ),
+    mx AS (SELECT feature_pair, x, CAST(SUM(c) AS BIGINT) AS cx
+           FROM joint GROUP BY 1, 2),
+    my AS (SELECT feature_pair, y, CAST(SUM(c) AS BIGINT) AS cy
+           FROM joint GROUP BY 1, 2),
+    tot AS (SELECT feature_pair, CAST(SUM(c) AS BIGINT) AS n
+            FROM joint GROUP BY 1),
+    mi AS (
+      SELECT j.feature_pair, t.n,
+             SUM((CAST(j.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+                 * ln(CAST(j.c AS DOUBLE) * CAST(t.n AS DOUBLE)
+                      / (CAST(x.cx AS DOUBLE) * CAST(y.cy AS DOUBLE))))
+               AS mi_nats,
+             count(*) AS n_cells
+      FROM joint j
+      JOIN mx x ON x.feature_pair = j.feature_pair AND x.x = j.x
+      JOIN my y ON y.feature_pair = j.feature_pair AND y.y = j.y
+      JOIN tot t ON t.feature_pair = j.feature_pair
+      GROUP BY 1, 2
+    ),
+    hx AS (
+      SELECT m.feature_pair,
+             -SUM((CAST(cx AS DOUBLE) / CAST(t.n AS DOUBLE))
+                  * ln(CAST(cx AS DOUBLE) / CAST(t.n AS DOUBLE))) AS h_x
+      FROM mx m JOIN tot t USING (feature_pair) GROUP BY 1
+    ),
+    hy AS (
+      SELECT m.feature_pair,
+             -SUM((CAST(cy AS DOUBLE) / CAST(t.n AS DOUBLE))
+                  * ln(CAST(cy AS DOUBLE) / CAST(t.n AS DOUBLE))) AS h_y
+      FROM my m JOIN tot t USING (feature_pair) GROUP BY 1
+    )
+    SELECT mi.feature_pair, mi.n, mi.n_cells,
+           round(mi.mi_nats, 6) AS mi_nats,
+           round(hx.h_x, 6) AS h_x,
+           round(hy.h_y, 6) AS h_y,
+           round(mi.mi_nats / nullif(least(hx.h_x, hy.h_y), 0.0), 6)
+             AS nmi
+    FROM mi JOIN hx USING (feature_pair) JOIN hy USING (feature_pair)
+    """,
+)
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between categorical column pairs — the
+    feature-association screen a feature store runs to rank candidate
+    features against a label (and to flag redundant feature pairs
+    before training): MI = sum over cells of p(x,y) ln(p(x,y) /
+    (p(x) p(y))), normalized by min(H(X), H(Y)) so 1.0 means one
+    column determines the other and 0 means independence — unlike
+    correlation it catches non-linear and non-ordinal association.
+
+    Everything derives from ONE joint contingency aggregate per
+    feature pair: marginals and totals roll up from the joint counts
+    without rescanning ([[q_target_encode]]'s partial-aggregate
+    reuse), and the MI/entropy sums run over cell-count rows only —
+    |X|x|Y| cells, not data rows. Counts stay BIGINT-exact into the
+    final double ln; both feature pairs ride one unioned scan-pass
+    shape. At 100 TB: two column-pruned scans, hash aggregates, and
+    arithmetic on KB-sized contingency tables."""
+    t = load_tables(spark, sf_dir)
+    pairs = t.documents.select(
+        F.lit("documents:lang~source").alias("feature_pair"),
+        F.col("lang").alias("x"),
+        F.col("source").alias("y"),
+    ).unionByName(
+        t.orders.select(
+            F.lit("orders:priority~status").alias("feature_pair"),
+            F.col("o_orderpriority").alias("x"),
+            F.col("o_orderstatus").alias("y"),
+        )
+    )
+    joint = pairs.groupBy("feature_pair", "x", "y").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    mx = joint.groupBy("feature_pair", "x").agg(F.sum("c").alias("cx"))
+    my = joint.groupBy("feature_pair", "y").agg(F.sum("c").alias("cy"))
+    tot = joint.groupBy("feature_pair").agg(F.sum("c").alias("n"))
+    jd = (
+        joint.join(F.broadcast(mx), ["feature_pair", "x"])
+        .join(F.broadcast(my), ["feature_pair", "y"])
+        .join(F.broadcast(tot), "feature_pair")
+    )
+    c_d, n_d = F.col("c").cast("double"), F.col("n").cast("double")
+    mi = jd.groupBy("feature_pair", "n").agg(
+        F.sum(
+            (c_d / n_d)
+            * F.log(
+                c_d * n_d
+                / (F.col("cx").cast("double") * F.col("cy").cast("double"))
+            )
+        ).alias("mi_nats"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+
+    def _entropy(marg: DataFrame, cnt: str, out: str) -> DataFrame:
+        p = F.col(cnt).cast("double") / F.col("n").cast("double")
+        return (
+            marg.join(F.broadcast(tot), "feature_pair")
+            .groupBy("feature_pair")
+            .agg((-F.sum(p * F.log(p))).alias(out))
+        )
+
+    hx = _entropy(mx, "cx", "h_x")
+    hy = _entropy(my, "cy", "h_y")
+    return (
+        mi.join(F.broadcast(hx), "feature_pair")
+        .join(F.broadcast(hy), "feature_pair")
+        .select(
+            "feature_pair", "n", "n_cells",
+            F.round("mi_nats", 6).alias("mi_nats"),
+            F.round("h_x", 6).alias("h_x"),
+            F.round("h_y", 6).alias("h_y"),
+            F.round(
+                F.col("mi_nats")
+                / F.nullif(F.least("h_x", "h_y"), F.lit(0.0)),
+                6,
+            ).alias("nmi"),
+        )
+    )

@@ -803,3 +803,97 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.row_number().over(w) == 1).alias("keep"),
         F.count(F.lit(1)).over(Window.partitionBy("canonical")).alias("n_dups"),
     )
+
+
+# ------------------------------------------ preference-pair mining
+
+DPO_MARGIN = 0.01  # minimum chosen-vs-rejected score gap
+
+
+@query(
+    "q_dpo_pairs",
+    oracle=f"""
+    WITH scored AS (
+      SELECT source, lang, doc_id,
+             CAST(len(string_split(text, ' ')) AS DOUBLE)
+               / CAST(n_chars AS DOUBLE) AS score
+      FROM documents WHERE n_chars > 0
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY source, lang
+                                ORDER BY score DESC, doc_id) AS rn_top,
+             row_number() OVER (PARTITION BY source, lang
+                                ORDER BY score ASC, doc_id) AS rn_bot
+      FROM scored
+    )
+    SELECT c.source, c.lang,
+           c.doc_id AS chosen_doc, r.doc_id AS rejected_doc,
+           round(c.score, 6) AS chosen_score,
+           round(r.score, 6) AS rejected_score,
+           round(c.score - r.score, 6) AS margin
+    FROM (SELECT * FROM ranked WHERE rn_top = 1) c
+    JOIN (SELECT * FROM ranked WHERE rn_bot = 1) r
+      ON c.source = r.source AND c.lang = r.lang
+    WHERE c.doc_id <> r.doc_id AND c.score - r.score >= {DPO_MARGIN!r}
+    """,
+)
+def q_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction for DPO/RLHF fine-tuning — the
+    step that turns a scored candidate pool into (chosen, rejected)
+    training pairs: within each prompt group (here (source, lang) as
+    the grouping proxy; in production, responses per prompt), take
+    the best- and worst-scoring candidates under a reward proxy
+    (word-density here, a reward model's logit in production), keep
+    the pair only when the score gap clears a margin ({DPO_MARGIN} —
+    pairs the reward model can't separate teach nothing and dilute
+    the DPO loss, per the InstructGPT comparison-data recipe).
+
+    Both extremes come from ONE ranking pass: two row_number windows
+    over the same (source, lang) partition share a single exchange
+    (Catalyst plans one shuffle; the opposite sort orders reuse it),
+    deterministic doc_id tie-breaks keep both engines on the same
+    row, and the self-join back is |groups|-row against |groups|-row.
+    At 100 TB this is the standard top-1/bottom-1-per-key shape:
+    WindowGroupLimit forwards O(1) rows per group per task, so the
+    pair table never materializes the candidate pool."""
+    t = load_tables(spark, sf_dir)
+    scored = t.documents.where(F.col("n_chars") > 0).select(
+        "source", "lang", "doc_id",
+        (
+            F.size(F.split(F.col("text"), " ")).cast("double")
+            / F.col("n_chars").cast("double")
+        ).alias("score"),
+    )
+    w_top = Window.partitionBy("source", "lang").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    w_bot = Window.partitionBy("source", "lang").orderBy(
+        F.col("score").asc(), F.col("doc_id")
+    )
+    ranked = scored.withColumn(
+        "rn_top", F.row_number().over(w_top)
+    ).withColumn("rn_bot", F.row_number().over(w_bot))
+    c = ranked.where(F.col("rn_top") == 1).select(
+        "source", "lang",
+        F.col("doc_id").alias("chosen_doc"),
+        F.col("score").alias("cs"),
+    )
+    r = ranked.where(F.col("rn_bot") == 1).select(
+        "source", "lang",
+        F.col("doc_id").alias("rejected_doc"),
+        F.col("score").alias("rs"),
+    )
+    return (
+        c.join(r, ["source", "lang"])
+        .where(
+            (F.col("chosen_doc") != F.col("rejected_doc"))
+            & (F.col("cs") - F.col("rs") >= DPO_MARGIN)
+        )
+        .select(
+            "source", "lang", "chosen_doc", "rejected_doc",
+            F.round("cs", 6).alias("chosen_score"),
+            F.round("rs", 6).alias("rejected_score"),
+            F.round(F.col("cs") - F.col("rs"), 6).alias("margin"),
+        )
+    )

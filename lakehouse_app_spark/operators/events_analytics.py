@@ -259,3 +259,72 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("purchase_value"),
     )
+
+
+# ------------------------------------------ robust MAD anomaly gate
+
+MAD_K = 0.6745    # Phi^-1(0.75): scales MAD to sigma-equivalents
+MAD_CUT = 3.5     # Iglewicz & Hoaglin recommended modified-z cutoff
+
+
+@query(
+    "q_anomaly_mad",
+    oracle=f"""
+    WITH med AS (
+      SELECT *, median(value) OVER (PARTITION BY event_type) AS med
+      FROM events
+    ),
+    mad AS (
+      SELECT *,
+             median(abs(value - med)) OVER (PARTITION BY event_type) AS mad
+      FROM med
+    )
+    SELECT event_id, event_type, round(value, 4) AS value,
+           round(med, 4) AS median_val,
+           round({MAD_K!r} * (value - med) / nullif(mad, 0.0), 4)
+             AS robust_z
+    FROM mad
+    WHERE abs({MAD_K!r} * (value - med) / nullif(mad, 0.0)) > {MAD_CUT!r}
+    """,
+)
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via the modified z-score — the MAD
+    gate that survives what breaks [[q_anomaly_zscore]]: mean and
+    stddev are themselves dragged by the outliers they're meant to
+    flag (a single 10^6 reading inflates sigma until nothing else
+    trips), while median and MAD have a 50% breakdown point. The
+    modified z is {MAD_K} * (x - median) / MAD (the constant maps
+    MAD to sigma-equivalents under normality) with the Iglewicz &
+    Hoaglin 1993 cutoff |z| > {MAD_CUT}.
+
+    Two same-key window aggregates (median, then median of absolute
+    deviations — the second depends on the first, so they are
+    inherently sequential) share ONE exchange on event_type; both
+    engines interpolate even-count medians identically (verified) and
+    the modified z is plain IEEE arithmetic — no libm in the filter
+    path — so the flagged row set cannot straddle engines. At 100 TB
+    the per-type medians would come from a |types|-row broadcast
+    aggregate (two passes) instead of full-partition windows; the
+    window form keeps it one shuffle at bench scale and states the
+    swap here."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("event_type")
+    med = t.events.withColumn("med", F.median("value").over(w))
+    mad = med.withColumn(
+        "mad", F.median(F.abs(F.col("value") - F.col("med"))).over(w)
+    )
+    rz = (
+        F.lit(MAD_K)
+        * (F.col("value") - F.col("med"))
+        / F.nullif(F.col("mad"), F.lit(0.0))
+    )
+    return (
+        mad.where(F.abs(rz) > MAD_CUT)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round("med", 4).alias("median_val"),
+            F.round(rz, 4).alias("robust_z"),
+        )
+    )

@@ -501,3 +501,81 @@ def q_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_price"),
         )
     )
+
+
+# ---------------------------------------------- compaction planning
+
+COMPACT_TARGET_ROWS = 4000  # rows per compacted output file
+
+
+@query(
+    "q_compact_plan",
+    oracle=f"""
+    WITH parts AS (
+      SELECT CAST(l_shipdate AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS rows_in_part
+      FROM lineitem GROUP BY 1
+    ),
+    planned AS (
+      SELECT day, rows_in_part,
+             CAST(floor(CAST(coalesce(SUM(rows_in_part) OVER (
+                    ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ), 0) AS DOUBLE) / {COMPACT_TARGET_ROWS}.0) AS BIGINT)
+               AS bucket
+      FROM parts
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           strftime(min(day), '%Y-%m-%d') AS day_min,
+           strftime(max(day), '%Y-%m-%d') AS day_max,
+           CAST(SUM(rows_in_part) AS BIGINT) AS rows_total,
+           SUM(rows_in_part) >= {COMPACT_TARGET_ROWS} AS full_bucket
+    FROM planned GROUP BY bucket
+    """,
+)
+def q_compact_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-partition compaction planner — the OPTIMIZE/bin-packing
+    step of lakehouse table maintenance: day-grained partitions of an
+    append-heavy fact table are individually far below the efficient
+    file size, so the planner packs ADJACENT days (preserving the
+    sort/pruning key, exactly like Delta's OPTIMIZE or Iceberg's
+    binpack rewrite keeps files clusterable) into buckets of
+    ~{COMPACT_TARGET_ROWS} rows via the greedy running-total rule:
+    a partition joins bucket floor(preceding_rows / target). Output
+    is the executable plan — bucket, day range, member count, total
+    rows, and whether the bucket reached target (trailing bucket may
+    not).
+
+    The data-sized work is one hash aggregate to per-day counts; the
+    global-order window then runs over |days| METADATA rows (the file
+    manifest, KB-sized even at 100 TB — same shape as
+    [[q_stats_prune]]'s manifest scan), so the unpartitioned window
+    is planner-side by construction, not a data-scale sort. Exact
+    everywhere: integer row counts, one floor division both engines
+    share."""
+    t = load_tables(spark, sf_dir)
+    parts = t.lineitem.groupBy(
+        F.to_date("l_shipdate").alias("day")
+    ).agg(F.count(F.lit(1)).alias("rows_in_part"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    planned = parts.withColumn(
+        "bucket",
+        F.floor(
+            F.coalesce(F.sum("rows_in_part").over(w), F.lit(0)).cast(
+                "double"
+            )
+            / F.lit(float(COMPACT_TARGET_ROWS))
+        ).cast("bigint"),
+    )
+    return planned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.date_format(F.min("day"), "yyyy-MM-dd").alias("day_min"),
+        F.date_format(F.max("day"), "yyyy-MM-dd").alias("day_max"),
+        F.sum("rows_in_part").alias("rows_total"),
+        (F.sum("rows_in_part") >= COMPACT_TARGET_ROWS).alias("full_bucket"),
+    )

@@ -762,3 +762,242 @@ def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         crit.alias("ks_crit"),
         (d6 > crit).alias("drifted"),
     )
+
+
+# --------------------------------------------- PSI categorical drift
+
+PSI_BINS = 10      # reference-range equal-width bins
+PSI_SMOOTH = 0.5   # Laplace pseudo-count so ln() is always defined
+
+
+@query(
+    "q_drift_psi",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT o_orderpriority AS category, o_totalprice AS v,
+             o_orderkey % 2 AS split
+      FROM orders
+    ),
+    ref AS (
+      SELECT category, min(v) AS mn, max(v) AS mx
+      FROM tagged WHERE split = 0 GROUP BY category
+    ),
+    binned AS (
+      SELECT t.category,
+             CAST(least({PSI_BINS - 1}, greatest(0,
+               CAST(floor(((t.v - r.mn) * {PSI_BINS}.0)
+                          / nullif(r.mx - r.mn, 0.0)) AS BIGINT)))
+               AS BIGINT) AS bin,
+             t.split
+      FROM tagged t JOIN ref r USING (category)
+    ),
+    bc AS (
+      SELECT category, coalesce(bin, 0) AS bin,
+             CAST(count(*) FILTER (WHERE split = 0) AS BIGINT) AS na,
+             CAST(count(*) FILTER (WHERE split = 1) AS BIGINT) AS nb
+      FROM binned GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT category, CAST(SUM(na) AS BIGINT) AS ta,
+             CAST(SUM(nb) AS BIGINT) AS tb,
+             CAST(count(*) AS BIGINT) AS n_bins
+      FROM bc GROUP BY category
+    ),
+    terms AS (
+      SELECT b.category, t.ta, t.tb, t.n_bins,
+             ((CAST(b.na AS DOUBLE) + {PSI_SMOOTH!r})
+                / (CAST(t.ta AS DOUBLE)
+                   + {PSI_SMOOTH!r} * CAST(t.n_bins AS DOUBLE))
+              - (CAST(b.nb AS DOUBLE) + {PSI_SMOOTH!r})
+                / (CAST(t.tb AS DOUBLE)
+                   + {PSI_SMOOTH!r} * CAST(t.n_bins AS DOUBLE)))
+             * ln(((CAST(b.na AS DOUBLE) + {PSI_SMOOTH!r})
+                   / (CAST(t.ta AS DOUBLE)
+                      + {PSI_SMOOTH!r} * CAST(t.n_bins AS DOUBLE)))
+                  / ((CAST(b.nb AS DOUBLE) + {PSI_SMOOTH!r})
+                     / (CAST(t.tb AS DOUBLE)
+                        + {PSI_SMOOTH!r} * CAST(t.n_bins AS DOUBLE))))
+               AS term
+      FROM bc b JOIN tot t USING (category)
+    )
+    SELECT category, ta AS n_ref, tb AS n_cur, n_bins,
+           round(SUM(term), 6) AS psi,
+           CASE WHEN round(SUM(term), 6) < 0.1 THEN 'stable'
+                WHEN round(SUM(term), 6) < 0.25 THEN 'moderate'
+                ELSE 'major' END AS status
+    FROM terms GROUP BY category, ta, tb, n_bins
+    """,
+)
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per category — the categorical/
+    binned drift metric every model-monitoring stack reports next to
+    [[q_drift_ks]]'s distributional test: PSI = sum over bins of
+    (p_ref - p_cur) * ln(p_ref / p_cur), with the standard reading
+    <0.1 stable / <0.25 moderate / else major shift.
+
+    Bins are {PSI_BINS} equal-width slices of the REFERENCE split's
+    [min, max] (the classic reference-anchored binning, so the
+    current split is judged against frozen edges; out-of-range
+    current values clamp into the edge bins). Laplace smoothing
+    ({PSI_SMOOTH} pseudo-rows per bin) keeps ln() defined on empty
+    bins; bins empty in BOTH splits are absent from the group-by in
+    both engines identically, so the term set matches bit-for-bit.
+    The bin expression is the same IEEE double arithmetic in both
+    engines (one subtract, one multiply, one divide, floor), so bin
+    assignment cannot straddle engines.
+
+    Plan: one fact scan -> 5-row reference min/max broadcast ->
+    (category, bin, split) hash aggregate (map-side combinable,
+    <= |categories| x {PSI_BINS} rows) -> per-category rollup joined
+    back partial-aggregate style ([[q_target_encode]]'s trick). At
+    100 TB: one scan, aggregate-sized everything after."""
+    t = load_tables(spark, sf_dir)
+    tagged = t.orders.select(
+        F.col("o_orderpriority").alias("category"),
+        F.col("o_totalprice").alias("v"),
+        (F.col("o_orderkey") % 2).alias("split"),
+    )
+    ref = (
+        tagged.where(F.col("split") == 0)
+        .groupBy("category")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    )
+    raw_bin = F.floor(
+        ((F.col("v") - F.col("mn")) * F.lit(float(PSI_BINS)))
+        / F.nullif(F.col("mx") - F.col("mn"), F.lit(0.0))
+    ).cast("bigint")
+    bin_ = F.coalesce(
+        F.least(F.lit(PSI_BINS - 1), F.greatest(F.lit(0), raw_bin)),
+        F.lit(0),
+    ).cast("bigint")
+    bc = (
+        tagged.join(F.broadcast(ref), "category")
+        .select("category", bin_.alias("bin"), "split")
+        .groupBy("category", "bin")
+        .agg(
+            F.count_if(F.col("split") == 0).alias("na"),
+            F.count_if(F.col("split") == 1).alias("nb"),
+        )
+    )
+    tot = bc.groupBy("category").agg(
+        F.sum("na").alias("ta"),
+        F.sum("nb").alias("tb"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+    sm = F.lit(PSI_SMOOTH)
+    nbins_d = F.col("n_bins").cast("double")
+    pa = (F.col("na").cast("double") + sm) / (
+        F.col("ta").cast("double") + sm * nbins_d
+    )
+    pb = (F.col("nb").cast("double") + sm) / (
+        F.col("tb").cast("double") + sm * nbins_d
+    )
+    terms = bc.join(F.broadcast(tot), "category").select(
+        "category", "ta", "tb", "n_bins",
+        ((pa - pb) * F.log(pa / pb)).alias("term"),
+    )
+    psi = F.round(F.sum("term"), 6)
+    return terms.groupBy("category", "ta", "tb", "n_bins").agg(
+        psi.alias("psi")
+    ).select(
+        "category",
+        F.col("ta").alias("n_ref"),
+        F.col("tb").alias("n_cur"),
+        "n_bins",
+        "psi",
+        F.when(F.col("psi") < 0.1, "stable")
+        .when(F.col("psi") < 0.25, "moderate")
+        .otherwise("major")
+        .alias("status"),
+    )
+
+
+# ----------------------------------------- labeler agreement (kappa)
+
+KAPPA_LEN_MIN = 400   # labeler A: raw length gate
+KAPPA_WORDS_MIN = 60  # labeler B: whitespace word-count gate
+
+
+@query(
+    "q_cohens_kappa",
+    oracle=f"""
+    WITH labeled AS (
+      SELECT source,
+             CASE WHEN n_chars >= {KAPPA_LEN_MIN} THEN 1 ELSE 0 END AS la,
+             CASE WHEN len(string_split(text, ' ')) >= {KAPPA_WORDS_MIN}
+                  THEN 1 ELSE 0 END AS lb
+      FROM documents
+    ),
+    cm AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (WHERE la = 1 AND lb = 1) AS BIGINT) AS n11,
+             CAST(count(*) FILTER (WHERE la = 0 AND lb = 0) AS BIGINT) AS n00,
+             CAST(count(*) FILTER (WHERE la = 1 AND lb = 0) AS BIGINT) AS n10,
+             CAST(count(*) FILTER (WHERE la = 0 AND lb = 1) AS BIGINT) AS n01
+      FROM labeled GROUP BY source
+    )
+    SELECT source, n, n11, n00, n10, n01,
+           round(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+           round(CAST((n11 + n10) * (n11 + n01)
+                      + (n00 + n01) * (n00 + n10) AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe,
+           round((CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+                  - CAST((n11 + n10) * (n11 + n01)
+                         + (n00 + n01) * (n00 + n10) AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                 / nullif(1.0 - CAST((n11 + n10) * (n11 + n01)
+                                     + (n00 + n01) * (n00 + n10) AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 0.0), 6)
+             AS kappa
+    FROM cm
+    """,
+)
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa inter-labeler agreement per source — the weak-
+    supervision health check: when two cheap labeling functions (here
+    a raw-length gate and a word-count gate, the [[q_corpus_gate]]
+    family) vote on the same corpus, raw agreement p_o overstates
+    consensus because both labelers fire mostly-positive; kappa
+    subtracts the chance-agreement floor p_e = P(both 1) + P(both 0)
+    under marginal independence: kappa = (p_o - p_e) / (1 - p_e)
+    (Cohen 1960). A Snorkel-style labeling pipeline prunes labelers
+    whose kappa against the ensemble drops — this query is that
+    diagnostic as one aggregate.
+
+    Plan: one scan -> per-source confusion-matrix counts via
+    conditional aggregation (4 count_ifs, map-side combinable) ->
+    arithmetic on the |sources|-row aggregate. All chance algebra
+    runs on exact BIGINT products before the single rounded double
+    division, so both engines agree bit-for-bit. At 100 TB this is
+    a pure scan-and-reduce: no shuffle wider than |sources| rows."""
+    t = load_tables(spark, sf_dir)
+    la = F.when(F.col("n_chars") >= KAPPA_LEN_MIN, 1).otherwise(0)
+    lb = F.when(
+        F.size(F.split(F.col("text"), " ")) >= KAPPA_WORDS_MIN, 1
+    ).otherwise(0)
+    cm = (
+        t.documents.select(
+            "source", la.alias("la"), lb.alias("lb")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if((F.col("la") == 1) & (F.col("lb") == 1)).alias("n11"),
+            F.count_if((F.col("la") == 0) & (F.col("lb") == 0)).alias("n00"),
+            F.count_if((F.col("la") == 1) & (F.col("lb") == 0)).alias("n10"),
+            F.count_if((F.col("la") == 0) & (F.col("lb") == 1)).alias("n01"),
+        )
+    )
+    n_d = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")).cast("double") / n_d
+    pe = (
+        (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
+        + (F.col("n00") + F.col("n01")) * (F.col("n00") + F.col("n10"))
+    ).cast("double") / (n_d * n_d)
+    kappa = (po - pe) / F.nullif(F.lit(1.0) - pe, F.lit(0.0))
+    return cm.select(
+        "source", "n", "n11", "n00", "n10", "n01",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round(kappa, 6).alias("kappa"),
+    )

@@ -588,3 +588,29 @@ def test_target_encode_single_fact_scan(spark, sf_dir):
     (partials + the 1-row global prior) appear in the plan."""
     plan = formatted_plan(QUERIES["q_target_encode"](spark, sf_dir))
     assert plan.count("orders.parquet") <= 2 or plan.count("Scan parquet") <= 2, plan
+
+
+def test_freq_pairs_broadcasts_frequent_items(spark, sf_dir):
+    """The a-priori prune must reach the plan as a broadcast of the
+    frequent-item table into the basket scan — shuffling the baskets
+    against the item-support table would defeat downward-closure's
+    whole point at scale."""
+    plan = formatted_plan(QUERIES["q_freq_pairs"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_compact_plan_single_fact_scan(spark, sf_dir):
+    """The planner's data-sized work is ONE hash aggregate; the
+    global-order window must run over the per-day metadata rows, not
+    a second fact scan."""
+    plan = formatted_plan(QUERIES["q_compact_plan"](spark, sf_dir))
+    # the formatted plan names each scan twice (tree node + detail)
+    assert plan.count("Scan parquet") <= 2, plan
+
+
+def test_dpo_pairs_no_cartesian(spark, sf_dir):
+    """The chosen x rejected recombination is a keyed join on
+    (source, lang) — never a cartesian pairing of the extremes."""
+    plan = formatted_plan(QUERIES["q_dpo_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan

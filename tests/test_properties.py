@@ -659,3 +659,244 @@ def test_drift_ks_matches_pure_python_recompute(spark, sf_dir):
         assert r["ks_stat"] == pytest.approx(d, abs=1e-6)
         crit = KS_ALPHA_C * math.sqrt((len(a) + len(b)) / (len(a) * len(b)))
         assert r["drifted"] == (r["ks_stat"] > round(crit, 6))
+
+
+def test_psi_matches_pure_python_recompute(spark, sf_dir):
+    """PSI per category re-derived in pure Python (reference-anchored
+    equal-width bins, Laplace smoothing) — independent of the
+    partial-aggregate formulation the operator uses."""
+    import math
+    from collections import defaultdict
+
+    from lakehouse_app_spark import QUERIES
+    from lakehouse_app_spark.operators.quality import PSI_BINS, PSI_SMOOTH
+    from lakehouse_app_spark.sources.tables import load_tables
+
+    rows = {r["category"]: r for r in QUERIES["q_drift_psi"](spark, sf_dir).collect()}
+    orders = load_tables(spark, sf_dir).orders.select(
+        F.col("o_orderpriority").alias("c"),
+        F.col("o_totalprice").alias("v"),
+        (F.col("o_orderkey") % 2).alias("s"),
+    ).collect()
+    by_cat = defaultdict(lambda: ([], []))
+    for o in orders:
+        by_cat[o["c"]][o["s"]].append(o["v"])
+    for c, (ref, cur) in by_cat.items():
+        mn, mx = min(ref), max(ref)
+        counts = defaultdict(lambda: [0, 0])
+        for s, vals in ((0, ref), (1, cur)):
+            for v in vals:
+                if mx == mn:
+                    b = 0
+                else:
+                    b = min(PSI_BINS - 1, max(0, int(math.floor((v - mn) * PSI_BINS / (mx - mn)))))
+                counts[b][s] += 1
+        ta, tb = len(ref), len(cur)
+        nb = len(counts)
+        psi = sum(
+            ((na + PSI_SMOOTH) / (ta + PSI_SMOOTH * nb) - (ncur + PSI_SMOOTH) / (tb + PSI_SMOOTH * nb))
+            * math.log(
+                ((na + PSI_SMOOTH) / (ta + PSI_SMOOTH * nb))
+                / ((ncur + PSI_SMOOTH) / (tb + PSI_SMOOTH * nb))
+            )
+            for na, ncur in counts.values()
+        )
+        r = rows[c]
+        assert (r["n_ref"], r["n_cur"], r["n_bins"]) == (ta, tb, nb)
+        assert r["psi"] == pytest.approx(psi, abs=1e-6)
+        # status thresholds applied to the rounded psi
+        expect_status = (
+            "stable" if r["psi"] < 0.1
+            else "moderate" if r["psi"] < 0.25
+            else "major"
+        )
+        assert r["status"] == expect_status, r
+
+
+def test_cohens_kappa_confusion_identities(spark, sf_dir):
+    """Confusion-matrix cells sum to n; po/pe/kappa re-derived from
+    the integer cells; kappa bounded by 1."""
+    from lakehouse_app_spark import QUERIES
+
+    rows = QUERIES["q_cohens_kappa"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        n = r["n11"] + r["n00"] + r["n10"] + r["n01"]
+        assert n == r["n"]
+        po = (r["n11"] + r["n00"]) / n
+        pe = (
+            (r["n11"] + r["n10"]) * (r["n11"] + r["n01"])
+            + (r["n00"] + r["n01"]) * (r["n00"] + r["n10"])
+        ) / (n * n)
+        assert r["po"] == pytest.approx(po, abs=1e-6)
+        assert r["pe"] == pytest.approx(pe, abs=1e-6)
+        if pe < 1.0:
+            assert r["kappa"] == pytest.approx((po - pe) / (1 - pe), abs=1e-6)
+            assert r["kappa"] <= 1.0
+
+
+def test_anomaly_mad_matches_python_recompute(spark, sf_dir):
+    """Flagged outlier set re-derived with statistics.median — the
+    robust gate must flag exactly the rows whose modified z clears
+    the cutoff."""
+    import statistics
+    from collections import defaultdict
+
+    from lakehouse_app_spark import QUERIES
+    from lakehouse_app_spark.operators.events_analytics import MAD_CUT, MAD_K
+    from lakehouse_app_spark.sources.tables import load_tables
+
+    got = {
+        r["event_id"]: r
+        for r in QUERIES["q_anomaly_mad"](spark, sf_dir).collect()
+    }
+    events = load_tables(spark, sf_dir).events.select(
+        "event_id", "event_type", "value"
+    ).collect()
+    by_type = defaultdict(list)
+    for e in events:
+        by_type[e["event_type"]].append(e["value"])
+    med = {t: statistics.median(v) for t, v in by_type.items()}
+    mad = {
+        t: statistics.median([abs(x - med[t]) for x in v])
+        for t, v in by_type.items()
+    }
+    expect = {
+        e["event_id"]: MAD_K * (e["value"] - med[e["event_type"]]) / mad[e["event_type"]]
+        for e in events
+        if mad[e["event_type"]] > 0
+        and abs(MAD_K * (e["value"] - med[e["event_type"]]) / mad[e["event_type"]]) > MAD_CUT
+    }
+    assert set(got) == set(expect)
+    for eid, rz in list(expect.items())[:20]:
+        assert got[eid]["robust_z"] == pytest.approx(rz, abs=1e-4)
+
+
+def test_freq_pairs_support_floors_and_lift(spark, sf_dir):
+    """A-priori floors hold for every emitted pair; confidence/lift
+    re-derived from the exact counts; spot-check two pair counts
+    against a pure-Python basket scan."""
+    from collections import defaultdict
+
+    from lakehouse_app_spark import QUERIES
+    from lakehouse_app_spark.operators.analytics import FP_MIN_ITEM, FP_MIN_PAIR
+    from lakehouse_app_spark.sources.tables import load_tables
+
+    rows = QUERIES["q_freq_pairs"](spark, sf_dir).collect()
+    assert rows
+    li = load_tables(spark, sf_dir).lineitem.select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    baskets = defaultdict(set)
+    for r in li:
+        baskets[r["l_orderkey"]].add(r["l_partkey"])
+    n_orders = len(baskets)
+    item_c = defaultdict(int)
+    for items in baskets.values():
+        for i in items:
+            item_c[i] += 1
+    pair_c = defaultdict(int)
+    for items in baskets.values():
+        fi = sorted(i for i in items if item_c[i] >= FP_MIN_ITEM)
+        for i in range(len(fi)):
+            for j in range(i + 1, len(fi)):
+                pair_c[(fi[i], fi[j])] += 1
+    expect = {p for p, c in pair_c.items() if c >= FP_MIN_PAIR}
+    assert {(r["item_a"], r["item_b"]) for r in rows} == expect
+    for r in rows:
+        assert r["c_a"] >= FP_MIN_ITEM and r["c_b"] >= FP_MIN_ITEM
+        assert r["c_ab"] == pair_c[(r["item_a"], r["item_b"])]
+        assert r["c_a"] == item_c[r["item_a"]]
+        assert r["confidence"] == pytest.approx(r["c_ab"] / r["c_a"], abs=1e-6)
+        assert r["lift"] == pytest.approx(
+            n_orders * r["c_ab"] / (r["c_a"] * r["c_b"]), abs=1e-4
+        )
+
+
+def test_mutual_info_matches_python_recompute(spark, sf_dir):
+    """MI/H/NMI re-derived from a raw contingency count in Python for
+    the orders feature pair; information-theoretic bounds hold."""
+    import math
+    from collections import Counter
+
+    from lakehouse_app_spark import QUERIES
+    from lakehouse_app_spark.sources.tables import load_tables
+
+    rows = {r["feature_pair"]: r for r in QUERIES["q_mutual_info"](spark, sf_dir).collect()}
+    assert set(rows) == {"documents:lang~source", "orders:priority~status"}
+    orders = load_tables(spark, sf_dir).orders.select(
+        "o_orderpriority", "o_orderstatus"
+    ).collect()
+    joint = Counter((r[0], r[1]) for r in orders)
+    cx = Counter(k[0] for k, c in joint.items() for _ in range(c))
+    cy = Counter(k[1] for k, c in joint.items() for _ in range(c))
+    n = sum(joint.values())
+    mi = sum(
+        (c / n) * math.log(c * n / (cx[x] * cy[y]))
+        for (x, y), c in joint.items()
+    )
+    hx = -sum((c / n) * math.log(c / n) for c in cx.values())
+    hy = -sum((c / n) * math.log(c / n) for c in cy.values())
+    r = rows["orders:priority~status"]
+    assert r["n"] == n and r["n_cells"] == len(joint)
+    assert r["mi_nats"] == pytest.approx(mi, abs=1e-6)
+    assert r["h_x"] == pytest.approx(hx, abs=1e-6)
+    assert r["h_y"] == pytest.approx(hy, abs=1e-6)
+    for r in rows.values():
+        assert r["mi_nats"] >= -1e-6
+        assert r["nmi"] <= 1.0 + 1e-6
+        assert r["mi_nats"] <= min(r["h_x"], r["h_y"]) + 1e-6
+
+
+def test_dpo_pairs_are_group_extremes(spark, sf_dir):
+    """Chosen/rejected are the true score extremes of their group
+    (deterministic tie-break), and every emitted pair clears the
+    margin."""
+    from collections import defaultdict
+
+    from lakehouse_app_spark import QUERIES
+    from lakehouse_app_spark.operators.corpus_prep import DPO_MARGIN
+    from lakehouse_app_spark.sources.tables import load_tables
+
+    rows = QUERIES["q_dpo_pairs"](spark, sf_dir).collect()
+    assert rows
+    docs = load_tables(spark, sf_dir).documents.where(
+        F.col("n_chars") > 0
+    ).select("source", "lang", "doc_id", "text", "n_chars").collect()
+    groups = defaultdict(list)
+    for d in docs:
+        score = len(d["text"].split(" ")) / d["n_chars"]
+        groups[(d["source"], d["lang"])].append((score, d["doc_id"]))
+    for r in rows:
+        g = groups[(r["source"], r["lang"])]
+        top = max(g, key=lambda t: (t[0], -t[1]))
+        bot = min(g, key=lambda t: (t[0], -t[1]))
+        assert r["chosen_doc"] == top[1]
+        assert r["rejected_doc"] == bot[1]
+        assert r["margin"] >= DPO_MARGIN - 1e-9
+        assert r["margin"] == pytest.approx(
+            round(top[0] - bot[0], 6), abs=1e-6
+        )
+
+
+def test_compact_plan_partition_algebra(spark, sf_dir):
+    """Buckets tile the day axis without overlap, conserve rows, and
+    every bucket except possibly the last clears the target."""
+    from lakehouse_app_spark import QUERIES
+    from lakehouse_app_spark.operators.lake_ops import COMPACT_TARGET_ROWS
+    from lakehouse_app_spark.sources.tables import load_tables
+
+    rows = sorted(
+        QUERIES["q_compact_plan"](spark, sf_dir).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert rows
+    li = load_tables(spark, sf_dir).lineitem
+    assert sum(r["rows_total"] for r in rows) == li.count()
+    assert sum(r["n_parts"] for r in rows) == (
+        li.select(F.to_date("l_shipdate")).distinct().count()
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert a["day_max"] < b["day_min"]  # ISO strings order correctly
+    for r in rows[:-1]:
+        assert r["full_bucket"] == (r["rows_total"] >= COMPACT_TARGET_ROWS)
