@@ -623,3 +623,94 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nmi"),
         )
     )
+
+
+# ------------------------------------------------ Welch A/B analysis
+
+AB_Z_CRIT = 1.96  # two-sided 5% normal approximation (large-n)
+
+
+@query(
+    "q_ab_test",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT o_orderpriority AS segment,
+             o_custkey % 2 AS arm, o_totalprice AS y
+      FROM orders
+    ),
+    arms AS (
+      SELECT segment,
+             CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS n_a,
+             CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS n_b,
+             avg(y) FILTER (WHERE arm = 0) AS m_a,
+             avg(y) FILTER (WHERE arm = 1) AS m_b,
+             var_samp(y) FILTER (WHERE arm = 0) AS v_a,
+             var_samp(y) FILTER (WHERE arm = 1) AS v_b
+      FROM assigned GROUP BY segment
+    )
+    SELECT segment, n_a, n_b,
+           round(m_a, 4) AS mean_a, round(m_b, 4) AS mean_b,
+           round(m_b - m_a, 4) AS lift,
+           round((m_b - m_a) / sqrt(v_a / n_a + v_b / n_b), 4) AS t_welch,
+           round((v_a / n_a + v_b / n_b) * (v_a / n_a + v_b / n_b)
+                 / ((v_a / n_a) * (v_a / n_a) / (n_a - 1)
+                    + (v_b / n_b) * (v_b / n_b) / (n_b - 1)), 2) AS df,
+           abs(round((m_b - m_a) / sqrt(v_a / n_a + v_b / n_b), 4))
+             > {AB_Z_CRIT!r} AS significant
+    FROM arms
+    """,
+)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample test per segment — the
+    experimentation readout every A/B platform computes from the
+    assignment log: hash-of-unit arm assignment (customer parity
+    here; a salted hash in production), per-arm mean/variance from
+    ONE conditional aggregation pass, the Welch t statistic
+    (m_b - m_a) / sqrt(v_a/n_a + v_b/n_b), and the Welch-
+    Satterthwaite effective degrees of freedom. Welch, not Student:
+    pooled-variance t silently miscalibrates when arms differ in
+    variance or size, the normal case for revenue metrics. The
+    significance flag uses the two-sided 5% normal approximation
+    ({AB_Z_CRIT}), documented as the large-n reading (df is emitted
+    so a caller can apply an exact t quantile off-engine).
+
+    One scan, map-side-combinable FILTER aggregates, |segments|-row
+    output — the entire analysis is a single hash aggregate at any
+    scale. Both engines evaluate identical double expressions on the
+    same aggregate moments, rounded once at output."""
+    t = load_tables(spark, sf_dir)
+    assigned = t.orders.select(
+        F.col("o_orderpriority").alias("segment"),
+        (F.col("o_custkey") % 2).alias("arm"),
+        F.col("o_totalprice").alias("y"),
+    )
+    ya = F.when(F.col("arm") == 0, F.col("y"))
+    yb = F.when(F.col("arm") == 1, F.col("y"))
+    arms = assigned.groupBy("segment").agg(
+        F.count(ya).alias("n_a"),
+        F.count(yb).alias("n_b"),
+        F.avg(ya).alias("m_a"),
+        F.avg(yb).alias("m_b"),
+        F.var_samp(ya).alias("v_a"),
+        F.var_samp(yb).alias("v_b"),
+    )
+    se2_a = F.col("v_a") / F.col("n_a")
+    se2_b = F.col("v_b") / F.col("n_b")
+    tw = F.round((F.col("m_b") - F.col("m_a")) / F.sqrt(se2_a + se2_b), 4)
+    df = F.round(
+        (se2_a + se2_b) * (se2_a + se2_b)
+        / (
+            se2_a * se2_a / (F.col("n_a") - 1)
+            + se2_b * se2_b / (F.col("n_b") - 1)
+        ),
+        2,
+    )
+    return arms.select(
+        "segment", "n_a", "n_b",
+        F.round("m_a", 4).alias("mean_a"),
+        F.round("m_b", 4).alias("mean_b"),
+        F.round(F.col("m_b") - F.col("m_a"), 4).alias("lift"),
+        tw.alias("t_welch"),
+        df.alias("df"),
+        (F.abs(tw) > AB_Z_CRIT).alias("significant"),
+    )
