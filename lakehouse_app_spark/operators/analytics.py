@@ -443,10 +443,18 @@ def q_freq_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB the frequent-item table is small enough to broadcast
     into the basket scan.
 
-    Pair counting is the standard per-basket self-join on the basket
-    key with item_a < item_b (each unordered pair counted once),
-    followed by a hash aggregate; confidence c_ab/c_a and lift
-    n·c_ab/(c_a·c_b) come from exact BIGINT counts, rounded once.
+    Pair counting (re-planned round 8, verdict item 2): instead of the
+    classic per-basket self-join (which shuffles the pruned posting
+    list TWICE — once per join side — and ships every raw pair to the
+    pair aggregate), each basket's frequent items are gathered once
+    with ``collect_set`` (one shuffle on the basket key), sorted, and
+    the item_a < item_b combinations are generated SCAN-LOCAL from the
+    per-basket array (nested ``transform`` + ``flatten``, pure JVM
+    codegen, no Python). The only shuffles of the posting list are the
+    basket gather and the final pair hash-aggregate — one fewer
+    full-width shuffle than the self-join, and pair generation gets
+    map-side partial aggregation for free. Confidence c_ab/c_a and
+    lift n·c_ab/(c_a·c_b) from exact BIGINT counts, rounded once.
     Output: every pair with item support >= {FP_MIN_ITEM} and pair
     support >= {FP_MIN_PAIR}."""
     t = load_tables(spark, sf_dir)
@@ -454,22 +462,50 @@ def q_freq_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("oid"), F.col("l_partkey").alias("item")
     ).distinct()
     n_orders = baskets.agg(F.count_distinct("oid").alias("n"))
+    # plain count over the pre-distincted baskets, NOT
+    # count_distinct(oid) over the raw scan — the distinct-aggregate
+    # Expand doubles the freq shuffle and measured +0.5 s (A/B r8)
     freq = (
         baskets.groupBy("item")
         .agg(F.count(F.lit(1)).alias("c"))
         .where(F.col("c") >= FP_MIN_ITEM)
     )
     fb = baskets.join(F.broadcast(freq), "item")
-    a = fb.select(
-        "oid", F.col("item").alias("item_a"), F.col("c").alias("ca")
+    # one basket = one sorted array of (item, support) survivors;
+    # collect_set also dedups repeat items within a basket
+    sets = fb.groupBy("oid").agg(
+        F.sort_array(
+            F.collect_set(F.struct(F.col("item"), F.col("c")))
+        ).alias("items")
     )
-    b = fb.select(
-        "oid", F.col("item").alias("item_b"), F.col("c").alias("cb")
+    # scan-local unordered-pair explosion: for each position i, pair
+    # its element with every later element (array is item-sorted, so
+    # a.item < b.item holds by construction)
+    pair_col = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("items"), i + F.lit(2),
+                    F.size(F.col("items")) - i - F.lit(1),
+                ),
+                lambda y: F.struct(
+                    x["item"].alias("item_a"),
+                    y["item"].alias("item_b"),
+                    x["c"].alias("ca"),
+                    y["c"].alias("cb"),
+                ),
+            ),
+        )
+    )
+    exploded = sets.select(F.explode(pair_col).alias("p")).select(
+        F.col("p.item_a").alias("item_a"),
+        F.col("p.item_b").alias("item_b"),
+        F.col("p.ca").alias("ca"),
+        F.col("p.cb").alias("cb"),
     )
     pairs = (
-        a.join(b, "oid")
-        .where(F.col("item_a") < F.col("item_b"))
-        .groupBy("item_a", "item_b")
+        exploded.groupBy("item_a", "item_b")
         .agg(
             F.max("ca").alias("c_a"),
             F.max("cb").alias("c_b"),

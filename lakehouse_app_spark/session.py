@@ -43,7 +43,21 @@ RUNTIME_CONFS = {
 
 
 def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
-    """Set runtime-settable confs on an existing session (idempotent)."""
+    """Set runtime-settable confs on an existing session (idempotent).
+
+    Floor-shaving attempt recorded (round 8, negative result): the
+    transformWithStateInPandas driver-worker is a fresh interpreter
+    per query (StreamingPythonRunner → createSimpleWorker, no daemon)
+    whose cold `import pyspark` from pyspark.zip costs ~0.95 s vs
+    ~0.55 s from the unzipped source tree (zipimport cannot cache
+    .pyc). Prepending $SPARK_HOME/python to the worker PYTHONPATH via
+    SparkContext.environment does NOT capture the saving — the JVM
+    prepends sparkPythonPath (the zips) ahead of user PYTHONPATH at
+    worker launch, so the zip still wins resolution, while the env
+    mutation re-keys the daemon worker pool and forfeits warm
+    workers (A/B: floor 1.94-2.01 s stock vs 2.12-2.46 s injected).
+    The tws_floor_sec instrument in bench.py stays the honest
+    decomposition."""
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)

@@ -396,8 +396,14 @@ def q_stream_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+    # partitions=8 from an interleaved A/B over {2,4,8,16} run both
+    # idle and under a 24-thread CPU hog (round-8, within-run
+    # protocol): idle medians 3.60/2.42/1.68/1.41 s, loaded medians
+    # 4.02/2.54/2.13/2.79 s. 16 wins only on an idle host and tripled
+    # on the contended round-7 driver host; 8 is within 0.3 s of the
+    # idle best and strictly fastest under load.
     return run_to_memory(
-        stateful, "user_state", output_mode="update", partitions=16
+        stateful, "user_state", output_mode="update", partitions=8
     )
 
 
