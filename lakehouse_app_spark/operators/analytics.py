@@ -300,8 +300,8 @@ def _boot_w_sql(h: str) -> str:
              CAST(o.o_totalprice AS DECIMAL(25,2)) AS y,
              t.r AS r,
              ({_boot_w_sql(
-                 f"({_BOOT_A} * (o.o_orderkey * {BOOT_R} + t.r)"
-                 f" + {_BOOT_B}) % {_BOOT_P}"
+                 f"({_BOOT_A} * (((o.o_orderkey % {_BOOT_P}) * {BOOT_R}"
+                 f" + t.r) % {_BOOT_P}) + {_BOOT_B}) % {_BOOT_P}"
              )}) AS w
       FROM orders o CROSS JOIN (SELECT range AS r FROM range({BOOT_R})) t
     ),
@@ -350,9 +350,20 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.explode(F.sequence(F.lit(0), F.lit(BOOT_R - 1))).alias("r"),
     ).withColumn(
+        # overflow-safe universal hash (review r7): reduce the key mod
+        # the prime BEFORE each multiply so every intermediate stays
+        # below ~2.4e18 < 2^62 even at o_orderkey ~ 6e9 (TPC-H
+        # sf1000); without the inner mod, A*(key*R+r) wraps int64 at
+        # sf≈45 — Spark (non-ANSI) silently, DuckDB with an error.
+        # At bench/test scales key*R < P, so the inner mod is the
+        # identity and every recorded hash is unchanged.
         "h",
         (
-            F.lit(_BOOT_A) * (F.col("o_orderkey") * BOOT_R + F.col("r"))
+            F.lit(_BOOT_A)
+            * (
+                ((F.col("o_orderkey") % _BOOT_P) * BOOT_R + F.col("r"))
+                % _BOOT_P
+            )
             + F.lit(_BOOT_B)
         )
         % F.lit(_BOOT_P),

@@ -478,8 +478,14 @@ def pq_codes_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cid",
         )
 
+    # recipe generation in the layout name (review r7, same staleness
+    # class the sh_sig→sh_sig_p62 rename fixed): the stored codes
+    # depend on the IVF geometry (N_CENTROIDS, KM_ITERS) and the PQ
+    # codebook shape (PQ_M, PQ_K); changing any constant must key a
+    # fresh layout, never silently reuse stale codes.
+    layout = f"pq_codes_c{N_CENTROIDS}i{KM_ITERS}m{PQ_M}k{PQ_K}"
     return derived_table(
-        spark, "pq_codes", sf_dir, build, partition_by=["cid"]
+        spark, layout, sf_dir, build, partition_by=["cid"]
     )
 
 

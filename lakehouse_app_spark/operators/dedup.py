@@ -26,11 +26,35 @@ from lakehouse_app_spark.sources.tables import load_tables
 
 # ---------------------------------------------------------------- helpers
 
-# spread()'s gate decisions, keyed by (pruned file set, target
-# partitions): the exact width probe compiles a physical plan, so it
-# runs once per distinct scan per process (a handful of tables), not
-# once per query.
+# spread()'s gate decisions, keyed by (pruned file set + per-file
+# (size, mtime), target partitions, file-split confs): the exact
+# width probe compiles a physical plan, so it runs once per distinct
+# scan per process (a handful of tables), not once per query. The
+# key carries everything the probe's answer depends on (review r7):
+# maxPartitionBytes/openCostInBytes change how files split into
+# FilePartitions, and an in-place rewrite of the same file names
+# changes sizes — either would otherwise serve a stale gate
+# decision for the rest of the process.
 _SPREAD_MEMO: dict = {}
+
+_SPLIT_CONFS = (
+    "spark.sql.files.maxPartitionBytes",
+    "spark.sql.files.openCostInBytes",
+    "spark.sql.files.minPartitionNum",
+)
+
+
+def _file_stamp(path: str) -> tuple:
+    """(path, size, mtime_ns) for a local file; path-only for
+    non-local URIs (cluster storage — immutable-by-convention)."""
+    import os
+
+    p = path[7:] if path.startswith("file://") else path
+    try:
+        st = os.stat(p)
+        return (path, st.st_size, st.st_mtime_ns)
+    except OSError:
+        return (path,)
 
 
 def spread(docs: DataFrame) -> DataFrame:
@@ -60,7 +84,10 @@ def spread(docs: DataFrame) -> DataFrame:
     except Exception:
         files = ()
     if files:
-        key = (files, npart)
+        confs = tuple(
+            spark.conf.get(c, None) for c in _SPLIT_CONFS
+        )
+        key = (tuple(_file_stamp(f) for f in files), npart, confs)
         wide = _SPREAD_MEMO.get(key)
         if wide is None:
             wide = docs.rdd.getNumPartitions() >= npart

@@ -48,8 +48,10 @@ from lakehouse_app_spark.sources.tables import load_tables
 SPAN_TOKENS = 8  # k: tokens per window (Lee et al. use 50 BPE tokens)
 WINNOW_K = 5  # chars per gram
 WINNOW_W = 4  # grams per winnowing window
-# injective (fp, pos) encoding: fp*1024 + (1023-pos). Corpus docs are
-# ≤ 1024 chars, asserted at build; min() then prefers the RIGHTMOST
+# injective (fp, pos) encoding: fp*1024 + (1023-pos). Valid only for
+# docs ≤ 1024 chars — enforced at runtime in q_winnow_fingerprint via
+# a raise_error guard on the doc length (the corpus is external, so
+# the invariant cannot be assumed); min() then prefers the RIGHTMOST
 # position among equal fps, the MOSS tie rule.
 _POS_BASE = 1024
 
@@ -259,12 +261,33 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape.
     """
     t = load_tables(spark, sf_dir)
+    # Enforce the (fp, pos) encoding invariant AT RUNTIME (review r8):
+    # the fpu packing below is injective only while pos < _POS_BASE,
+    # i.e. every document is ≤ _POS_BASE chars. The corpus is
+    # external, so a longer doc must fail loudly here — silently it
+    # would corrupt the min-fp/rightmost-tie ordering while the
+    # formula-replicating oracle stayed green. raise_error rides the
+    # used n_ch column, so Catalyst cannot prune the check.
+    n_ch_checked = F.when(
+        F.length("text") > _POS_BASE,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"q_winnow_fingerprint: document longer than "
+                    f"_POS_BASE={_POS_BASE} chars breaks the (fp,pos) "
+                    f"packing; raise _POS_BASE (doc_id="
+                ),
+                F.col("doc_id").cast("string"),
+                F.lit(")"),
+            )
+        ).cast("int"),
+    ).otherwise(F.length("text"))
     grams = (
         spread(t.documents)
         .where(F.length("text") >= WINNOW_K + WINNOW_W - 1)
         .select(
             "doc_id",
-            F.length("text").alias("n_ch"),
+            n_ch_checked.alias("n_ch"),
             F.expr(
                 f"inline(transform(sequence(0, length(text) - {WINNOW_K}), "
                 f"i -> struct(i AS pos, {_FP_GRAM_SPARK} AS fp)))"

@@ -118,15 +118,22 @@ def _build_vendor_copy(src_root: str) -> str:
         # dst exists. A winner's rename always carries the marker
         # (staging is complete before the claim), so dst-with-marker
         # = lost race → use the winner's tree. dst-WITHOUT-marker can
-        # only be pre-staging-era or crashed garbage → self-heal:
-        # sweep it and retry the claim with our complete staging
-        # (review r7: the first cut raised here, and the caller's
-        # probe loop swallowed the error — silently gating the TWS
-        # query off after a pointless poll).
+        # only be pre-staging-era or crashed garbage → self-heal.
+        # The heal NEVER deletes dst (review r7: a concurrent process
+        # may have it on sys.path / worker PYTHONPATH, and two
+        # rmtree+rename healers can interleave into a mixed tree):
+        # instead the bad dir is QUARANTINED with one atomic rename —
+        # exactly one healer wins that rename, every tree that ever
+        # sits at dst is a complete pre-assembled staging, and a
+        # process importing from the quarantined path keeps a
+        # consistent (renamed, never mutated) tree.
         if os.path.exists(marker):
             shutil.rmtree(staging, ignore_errors=True)
             return dst
-        shutil.rmtree(dst, ignore_errors=True)
+        try:
+            os.rename(dst, f"{dst}.quarantine-{os.getpid()}")
+        except OSError:
+            pass  # another healer quarantined it first
         try:
             os.rename(staging, dst)
         except OSError:

@@ -510,14 +510,21 @@ def test_spread_gates_on_actual_scan_width(spark, tmp_path):
     spark.conf.set("spark.sql.files.maxPartitionBytes", "1")
     spark.conf.set("spark.sql.files.openCostInBytes", "0")
     try:
-        _SPREAD_MEMO.clear()  # conf change invalidates prior probes
+        # NO manual memo clear: the file-split confs are part of the
+        # memo key (review r7), so the earlier packed-scan probe
+        # cannot shadow this one
         wide = spark.read.parquet(wide_dir)
         assert wide.rdd.getNumPartitions() >= npart
         assert spread(wide) is wide  # gate hit: no exchange inserted
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
         spark.conf.set("spark.sql.files.openCostInBytes", prev_oc)
-        _SPREAD_MEMO.clear()
+
+    # and back under the restored confs the packed scan repartitions
+    # again — the conf-keyed memo serves the right cached decision
+    packed_again = spark.read.parquet(wide_dir)
+    if packed_again.rdd.getNumPartitions() < npart:
+        assert spread(packed_again) is not packed_again
 
     narrow_dir = str(tmp_path / "narrow")
     spark.range(100).coalesce(1).write.parquet(narrow_dir)
