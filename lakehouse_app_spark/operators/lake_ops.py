@@ -138,6 +138,96 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return removed.unionByName(changed)
 
 
+# min-label CC: rounds of plain propagation before the pointer-
+# doubling shortcut joins in. Clique-like dup graphs (diameter 1-2)
+# converge inside this budget and never pay the extra self-join;
+# anything still moving after it is a path/chain-shaped graph where
+# shortcutting turns O(diameter) rounds into O(log n).
+_CC_PLAIN_ROUNDS = 4
+_CC_MAX_ROUNDS = 50
+
+
+def min_label_components(edges: DataFrame) -> tuple[DataFrame, int]:
+    """Connected components of an undirected edge list
+    ``(a_id, b_id)`` via min-label propagation with adaptive
+    pointer-doubling — returns ``(labels, rounds_used)`` where labels
+    is (node, label=component min id) over nodes with ≥1 edge.
+
+    Round structure: each round first propagates (label ← min over
+    neighbors' labels — one join + aggregate, the diameter-bounded
+    step), then, after round {_CC_PLAIN_ROUNDS}, additionally
+    SHORTCUTS: label ← label(label) (one self-join on the label
+    table — Wyllie-style pointer doubling, the dataframe form of
+    star contraction). Shortcutting halves the remaining pointer
+    depth per round, so a length-n chain converges in O(log n)
+    rounds instead of O(n); it is deferred behind the plain-round
+    heuristic because on the clique-like graphs dedup usually
+    produces (diameter 1-2) the extra self-join is pure overhead.
+    Exhausting the {_CC_MAX_ROUNDS}-round budget raises — never a
+    silently split component (review r6)."""
+    fwd = edges.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    rev = edges.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+    adj = fwd.unionByName(rev).persist()
+    labels = adj.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    converged = False
+    rounds = 0
+    for r in range(_CC_MAX_ROUNDS):
+        rounds = r + 1
+        # propagate: candidate label = min over neighbors' labels
+        neigh = (
+            adj.join(labels, adj["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        stepped = labels.join(
+            neigh, labels["node"] == neigh["src"], "left"
+        ).select(
+            "node",
+            F.col("label").alias("prev"),
+            F.least(F.col("label"), F.coalesce("nlabel", "label")).alias(
+                "label"
+            ),
+        )
+        if r >= _CC_PLAIN_ROUNDS:
+            # shortcut: label ← label(label). Labels only shrink, so
+            # the referenced label is always ≤ the current one and
+            # `least` is implicit; a label that is already a root
+            # resolves to itself.
+            ref = stepped.select(
+                F.col("node").alias("ref_node"),
+                F.col("label").alias("ref_label"),
+            )
+            stepped = stepped.join(
+                ref, stepped["label"] == ref["ref_node"]
+            ).select("node", "prev", F.col("ref_label").alias("label"))
+        # localCheckpoint (eager) BEFORE the convergence probe: it
+        # materializes the round like persist did, AND truncates the
+        # logical plan — load-bearing once shortcutting starts,
+        # because the self-join references the round's frame twice,
+        # so an un-truncated lineage doubles in size every round
+        # (exponential: analyzed-plan OOM by round ~12 on a 512-node
+        # path). Old rounds' blocks are released by the
+        # ContextCleaner when the frame goes unreferenced.
+        new_labels = stepped.select(
+            "node", "label", (F.col("label") < F.col("prev")).alias("improved")
+        ).localCheckpoint(eager=True)
+        changed = new_labels.where("improved").limit(1).count()
+        labels = new_labels.drop("improved")
+        if changed == 0:
+            converged = True
+            break
+    adj.unpersist()
+    if not converged:
+        raise RuntimeError(
+            "connected components did not converge within the round "
+            "budget — pointer-doubling should cover any realistic "
+            "diameter; inspect the edge list"
+        )
+    return labels, rounds
+
+
 @query(
     "q_dedup_clusters",
     oracle="""
@@ -158,11 +248,11 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → canonical clusters via iterative min-label
-    propagation (connected components) — the generic distributed
-    algorithm (alternating join/aggregate rounds; rounds bounded by
-    graph diameter, so dup-cliques converge in one; path-heavy graphs
-    would want the star-contraction variant), run on the exact-dup
-    pair graph.
+    propagation (connected components) with adaptive pointer-doubling
+    for path-heavy graphs (see :func:`min_label_components` — clique
+    graphs converge in the plain rounds; chains switch to the O(log n)
+    shortcutting path, property-tested on a 512-node path), run on
+    the exact-dup pair graph.
 
     On THIS graph components coincide with fingerprint-equality
     classes, which is what makes an exact SQL oracle possible; the
@@ -171,65 +261,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_app_spark.operators.dedup import q_neardup_exact
 
     edges = q_neardup_exact(spark, sf_dir)  # (a_id, b_id), a < b
-    # undirected edge list, both directions
-    fwd = edges.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
-    rev = edges.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
-    adj = fwd.unionByName(rev).persist()
-    # labels start as own id, over nodes that appear in any edge
-    labels = adj.select(F.col("src").alias("node")).distinct().withColumn(
-        "label", F.col("node")
+    labels, _ = min_label_components(edges)
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
-    cached = None  # the persisted frame behind `labels`, for unpersist
-    converged = False
-    # plain min-label propagation needs DIAMETER rounds (log2 holds
-    # only for pointer-doubling variants); near-dup graphs are
-    # clique-like (diameter ~1-2), so 50 is a deep safety budget —
-    # and exhausting it without convergence is an ERROR, never a
-    # silently split component (review r6)
-    for _ in range(50):
-        # propagate: candidate label = min over neighbors' labels
-        neigh = (
-            adj.join(labels, adj["dst"] == labels["node"])
-            .groupBy("src")
-            .agg(F.min("label").alias("nlabel"))
-        )
-        # persist BEFORE the convergence probe: the probe is an
-        # action, and an unpersisted new_labels would re-execute its
-        # whole lineage again next round (2× work per iteration).
-        # The improvement flag rides along in the same pass, so the
-        # probe is a filter on the persisted rows — no extra join
-        # against the previous labels.
-        new_labels = (
-            labels.join(neigh, labels["node"] == neigh["src"], "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
-                (F.col("nlabel") < F.col("label")).alias("improved"),
-            )
-            .persist()
-        )
-        changed = new_labels.where("improved").limit(1).count()
-        if cached is not None:
-            cached.unpersist()
-        cached = new_labels
-        labels = new_labels.drop("improved")
-        if changed == 0:
-            converged = True
-            break
-    adj.unpersist()
-    if not converged:
-        raise RuntimeError(
-            "connected components did not converge within the round "
-            "budget — graph diameter exceeds 50; use the "
-            "star-contraction variant for path-heavy graphs"
-        )
-    if cached is not None:
-        # final round's labels stay pinned until the harness releases
-        # query-scoped caches (the result still reads from them)
-        from lakehouse_app_spark.runtime_cache import _SCOPED
-
-        _SCOPED.append(cached)
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
 @query(

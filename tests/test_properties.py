@@ -900,3 +900,57 @@ def test_compact_plan_partition_algebra(spark, sf_dir):
         assert a["day_max"] < b["day_min"]  # ISO strings order correctly
     for r in rows[:-1]:
         assert r["full_bucket"] == (r["rows_total"] >= COMPACT_TARGET_ROWS)
+
+
+def test_cc_pointer_doubling_converges_logarithmically(spark):
+    """A 512-node PATH graph — the worst case for plain min-label
+    propagation (needs ~diameter=511 rounds) — must converge within
+    the plain-round warmup plus O(log n) shortcutting rounds, with
+    every node labeled by the path's minimum id (r7 verdict item 8).
+    Each shortcut round halves the remaining pointer depth, so the
+    bound is _CC_PLAIN_ROUNDS + ceil(log2(511)) + slack."""
+    import math
+
+    from lakehouse_app_spark.operators.lake_ops import (
+        _CC_PLAIN_ROUNDS,
+        min_label_components,
+    )
+
+    n = 512
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("a_id"), (F.col("id") + 1).alias("b_id")
+    )
+    labels, rounds = min_label_components(edges)
+    got = {r["node"]: r["label"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    bound = _CC_PLAIN_ROUNDS + math.ceil(math.log2(n - 1)) + 3
+    assert rounds <= bound, (rounds, bound)
+
+
+def test_cc_multi_component_and_clique_fast_path(spark):
+    """Disjoint cliques (the shape dedup actually produces) must
+    converge inside the plain-propagation budget — the shortcut
+    self-join never engages — and label every member with the clique
+    minimum; a separate path component in the same edge list keeps
+    its own labels."""
+    from lakehouse_app_spark.operators.lake_ops import (
+        _CC_PLAIN_ROUNDS,
+        min_label_components,
+    )
+
+    # clique {0..4}, clique {10..12}, path 20-21-22-23
+    clique_edges = [
+        (a, b) for grp in ([0, 1, 2, 3, 4], [10, 11, 12])
+        for i, a in enumerate(grp) for b in grp[i + 1:]
+    ]
+    path_edges = [(20, 21), (21, 22), (22, 23)]
+    edges = spark.createDataFrame(
+        clique_edges + path_edges, ["a_id", "b_id"]
+    )
+    labels, rounds = min_label_components(edges)
+    got = {r["node"]: r["label"] for r in labels.collect()}
+    expect = {i: 0 for i in range(5)}
+    expect.update({i: 10 for i in (10, 11, 12)})
+    expect.update({i: 20 for i in (20, 21, 22, 23)})
+    assert got == expect
+    assert rounds <= _CC_PLAIN_ROUNDS  # diameter ≤ 3: no shortcut rounds
