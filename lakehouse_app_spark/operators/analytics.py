@@ -295,16 +295,20 @@ def _boot_w_sql(h: str) -> str:
 @query(
     "q_bootstrap_ci",
     oracle=f"""
-    WITH reps AS (
-      SELECT o.o_orderpriority AS category,
-             CAST(CAST(o.o_totalprice AS DECIMAL(25,2)) * 100 AS BIGINT)
+    WITH base AS (
+      SELECT o_orderpriority AS category,
+             CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100 AS BIGINT)
                AS yc,
-             t.r AS r,
+             o_orderkey
+      FROM orders
+    ),
+    reps AS (
+      SELECT b.category, b.yc, t.r AS r,
              ({_boot_w_sql(
-                 f"({_BOOT_A} * (((o.o_orderkey % {_BOOT_P}) * {BOOT_R}"
+                 f"({_BOOT_A} * (((b.o_orderkey % {_BOOT_P}) * {BOOT_R}"
                  f" + t.r) % {_BOOT_P}) + {_BOOT_B}) % {_BOOT_P}"
              )}) AS w
-      FROM orders o CROSS JOIN (SELECT range AS r FROM range({BOOT_R})) t
+      FROM base b CROSS JOIN (SELECT range AS r FROM range({BOOT_R})) t
     ),
     rm AS (
       SELECT category, r,
@@ -503,6 +507,12 @@ def q_freq_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("c") >= FP_MIN_ITEM)
     )
     fb = baskets.join(F.broadcast(freq), "item")
+    # key-repartition the gather to CORE width: the collect_set build
+    # is the map-heavy stage, and the engine's reducer default (8) is
+    # sized for exchange cost, not map parallelism (A/B at sf0.1:
+    # 2.83 s → 1.76 s). Partitioning by oid already satisfies the
+    # groupBy clustering, so this stays ONE exchange.
+    fb = fb.repartition(spark.sparkContext.defaultParallelism, "oid")
     # one basket = one sorted array of (item, support) survivors;
     # collect_set also dedups repeat items within a basket
     sets = fb.groupBy("oid").agg(

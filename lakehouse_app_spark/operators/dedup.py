@@ -78,7 +78,13 @@ def spread(docs: DataFrame) -> DataFrame:
     plans (no stable memo key) keep today's behavior: repartition.
     """
     spark = docs.sparkSession
-    npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # target = CORE parallelism, not shuffle.partitions: spread()
+    # exists to parallelize scan-local MAP work (shingling, hashing),
+    # which wants every core, while the engine's reducer count is
+    # deliberately smaller (8 — see session.py). Coupling the two
+    # (pre-r8) silently throttled the map stage to the reducer width.
+    npart = spark.sparkContext.defaultParallelism
+    npart = max(npart, int(spark.conf.get("spark.sql.shuffle.partitions", "8")))
     try:
         files = tuple(sorted(docs.inputFiles()))
     except Exception:

@@ -38,7 +38,15 @@ RUNTIME_CONFS = {
     # Right-size shuffles for the bench/correctness scale; AQE coalesces
     # further. (Also applied to driver-owned sessions: 200 state-store
     # partitions make local streaming queries pointlessly slow.)
-    "spark.sql.shuffle.partitions": "32",
+    # 8, not 32 (round-8 interleaved A/B over a 15-query shuffle-heavy
+    # subset at sf0.1: 32→8 measured 16.8→14.1 s min-of-3, with wins up
+    # to 1.6× on the dedup/sketch family and only q_drift_ks mildly
+    # regressing): at ~1 MB/partition the per-task launch overhead of a
+    # 32-way exchange dominates its parallelism. Pure deployment
+    # sizing — results are partition-count-invariant (AQE-invariance
+    # plan tests), and a cluster profile overrides via
+    # SPARK_GRAFT_SHUFFLE_PARTITIONS.
+    "spark.sql.shuffle.partitions": "8",
 }
 
 
@@ -82,7 +90,7 @@ def get_spark(
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     if shuffle_partitions is None:
-        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8"))
 
     builder = (
         SparkSession.builder.appName(app_name)
