@@ -57,6 +57,19 @@ def _file_stamp(path: str) -> tuple:
         return (path,)
 
 
+def _spread_target(spark: SparkSession) -> int:
+    """spread()'s width: CORE parallelism, not shuffle.partitions.
+    spread() exists to parallelize scan-local MAP work (shingling,
+    hashing), which wants every core, while the engine's reducer
+    count is deliberately smaller (8 — see session.py). Coupling the
+    two (pre-r8) silently throttled the map stage to the reducer
+    width when the reducer default dropped."""
+    return max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "8")),
+    )
+
+
 def spread(docs: DataFrame) -> DataFrame:
     """Round-robin the corpus across all cores before the expensive
     map-side work (shingling, hashing, fingerprints).
@@ -78,13 +91,7 @@ def spread(docs: DataFrame) -> DataFrame:
     plans (no stable memo key) keep today's behavior: repartition.
     """
     spark = docs.sparkSession
-    # target = CORE parallelism, not shuffle.partitions: spread()
-    # exists to parallelize scan-local MAP work (shingling, hashing),
-    # which wants every core, while the engine's reducer count is
-    # deliberately smaller (8 — see session.py). Coupling the two
-    # (pre-r8) silently throttled the map stage to the reducer width.
-    npart = spark.sparkContext.defaultParallelism
-    npart = max(npart, int(spark.conf.get("spark.sql.shuffle.partitions", "8")))
+    npart = _spread_target(spark)
     try:
         files = tuple(sorted(docs.inputFiles()))
     except Exception:

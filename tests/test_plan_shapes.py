@@ -489,9 +489,13 @@ def test_spread_gates_on_actual_scan_width(spark, tmp_path):
     is the real planned width, not the file count — Spark bin-packs
     small files into one FilePartition, so file count alone
     over-estimates (review r7)."""
-    from lakehouse_app_spark.operators.dedup import _SPREAD_MEMO, spread
+    from lakehouse_app_spark.operators.dedup import (
+        _SPREAD_MEMO,
+        _spread_target,
+        spread,
+    )
 
-    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    npart = _spread_target(spark)
     wide_dir = str(tmp_path / "wide")
     spark.range(npart * 100).repartition(npart).write.parquet(wide_dir)
 
