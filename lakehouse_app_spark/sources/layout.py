@@ -51,6 +51,12 @@ def layout_base() -> str:
 # fresh process reuses.
 _BUILT: dict[str, str] = {}
 
+# fingerprinted table dir -> analyzed DataFrame handle for the
+# CURRENT session (validated against the caller's session on every
+# hit; content staleness is impossible because the key already embeds
+# the corpus fingerprint).
+_HANDLES: dict = {}
+
 
 def corpus_fingerprint(sf_dir: str) -> str:
     """Content-version tag for a corpus directory: (name, size,
@@ -117,14 +123,27 @@ def derived_table(
     tdir = _table_dir(name, sf_dir)
     hit = _BUILT.get(tdir)
     if hit is not None:
-        return spark.read.parquet(hit)
+        # serve the memoized ANALYZED frame when it belongs to this
+        # session: a committed layout is immutable (new content ⇒ new
+        # fingerprint ⇒ new tdir), so re-running spark.read.parquet —
+        # file listing + footer schema discovery, ~0.1-0.2 s — per
+        # handle was pure catalog overhead repeated by every query
+        # touching a stored index (round-8 bench audit)
+        df = _HANDLES.get(tdir)
+        if df is not None and df.sparkSession is spark:
+            return df
+        df = spark.read.parquet(hit)
+        _HANDLES[tdir] = df
+        return df
 
     ver = _committed_version(tdir)
     if ver is None:
         ver = _commit_build(tdir, sf_dir, build, partition_by)
     data_dir = os.path.join(tdir, f"v={ver}")
     _BUILT[tdir] = data_dir
-    return spark.read.parquet(data_dir)
+    df = spark.read.parquet(data_dir)
+    _HANDLES[tdir] = df
+    return df
 
 
 def _commit_build(
