@@ -210,10 +210,17 @@ def min_label_components(edges: DataFrame) -> tuple[DataFrame, int]:
         # (exponential: analyzed-plan OOM by round ~12 on a 512-node
         # path). Old rounds' blocks are released by the
         # ContextCleaner when the frame goes unreferenced.
+        # lazy: the convergence probe right below is the round's one
+        # action and materializes the checkpoint as a side effect —
+        # eager would spend a second job per round on the same work.
+        # The probe is a FULL count (no limit-1 early exit): it must
+        # touch every partition so the lazy checkpoint caches the
+        # whole round, not just the partitions a limit happened to
+        # evaluate.
         new_labels = stepped.select(
             "node", "label", (F.col("label") < F.col("prev")).alias("improved")
-        ).localCheckpoint(eager=True)
-        changed = new_labels.where("improved").limit(1).count()
+        ).localCheckpoint(eager=False)
+        changed = new_labels.where("improved").count()
         labels = new_labels.drop("improved")
         if changed == 0:
             converged = True
