@@ -254,11 +254,19 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Guarantee: any verbatim overlap of ≥ w+k-1 chars between two docs
     shares ≥1 fingerprint; expected density 2/(w+1). Output is the per-doc
     fingerprint-set summary (count/sum/min + position checksum) —
-    1 row/doc, the form a fingerprint index stores. At 100 TB the
-    per-gram re-fold becomes the O(1) rolling Karp-Rabin update at
-    ingest and the window min is a per-doc (bounded-length)
-    streaming pass; the plan here is the same window-over-doc_id
-    shape.
+    1 row/doc, the form a fingerprint index stores.
+
+    Plan (re-planned round 8): the whole pipeline is ONE scan-local
+    projection — per-position fpu array → per-window array_min over a
+    w-slice → array_distinct → summary folds — with NO exchange
+    anywhere. The previous shape exploded every gram to a row and ran
+    min() OVER (PARTITION BY doc_id), i.e. shuffled and sorted the
+    entire gram stream (~n_chars rows/doc) just to compute a window a
+    single task can compute inside the doc (docs are ≤ _POS_BASE
+    chars BY INVARIANT — the guard below — so per-doc work is
+    bounded); measured 1.26 s → scan-local at sf0.1, and at 100 TB
+    the saving is a full corpus-width shuffle+sort. The winnow
+    window min is inherently doc-local; only the SUMMARY is global.
     """
     t = load_tables(spark, sf_dir)
     # Enforce the (fp, pos) encoding invariant AT RUNTIME (review r8):
@@ -282,44 +290,47 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("int"),
     ).otherwise(F.length("text"))
-    grams = (
+    # fpu array per doc (position i → fp(i)*B + (B-1-i)), each
+    # window's min from a w-slice, distinct minima, summary folds —
+    # one generator expression. Each intermediate array is bound as
+    # a LAMBDA VARIABLE (transform(array(X), a -> ...)), never a
+    # projected column: Catalyst's projection collapse inlines column
+    # expressions into every consumer, which turns "compute the fpu
+    # array once, slice it per window" into "rebuild the whole array
+    # per window" — O(n²·k) per doc, measured as a multi-minute hang
+    # at sf0.1. A lambda binding is evaluated exactly once. The
+    # window count rides the GUARDED n_ch column, so the length
+    # invariant stays load-bearing. inline() emits the struct's
+    # fields as columns in one evaluation.
+    fpu_arr = (
+        f"transform(sequence(0, length(text) - {WINNOW_K}), "
+        f"i -> ({_FP_GRAM_SPARK}) * {_POS_BASE} "
+        f"+ ({_POS_BASE - 1} - i))"
+    )
+    sel_arr = (
+        f"array_distinct(transform("
+        f"sequence(1, n_ch - {WINNOW_K + WINNOW_W - 2}), "
+        f"j -> array_min(slice(a, j, {WINNOW_W}))))"
+    )
+    div = f"x div {_POS_BASE}"
+    summary = (
+        f"struct(CAST(size(s) AS BIGINT) AS n_fp, "
+        f"aggregate(s, CAST(0 AS BIGINT), (acc, x) -> acc + ({div})) "
+        f"AS fp_sum, "
+        f"array_min(transform(s, x -> {div})) AS fp_min, "
+        f"aggregate(s, CAST(0 AS BIGINT), "
+        f"(acc, x) -> acc + ({_POS_BASE - 1} - (x % {_POS_BASE}))) "
+        f"AS pos_sum)"
+    )
+    return (
         spread(t.documents)
         .where(F.length("text") >= WINNOW_K + WINNOW_W - 1)
+        .select("doc_id", n_ch_checked.alias("n_ch"), "text")
         .select(
             "doc_id",
-            n_ch_checked.alias("n_ch"),
             F.expr(
-                f"inline(transform(sequence(0, length(text) - {WINNOW_K}), "
-                f"i -> struct(i AS pos, {_FP_GRAM_SPARK} AS fp)))"
+                f"inline(transform(array({fpu_arr}), "
+                f"a -> transform(array({sel_arr}), s -> {summary})[0]))"
             ),
         )
-    )
-    u = grams.select(
-        "doc_id",
-        "pos",
-        "n_ch",
-        (
-            F.col("fp") * _POS_BASE + (F.lit(_POS_BASE - 1) - F.col("pos"))
-        ).alias("fpu"),
-    )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(0, WINNOW_W - 1)
-    )
-    wm = u.select(
-        "doc_id", "pos", "n_ch", F.min("fpu").over(w).alias("wmin")
-    )
-    sel = (
-        wm.where(F.col("pos") <= F.col("n_ch") - (WINNOW_K + WINNOW_W - 1))
-        .select("doc_id", "wmin")
-        .distinct()
-    )
-    return sel.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_fp"),
-        F.sum(F.expr(f"wmin div {_POS_BASE}")).alias("fp_sum"),
-        F.min(F.expr(f"wmin div {_POS_BASE}")).alias("fp_min"),
-        F.sum(
-            F.lit(_POS_BASE - 1) - (F.col("wmin") % _POS_BASE)
-        ).alias("pos_sum"),
     )
