@@ -145,9 +145,46 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shortcutting turns O(diameter) rounds into O(log n).
 _CC_PLAIN_ROUNDS = 4
 _CC_MAX_ROUNDS = 50
+# edge count below which the graph is solved driver-side: the same
+# adaptive call a broadcast-join threshold encodes. 100k edges is
+# ~3 MB collected (a tenth of the engine's broadcast threshold), and
+# union-find solves it in milliseconds, vs ~0.5 s of scheduling per
+# DISTRIBUTED round even when the data is trivial. Near-dup pair
+# graphs are usually aggregate-sized (pairs, not documents); corpora
+# whose pair graph exceeds this take the iterative path unchanged.
+_CC_SMALL_EDGES = 100_000
 
 
-def min_label_components(edges: DataFrame) -> tuple[DataFrame, int]:
+def _union_find(rows) -> dict:
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN id so the root IS the component minimum —
+            # the same label the distributed loop converges to
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    return {n: find(n) for n in parent}
+
+
+def min_label_components(
+    edges: DataFrame, small_graph_threshold: int = _CC_SMALL_EDGES
+) -> tuple[DataFrame, int]:
     """Connected components of an undirected edge list
     ``(a_id, b_id)`` via min-label propagation with adaptive
     pointer-doubling — returns ``(labels, rounds_used)`` where labels
@@ -164,7 +201,30 @@ def min_label_components(edges: DataFrame) -> tuple[DataFrame, int]:
     heuristic because on the clique-like graphs dedup usually
     produces (diameter 1-2) the extra self-join is pure overhead.
     Exhausting the {_CC_MAX_ROUNDS}-round budget raises — never a
-    silently split component (review r6)."""
+    silently split component (review r6).
+
+    Below ``small_graph_threshold`` edges the graph is collected and
+    solved with union-find on the driver (rounds_used = 0): at that
+    size the edge list is broadcast-scale metadata and one distributed
+    round costs ~0.5 s of pure scheduling. Pass 0 to force the
+    distributed path (the property tests do)."""
+    if small_graph_threshold > 0:
+        # ONE action probes size AND fetches the edges: limit(N+1)
+        # returning ≤ N rows proves the full edge set is in hand (a
+        # separate count() would execute the upstream pair pipeline
+        # twice)
+        head = (
+            edges.select("a_id", "b_id")
+            .limit(small_graph_threshold + 1)
+            .collect()
+        )
+        if len(head) <= small_graph_threshold:
+            labels_map = _union_find((r[0], r[1]) for r in head)
+            spark = edges.sparkSession
+            labels = spark.createDataFrame(
+                sorted(labels_map.items()), "node long, label long"
+            )
+            return labels, 0
     fwd = edges.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
     rev = edges.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
     adj = fwd.unionByName(rev).persist()

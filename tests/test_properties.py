@@ -920,7 +920,7 @@ def test_cc_pointer_doubling_converges_logarithmically(spark):
     edges = spark.range(n - 1).select(
         F.col("id").alias("a_id"), (F.col("id") + 1).alias("b_id")
     )
-    labels, rounds = min_label_components(edges)
+    labels, rounds = min_label_components(edges, small_graph_threshold=0)
     got = {r["node"]: r["label"] for r in labels.collect()}
     assert got == {i: 0 for i in range(n)}
     bound = _CC_PLAIN_ROUNDS + math.ceil(math.log2(n - 1)) + 3
@@ -947,10 +947,27 @@ def test_cc_multi_component_and_clique_fast_path(spark):
     edges = spark.createDataFrame(
         clique_edges + path_edges, ["a_id", "b_id"]
     )
-    labels, rounds = min_label_components(edges)
+    labels, rounds = min_label_components(edges, small_graph_threshold=0)
     got = {r["node"]: r["label"] for r in labels.collect()}
     expect = {i: 0 for i in range(5)}
     expect.update({i: 10 for i in (10, 11, 12)})
     expect.update({i: 20 for i in (20, 21, 22, 23)})
     assert got == expect
     assert rounds <= _CC_PLAIN_ROUNDS  # diameter ≤ 3: no shortcut rounds
+
+
+def test_cc_small_graph_fast_path_matches_distributed(spark):
+    """Below the edge threshold the driver-side union-find must
+    return exactly the labels the distributed loop computes
+    (component-min roots), with rounds_used = 0."""
+    from lakehouse_app_spark.operators.lake_ops import min_label_components
+
+    edges = spark.createDataFrame(
+        [(5, 9), (9, 2), (30, 31), (7, 7)], ["a_id", "b_id"]
+    )
+    fast, r_fast = min_label_components(edges)  # default threshold
+    slow, r_slow = min_label_components(edges, small_graph_threshold=0)
+    assert r_fast == 0 and r_slow >= 1
+    f = {r["node"]: r["label"] for r in fast.collect()}
+    s = {r["node"]: r["label"] for r in slow.collect()}
+    assert f == s == {5: 2, 9: 2, 2: 2, 30: 30, 31: 30, 7: 7}
