@@ -79,6 +79,24 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         f"late row resurrected finalized window: {nine_oclock}"
     )
 
+    # run 3: the KEEP side of the watermark contract (round 8) — a
+    # row that is behind max event time but whose window end is still
+    # above the watermark must be MERGED, not dropped. Watermark is
+    # 10:50 (11:00 − 10 min); a 10:40 row's 10:30-11:00 window ends at
+    # 11:00 > 10:50 → open. A fresh 13:00 row then lifts the
+    # watermark to 12:50, and the engine's subsequent batch finalizes
+    # 10:30-11:00 — it must emit exactly once WITH the late row.
+    _write_batch(spark, src, [(5, t0 + dt.timedelta(hours=1, minutes=40), 1.0)])
+    _write_batch(spark, src, [(6, t0 + dt.timedelta(hours=4), 1.0)])
+    out3 = _run_windowed(spark, src, ckpt, out)
+    half_ten = [
+        r for r in out3.collect()
+        if r["window"]["start"].hour == 10 and r["window"]["start"].minute == 30
+    ]
+    assert len(half_ten) == 1 and half_ten[0]["n"] == 1, (
+        f"late-but-within-watermark row was not merged: {half_ten}"
+    )
+
 
 def test_stream_equals_batch_tumbling(spark, sf_dir, check_parity):
     """Stream/table duality: the streaming tumbling result equals the
