@@ -625,3 +625,97 @@ def test_dpo_pairs_no_cartesian(spark, sf_dir):
     (source, lang) — never a cartesian pairing of the extremes."""
     plan = formatted_plan(QUERIES["q_dpo_pairs"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_winnow_plan_has_no_keyed_shuffle(spark, sf_dir):
+    """q_winnow_fingerprint's round-8 plan is scan-local: window
+    minima are computed inside per-doc arrays, so the physical plan
+    must contain NO keyed exchange (hash or range partitioning) —
+    the only permitted exchange is spread()'s optional round-robin
+    of the one-partition local scan."""
+    plan = (
+        QUERIES["q_winnow_fingerprint"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_freq_pairs_reads_fact_through_one_cached_gather(spark, sf_dir):
+    """q_freq_pairs' round-8 plan gathers baskets once into a scoped
+    cache; the frequent-item aggregate and the pair explosion must
+    both read the CACHE (InMemoryTableScan), never re-scan lineitem."""
+    from lakehouse_app_spark import release_caches
+
+    try:
+        plan = (
+            QUERIES["q_freq_pairs"](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+    finally:
+        release_caches()
+
+
+def test_layout_handle_memoized_per_session(spark, sf_dir):
+    """derived_table must return the SAME analyzed frame for repeated
+    reads of a committed layout in one session (schema discovery is
+    catalog overhead), while a changed session falls back to a fresh
+    read rather than serving a foreign session's plan."""
+    from lakehouse_app_spark.operators.dedup_ext import minhash_sig_table
+
+    a = minhash_sig_table(spark, sf_dir)
+    b = minhash_sig_table(spark, sf_dir)
+    assert a is b
+
+
+def test_bootstrap_hash_is_overflow_safe_at_warehouse_keys(spark):
+    """The bootstrap universal hash must stay inside int64 and
+    non-negative for keys far beyond the bench scale (o_orderkey ≈
+    6e9 at TPC-H sf1000): the pre-r8 form A*(key*R + r) wrapped
+    int64 at sf≈45 and silently flipped every Poisson threshold
+    comparison (review r7)."""
+    from lakehouse_app_spark.operators.analytics import (
+        BOOT_R,
+        _BOOT_A,
+        _BOOT_B,
+        _BOOT_P,
+    )
+
+    rows = spark.range(1).select(
+        *[
+            (
+                (
+                    F.lit(_BOOT_A)
+                    # cast mirrors the real plan: o_orderkey is LONG,
+                    # so every intermediate promotes to int64 (a bare
+                    # int literal would stay int32 and overflow under
+                    # ANSI exactly as this test guards against)
+                    * (((F.lit(key).cast("long") % _BOOT_P) * BOOT_R
+                        + F.lit(r)) % _BOOT_P)
+                    + F.lit(_BOOT_B)
+                )
+                % F.lit(_BOOT_P)
+            ).alias(f"h_{i}")
+            for i, (key, r) in enumerate(
+                [(6_000_000_000, 0), (6_000_000_000, 31),
+                 (2**40, 7), (2**31 - 1, 31)]
+            )
+        ]
+    ).collect()[0]
+    ref_parity = []
+    for i, (key, r) in enumerate(
+        [(6_000_000_000, 0), (6_000_000_000, 31), (2**40, 7), (2**31 - 1, 31)]
+    ):
+        expect = (_BOOT_A * (((key % _BOOT_P) * BOOT_R + r) % _BOOT_P)
+                  + _BOOT_B) % _BOOT_P
+        got = rows[f"h_{i}"]
+        assert 0 <= got < _BOOT_P
+        ref_parity.append(got == expect)
+    assert all(ref_parity), ref_parity
