@@ -249,6 +249,26 @@ def main() -> None:
     stream_floor, stream_floor_stateful = _measure_stream_floor(spark)
     tws_floor = _measure_tws_floor(spark)
 
+    # DuckDB comparator set up BEFORE the loop so each oracle is
+    # timed immediately after its Spark twin (paired measurement):
+    # this host throttles on a timescale of minutes, and the old
+    # run-all-Spark-then-all-DuckDB ordering let a late-run (or
+    # early-run) slowdown land entirely on one side of the ratio.
+    # Pairing makes the recorded ratio robust to monotonic host
+    # drift — the within-run protocol BASELINE.md already mandates
+    # for A/Bs, applied to the score of record itself.
+    con = None
+    duck: dict[str, float] = {}
+    if RUN_DUCKDB:
+        import duckdb
+
+        con = duckdb.connect()
+        for t in eng.TABLE_NAMES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/{t}.parquet')"
+            )
+
     per_query: dict[str, float] = {}
     for name in sorted(eng.QUERIES):
         try:
@@ -257,6 +277,12 @@ def main() -> None:
         except Exception as ex:  # a broken query must not sink the bench
             print(f"bench: {name} failed: {ex}", file=sys.stderr, flush=True)
             per_query[name] = -1.0
+        if con is not None and name in eng.ORACLES:
+            try:
+                duck[name] = time_duckdb(con, eng.ORACLES[name])
+            except Exception as ex:
+                print(f"bench(duckdb): {name} failed: {ex}", file=sys.stderr)
+                duck[name] = -1.0
 
     full = {
         "metric": "sum_query_wall_sec",
@@ -273,21 +299,6 @@ def main() -> None:
     }
 
     if RUN_DUCKDB:
-        import duckdb
-
-        con = duckdb.connect()
-        for t in eng.TABLE_NAMES:
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM "
-                f"read_parquet('{SF_DIR}/{t}.parquet')"
-            )
-        duck: dict[str, float] = {}
-        for name, sql in sorted(eng.ORACLES.items()):
-            try:
-                duck[name] = time_duckdb(con, sql)
-            except Exception as ex:
-                print(f"bench(duckdb): {name} failed: {ex}", file=sys.stderr)
-                duck[name] = -1.0
         full["duckdb_queries"] = duck
         full["duckdb_total"] = round(sum(v for v in duck.values() if v > 0), 4)
 
