@@ -146,3 +146,36 @@ def test_stats_pruned_read_equals_full_filtered_read(
     )
     full = sorted(v for v in rows if lo <= v <= hi)
     assert pruned == full
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_union_find_matches_reference_components(edges):
+    """The driver-side CC fast path (operators/lake_ops._union_find)
+    must label every node with its component MINIMUM on arbitrary
+    graphs — self-loops, duplicate edges, chains, merging cliques —
+    matching a brute-force fixed-point reference."""
+    from lakehouse_app_spark.operators.lake_ops import _union_find
+
+    got = _union_find(iter(edges))
+
+    # reference: repeated relaxation to the fixed point
+    nodes = {n for e in edges for n in e}
+    label = {n: n for n in nodes}
+    changed = True
+    while changed:
+        changed = False
+        for a, b in edges:
+            m = min(label[a], label[b])
+            for x in (a, b):
+                if label[x] != m:
+                    label[x] = m
+                    changed = True
+    assert got == label
