@@ -28,7 +28,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import lakehouse_app_spark as eng
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-ITERATIONS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
+# 3 reps (min recorded), raised from 2 in round 8: the bench host
+# throttles on a minutes timescale, and a third sample materially
+# tightens the min toward the true floor on BOTH engines (the same
+# constant times the DuckDB side, so the protocol stays symmetric).
+ITERATIONS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
 RUN_DUCKDB = os.environ.get("SPARK_GRAFT_BENCH_DUCKDB", "1") == "1"
 
 
@@ -42,10 +46,10 @@ def time_spark_query(spark, name: str, fn) -> float:
     # (state-store init, checkpoint WAL, TWS worker fork) whose
     # variance is a large fraction of the measurement — the r7
     # driver round recorded a 2.7× swing on unchanged streaming code.
-    # One extra rep tightens the min toward the true floor for
-    # exactly the family where rep-to-rep noise is largest; batch
-    # queries keep the standard count.
-    reps = ITERATIONS + 1 if name.startswith("q_stream") else ITERATIONS
+    # They get at least 3 reps even under a lowered ITERS env; with
+    # the round-8 default of 3 everywhere this is a floor, not an
+    # extra rep (stream replays are wall-clock-expensive).
+    reps = max(ITERATIONS, 3) if name.startswith("q_stream") else ITERATIONS
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
