@@ -49,7 +49,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # recall threshold, freq-pair generation re-planned scan-local,
 # connected components now pointer-doubling, bootstrap hash made
 # overflow-safe, winnow length guard, PQ-codes layout renamed,
-# stream_user_state partitions re-tuned from the loaded-host A/B);
+# stream_user_state partitions re-tuned from the loaded-host A/B)
+# plus q_dedup_report, the round's one NEW key (two-tier per-source
+# dedup dashboard; landed at 1.71x within-run, under the item-4 bar);
 # (c) padding to 50 with the OLDEST driver-green keys (r02/r03/r04
 # windows) as regression re-checks.
 _SHOWCASE = [
@@ -59,7 +61,7 @@ _SHOWCASE = [
     "q_dedup_minhash", "q_freq_pairs", "q_dedup_clusters",
     "q_dedup_keep_best", "q_dedup_keep_latest", "q_bootstrap_ci",
     "q_winnow_fingerprint", "q_ann_ivfpq", "q_stream_user_state",
-    "q_stream_state_v2",
+    "q_stream_state_v2", "q_dedup_report",
     # (c) regression re-checks, oldest driver-green first (r02, then
     # r03, then the head of the r04 window)
     "q_regex_transform", "q_set_except", "q_set_intersect",
@@ -74,13 +76,13 @@ _SHOWCASE = [
     "q_window_sessionize",
     "q_anomaly_zscore", "q_array_funcs", "q_array_setops",
     "q_bitwise_hash_funcs", "q_cohort_retention", "q_corpus_gate",
-    "q_date_funcs", "q_dq_checks", "q_ewma",
+    "q_date_funcs", "q_dq_checks",
 ]
 
 # Keys that would rotate in next if the driver over-samples past 50:
 # the oldest-green cycle continues through the r04 window.
 _NEXT_UP = [
-    "q_map_funcs", "q_math_funcs", "q_minhash_sig", "q_mix_weights",
+    "q_ewma", "q_map_funcs", "q_math_funcs", "q_minhash_sig", "q_mix_weights",
     "q_null_semantics", "q_pack_batches", "q_perplexity",
     "q_pii_redact", "q_pivot", "q_profile_table", "q_string_funcs",
     "q_subquery_scalar", "q_train_split",

@@ -332,10 +332,11 @@ def minhash16_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return derived_table(spark, "mh16_sig", sf_dir, build)
 
 
-@query(
-    "q_dedup_minhash",
-    oracle="""
-    WITH fp AS (
+# The ground-truth CTE chain both q_dedup_minhash's oracle and
+# downstream report oracles replay: exact-dup representatives →
+# word-trigram shingle sets → all true pairs at J ≥ MH_VERIFY_J.
+MINHASH_TRUTH_CTES = f"""
+    fp AS (
       SELECT doc_id,
              array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')
                AS fp
@@ -357,12 +358,21 @@ def minhash16_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2
-    )
-    SELECT a_id, b_id, round(i / (sa.n + sb.n - i), 6) AS jaccard
-    FROM inter
-    JOIN sz sa ON sa.doc_id = a_id
-    JOIN sz sb ON sb.doc_id = b_id
-    WHERE i / (sa.n + sb.n - i) >= 0.9
+    ),
+    true_pairs AS (
+      SELECT a_id, b_id, round(i / (sa.n + sb.n - i), 6) AS jaccard
+      FROM inter
+      JOIN sz sa ON sa.doc_id = a_id
+      JOIN sz sb ON sb.doc_id = b_id
+      WHERE i / (sa.n + sb.n - i) >= {MH_VERIFY_J}
+    )"""
+
+
+@query(
+    "q_dedup_minhash",
+    oracle=f"""
+    WITH {MINHASH_TRUTH_CTES}
+    SELECT a_id, b_id, jaccard FROM true_pairs
     """,
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:

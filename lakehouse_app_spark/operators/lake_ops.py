@@ -681,3 +681,119 @@ def q_compact_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rows_in_part").alias("rows_total"),
         (F.sum("rows_in_part") >= COMPACT_TARGET_ROWS).alias("full_bucket"),
     )
+
+
+# ------------------------------------------------- dedup health report
+
+
+def _dedup_report_oracle() -> str:
+    from lakehouse_app_spark.operators.dedup import MINHASH_TRUTH_CTES
+
+    return f"""
+    WITH {MINHASH_TRUTH_CTES},
+    f2 AS (
+      SELECT doc_id, source,
+             array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')
+               AS fpx
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, source,
+             min(doc_id) OVER (PARTITION BY fpx) AS cluster_id,
+             count(*) OVER (PARTITION BY fpx) AS sz
+      FROM f2
+    ),
+    members AS (SELECT doc_id, source, cluster_id FROM sized WHERE sz > 1),
+    exact_per_source AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_exact_dup,
+             CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+      FROM members GROUP BY source
+    ),
+    nd_docs AS (
+      SELECT a_id AS doc_id FROM true_pairs
+      UNION SELECT b_id FROM true_pairs
+    ),
+    nd_per_source AS (
+      SELECT d.source, CAST(count(*) AS BIGINT) AS n_neardup_reps
+      FROM nd_docs n JOIN documents d ON d.doc_id = n.doc_id
+      GROUP BY d.source
+    ),
+    totals AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    )
+    SELECT t.source, t.n_docs,
+           COALESCE(e.n_exact_dup, 0) AS n_exact_dup,
+           COALESCE(e.n_clusters, 0) AS n_clusters,
+           COALESCE(e.n_exact_dup, 0) - COALESCE(e.n_clusters, 0)
+             AS n_removable,
+           COALESCE(nd.n_neardup_reps, 0) AS n_neardup_reps,
+           round(COALESCE(e.n_exact_dup, 0)
+                 / CAST(t.n_docs AS DOUBLE), 6) AS dup_rate
+    FROM totals t
+    LEFT JOIN exact_per_source e USING (source)
+    LEFT JOIN nd_per_source nd USING (source)
+    """
+
+
+@query("q_dedup_report", oracle=_dedup_report_oracle())
+def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication health report across BOTH dedup tiers —
+    the dashboard every corpus pipeline publishes after a dedup pass:
+    per source, how many documents sit in an exact-duplicate cluster,
+    how many distinct clusters those represent, the rows a keep-one
+    policy would remove (members − clusters; an upper bound when
+    clusters span sources), how many of the source's exact-dedup
+    REPRESENTATIVES additionally participate in a verified near-dup
+    pair (J ≥ 0.9 — [[q_dedup_minhash]]'s gated tier), and the
+    exact-duplication rate.
+
+    Plan: the exact tier reads the STORED ``dup_clusters`` layout
+    (built once per corpus by [[q_dedup_clusters]] — no text touched,
+    no components recomputed); the near-dup tier runs the banded
+    candidate join over the STORED 16-hash signature layout with
+    exact verification only on candidates, exactly q_dedup_minhash's
+    scale path. Both memberships broadcast onto one doc-metadata scan
+    feeding a single per-source aggregate; clean sources report zeros
+    rather than vanishing. The oracle re-derives both tiers from raw
+    text — fingerprint classes AND the full shingle-Jaccard truth
+    pairs — paying for the provenance this query reads off stored
+    indexes."""
+    from lakehouse_app_spark.operators.dedup import q_dedup_minhash
+    from lakehouse_app_spark.sources.layout import derived_table
+
+    clusters = derived_table(
+        spark, "dup_clusters", sf_dir, lambda: q_dedup_clusters(spark, sf_dir)
+    )
+    nd_pairs = q_dedup_minhash(spark, sf_dir)
+    nd_docs = (
+        nd_pairs.select(F.col("a_id").alias("doc_id"))
+        .unionAll(nd_pairs.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+        .withColumn("nd", F.lit(1))
+    )
+    docs = load_tables(spark, sf_dir).documents.select("doc_id", "source")
+    joined = (
+        docs.join(F.broadcast(clusters), "doc_id", "left")
+        .join(F.broadcast(nd_docs), "doc_id", "left")
+    )
+    report = joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("cluster_id").alias("n_exact_dup"),
+        F.count_distinct("cluster_id").alias("n_clusters"),
+        F.count("nd").alias("n_neardup_reps"),
+    )
+    return report.select(
+        "source",
+        "n_docs",
+        "n_exact_dup",
+        "n_clusters",
+        (F.col("n_exact_dup") - F.col("n_clusters")).alias("n_removable"),
+        "n_neardup_reps",
+        F.round(
+            F.col("n_exact_dup").cast("double")
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("dup_rate"),
+    )
