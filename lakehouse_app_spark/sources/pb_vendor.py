@@ -61,6 +61,11 @@ def _ReportVersionError(msg):
 
 _resolved: str | None | bool = False  # False = not probed yet
 
+# Quarantined trees (see _build_vendor_copy's heal path) are only
+# needed while a concurrent process might still hold them on
+# sys.path / worker PYTHONPATH; anything older than this is garbage.
+_QUARANTINE_TTL_SEC = 3600.0
+
 
 def _vendor_root() -> str:
     from lakehouse_app_spark.sources.layout import layout_base
@@ -81,6 +86,38 @@ def _copy_py_tree(src: str, dst: str) -> None:
             shutil.copy(s, d)
 
 
+def _precompile(tree: str) -> None:
+    """Write .pyc caches for every vendored module. The host sets
+    PYTHONDONTWRITEBYTECODE=1, so the fresh (non-daemon) Python
+    worker the JVM forks per transformWithState query re-tokenizes
+    all ~40 protobuf files on EVERY query — ~120 ms of the measured
+    tws floor. compileall/py_compile write the cache regardless of
+    the env var, and the pyc validity key is the .py mtime+size
+    (path-independent), so compiling the staging tree stays valid
+    after the atomic rename to the final vendor path."""
+    import compileall
+
+    try:
+        compileall.compile_dir(tree, quiet=2)
+    except Exception:
+        pass  # imports still work, just slower
+
+
+def _sweep_quarantine(dst: str) -> None:
+    """Reap quarantine dirs left by crashed/raced heals (review r8:
+    they leaked indefinitely). Age-gated: a fresh quarantine may
+    still be on a live process's sys.path."""
+    import glob
+    import time
+
+    for q in glob.glob(f"{dst}.quarantine-*"):
+        try:
+            if time.time() - os.path.getmtime(q) > _QUARANTINE_TTL_SEC:
+                shutil.rmtree(q, ignore_errors=True)
+        except OSError:
+            pass
+
+
 def _build_vendor_copy(src_root: str) -> str:
     """Copy ``google/protobuf`` (py files only) from ``src_root`` into
     the warehouse vendor dir, apply the version shim, and mark the
@@ -92,7 +129,13 @@ def _build_vendor_copy(src_root: str) -> str:
     half-written tree."""
     dst = _vendor_root()
     marker = os.path.join(dst, "_complete")
+    _sweep_quarantine(dst)
     if os.path.exists(marker):
+        # pre-round-9 trees were built without .pyc caches; heal once
+        if not os.path.isdir(
+            os.path.join(dst, "google", "protobuf", "__pycache__")
+        ):
+            _precompile(dst)
         return dst
     staging = f"{dst}.staging-{os.getpid()}"
     shutil.rmtree(staging, ignore_errors=True)
@@ -107,6 +150,7 @@ def _build_vendor_copy(src_root: str) -> str:
         "a",
     ) as fh:
         fh.write(_VERSION_SHIM)
+    _precompile(staging)
     with open(os.path.join(staging, "_complete"), "w") as fh:
         fh.write(src_root)
     try:

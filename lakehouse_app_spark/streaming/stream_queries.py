@@ -652,8 +652,6 @@ def q_stream_state_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     — set per query, restored after; HDFS-backed stores keep serving
     every other stream. Deterministic (counts, distinct-count, max),
     so the batch-duality oracle is exact."""
-    import pandas as pd
-
     from lakehouse_app_spark.sources.pb_vendor import (
         inject_worker_pythonpath,
         protobuf_runtime_dir,
@@ -681,6 +679,17 @@ def q_stream_state_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         def handleInputRows(self, key, rows, timer_values):
+            # LOCAL import, deliberately: a module-level/closure `pd`
+            # reference gets pickled into the UDF, and the dedicated
+            # pre-init worker the JVM forks per query (fresh
+            # interpreter, never a daemon — StreamingPythonRunner
+            # hardcodes useDaemon=false) would then pay the pandas
+            # import at UNPICKLE time, before init() runs. Measured
+            # ~0.2 s/query off the floor by deferring it to the
+            # task-side workers, which are daemon-reused and already
+            # have pandas loaded.
+            import pandas as pd
+
             first = not self.agg.exists()
             n, mx, nt = (0, None, 0) if first else self.agg.get()
             local: dict = {}  # batch-local pre-aggregation: one state
