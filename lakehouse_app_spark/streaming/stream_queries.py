@@ -224,7 +224,10 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.session_window("ts", "30 minutes"), "user_id")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    out = run_to_memory(agg, "session")
+    # partitions=8 from the r9 interleaved A/B {2,4,8,16}: session
+    # state merges parallelize across stores (0.97 s vs 1.15 s at the
+    # JVM-state default of 2); 16 regresses (store-init overhead).
+    out = run_to_memory(agg, "session", partitions=8)
     return out.select(
         "user_id",
         F.col("session_window.start").cast("timestamp_ntz").alias("session_start"),
@@ -300,7 +303,12 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type", "minute", "ts_l")
         .dropDuplicatesWithinWatermark(["user_id", "event_type", "minute"])
     )
-    out = run_to_memory(keyed, "stream_dedup", output_mode="append")
+    # partitions=8 from the r9 interleaved A/B {2,4,8,16}: the dedup
+    # state store is written once per distinct key, and that write
+    # volume parallelizes (1.19 s vs 1.44 s at 2); 16 regresses.
+    out = run_to_memory(
+        keyed, "stream_dedup", output_mode="append", partitions=8
+    )
     return out.select(
         "user_id", "event_type", F.col("minute").cast("timestamp_ntz").alias("minute")
     )
