@@ -305,6 +305,35 @@ def main() -> None:
     if RUN_DUCKDB:
         full["duckdb_queries"] = duck
         full["duckdb_total"] = round(sum(v for v in duck.values() if v > 0), 4)
+        # Pairing-bias bound (ADVICE r8): each paired DuckDB timing
+        # runs while the Spark JVM may still be doing post-action
+        # background work (GC, AQE cleanup), which could inflate
+        # duckdb_total and flatter the recorded ratio. Re-time the 20
+        # most expensive oracles now — every Spark action long done,
+        # JVM quiescent after a settle — and record paired/unpaired
+        # on that sample. A ratio near 1.0 certifies the paired
+        # protocol; a high one means the score of record was
+        # flattered and must be read against this bound.
+        sample = [
+            k
+            for k, v in sorted(duck.items(), key=lambda kv: -kv[1])
+            if v > 0
+        ][:20]
+        if sample:
+            time.sleep(1.0)  # JVM settle
+            paired_s = sum(duck[k] for k in sample)
+            unpaired_s = 0.0
+            for k in sample:
+                try:
+                    unpaired_s += time_duckdb(con, eng.ORACLES[k])
+                except Exception:
+                    unpaired_s += duck[k]  # neutral on a flaky oracle
+            bias = round(paired_s / unpaired_s, 3) if unpaired_s > 0 else 1.0
+            full["duckdb_pairing_check"] = {
+                "paired_sample_sec": round(paired_s, 4),
+                "unpaired_sample_sec": round(unpaired_s, 4),
+                "paired_over_unpaired": bias,
+            }
 
     # Full breakdown → sidecar file (the driver keeps only ~2 KB of
     # output, so the printed line must be small).
@@ -334,6 +363,10 @@ def main() -> None:
     }
     if RUN_DUCKDB:
         compact["duckdb_total"] = full["duckdb_total"]
+        if "duckdb_pairing_check" in full:
+            compact["duck_pairing_bias"] = full["duckdb_pairing_check"][
+                "paired_over_unpaired"
+            ]
     line = json.dumps(compact)
     # Hard guard: never exceed the driver's tail-capture budget.
     while len(line) > 1800 and compact["queries"]:

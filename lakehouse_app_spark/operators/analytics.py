@@ -160,9 +160,21 @@ def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderstatus,
-               element_at(s, CAST(ceil(0.25 * size(s)) AS INT)) AS p25,
-               element_at(s, CAST(ceil(0.50 * size(s)) AS INT)) AS p50,
-               element_at(s, CAST(ceil(0.90 * size(s)) AS INT)) AS p90
+               -- size(s)=0 guard: collect_list drops NULLs, so an
+               -- all-NULL group yields an empty buffer and index 0,
+               -- where ANSI element_at raises INVALID_INDEX_OF_ZERO;
+               -- percentile_disc semantics there are NULL. Inert for
+               -- orders (o_totalprice is non-null) but the docstring
+               -- advertises this as the general recipe (ADVICE r8).
+               CASE WHEN size(s) = 0 THEN NULL
+                    ELSE element_at(s, CAST(ceil(0.25 * size(s)) AS INT))
+               END AS p25,
+               CASE WHEN size(s) = 0 THEN NULL
+                    ELSE element_at(s, CAST(ceil(0.50 * size(s)) AS INT))
+               END AS p50,
+               CASE WHEN size(s) = 0 THEN NULL
+                    ELSE element_at(s, CAST(ceil(0.90 * size(s)) AS INT))
+               END AS p90
         FROM (SELECT o_orderstatus,
                      array_sort(collect_list(o_totalprice)) AS s
               FROM orders GROUP BY o_orderstatus)
@@ -240,9 +252,16 @@ def q_approx_quantiles_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
           -- exact disc percentiles from ONE sorted buffer per group
           -- (q_percentile_disc's recipe: index ceil(q*n), 1-based)
           SELECT o_orderstatus,
-                 element_at(s, CAST(ceil(0.25 * size(s)) AS INT)) AS e25,
-                 element_at(s, CAST(ceil(0.50 * size(s)) AS INT)) AS e50,
-                 element_at(s, CAST(ceil(0.90 * size(s)) AS INT)) AS e90,
+                 -- same size(s)=0 → NULL guard as q_percentile_disc
+                 CASE WHEN size(s) = 0 THEN NULL
+                      ELSE element_at(s, CAST(ceil(0.25 * size(s)) AS INT))
+                 END AS e25,
+                 CASE WHEN size(s) = 0 THEN NULL
+                      ELSE element_at(s, CAST(ceil(0.50 * size(s)) AS INT))
+                 END AS e50,
+                 CASE WHEN size(s) = 0 THEN NULL
+                      ELSE element_at(s, CAST(ceil(0.90 * size(s)) AS INT))
+                 END AS e90,
                  a
           FROM (SELECT o_orderstatus,
                        array_sort(collect_list(o_totalprice)) AS s,

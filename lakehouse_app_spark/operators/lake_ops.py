@@ -208,25 +208,43 @@ def min_label_components(
     size the edge list is broadcast-scale metadata and one distributed
     round costs ~0.5 s of pure scheduling. Pass 0 to force the
     distributed path (the property tests do)."""
+    pairs = edges.select("a_id", "b_id")
+    probed = False
     if small_graph_threshold > 0:
         # ONE action probes size AND fetches the edges: limit(N+1)
         # returning ≤ N rows proves the full edge set is in hand (a
         # separate count() would execute the upstream pair pipeline
-        # twice)
-        head = (
-            edges.select("a_id", "b_id")
-            .limit(small_graph_threshold + 1)
-            .collect()
-        )
+        # twice). The probe runs against a PERSISTED frame so a graph
+        # that exceeds the threshold doesn't pay the upstream pair
+        # pipeline's final stage again when the distributed loop scans
+        # it (shuffle outputs are stage-reused either way; the persist
+        # covers the post-shuffle work — ADVICE r8).
+        pairs = pairs.persist()
+        probed = True
+        head = pairs.limit(small_graph_threshold + 1).collect()
         if len(head) <= small_graph_threshold:
             labels_map = _union_find((r[0], r[1]) for r in head)
             spark = edges.sparkSession
+            # label = min over node ids, so it shares the node id's
+            # type; derive it from the edge schema instead of
+            # hardcoding long (non-long ids worked on the distributed
+            # path but broke here — ADVICE r8)
+            from pyspark.sql.types import StructField, StructType
+
+            ntype = pairs.schema[0].dataType
             labels = spark.createDataFrame(
-                sorted(labels_map.items()), "node long, label long"
+                sorted(labels_map.items()),
+                StructType(
+                    [
+                        StructField("node", ntype, False),
+                        StructField("label", ntype, False),
+                    ]
+                ),
             )
+            pairs.unpersist()
             return labels, 0
-    fwd = edges.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
-    rev = edges.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+    fwd = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    rev = pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
     adj = fwd.unionByName(rev).persist()
     labels = adj.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
@@ -286,6 +304,8 @@ def min_label_components(
             converged = True
             break
     adj.unpersist()
+    if probed:
+        pairs.unpersist()
     if not converged:
         raise RuntimeError(
             "connected components did not converge within the round "

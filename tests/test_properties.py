@@ -971,3 +971,45 @@ def test_cc_small_graph_fast_path_matches_distributed(spark):
     f = {r["node"]: r["label"] for r in fast.collect()}
     s = {r["node"]: r["label"] for r in slow.collect()}
     assert f == s == {5: 2, 9: 2, 2: 2, 30: 30, 31: 30, 7: 7}
+
+
+def test_cc_small_graph_fast_path_nonlong_ids(spark):
+    """The union-find fast path must carry the NODE ID TYPE through
+    to its result schema instead of hardcoding long (ADVICE r8): int
+    ids here — the distributed path already handled them — and both
+    paths must agree on values AND on the node/label column type."""
+    from lakehouse_app_spark.operators.lake_ops import min_label_components
+
+    edges = spark.createDataFrame(
+        [(5, 9), (9, 2), (30, 31)], "a_id int, b_id int"
+    )
+    fast, r_fast = min_label_components(edges)
+    assert r_fast == 0
+    assert fast.schema["node"].dataType.simpleString() == "int"
+    assert fast.schema["label"].dataType.simpleString() == "int"
+    got = {r["node"]: r["label"] for r in fast.collect()}
+    assert got == {5: 2, 9: 2, 2: 2, 30: 30, 31: 30}
+
+
+def test_percentile_disc_all_null_group(spark):
+    """The one-sorted-buffer percentile recipe (q_percentile_disc's
+    docstring advertises it as general) must return NULL for a group
+    whose values are all NULL — collect_list drops NULLs, the buffer
+    is empty, and an unguarded element_at(s, 0) raises
+    INVALID_INDEX_OF_ZERO under ANSI (ADVICE r8)."""
+    spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", None), ("b", None)],
+        "g string, v double",
+    ).createOrReplaceTempView("pd_null_groups")
+    rows = spark.sql(
+        """
+        SELECT g,
+               CASE WHEN size(s) = 0 THEN NULL
+                    ELSE element_at(s, CAST(ceil(0.50 * size(s)) AS INT))
+               END AS p50
+        FROM (SELECT g, array_sort(collect_list(v)) AS s
+              FROM pd_null_groups GROUP BY g)
+        """
+    ).collect()
+    got = {r["g"]: r["p50"] for r in rows}
+    assert got == {"a": 1.0, "b": None}
