@@ -719,3 +719,133 @@ def test_bootstrap_hash_is_overflow_safe_at_warehouse_keys(spark):
         assert 0 <= got < _BOOT_P
         ref_parity.append(got == expect)
     assert all(ref_parity), ref_parity
+
+
+def _overflow_sites():
+    """Every integer hash-multiply in the repo, with its adversarial
+    input and a pure-Python reference (round-9 verdict item 4: the
+    bootstrap wraparound pattern-matched a CLASS — audit them all).
+    Each site returns (spark_column, python_expected, upper_bound)
+    evaluated at warehouse-scale worst-case operands; the test runs
+    them under ANSI (overflow THROWS), so passing means every
+    intermediate stays inside int64 by construction, not by luck."""
+    from lakehouse_app_spark.operators.analytics import (
+        BOOT_R,
+        _BOOT_A,
+        _BOOT_B,
+        _BOOT_P,
+    )
+    from lakehouse_app_spark.operators.corpus_prep import _MH_P, _MH_PARAMS
+    from lakehouse_app_spark.operators.dedup import _SH_PARAMS
+    from lakehouse_app_spark.operators.sketches import _HA, _HB, _P, BLOOM_M
+    from lakehouse_app_spark.operators.span_dedup import _POS_BASE
+
+    fp_max = _MH_P - 1  # Karp-Rabin folds reduce mod 2^31-1 everywhere
+    sites = []
+
+    # sketches.py bloom/CMS second hash: _HA * fp + _HB
+    sites.append((
+        "bloom_second_hash",
+        ((F.lit(_HA) * F.lit(fp_max).cast("long") + F.lit(_HB)) % F.lit(_P))
+        % F.lit(BLOOM_M),
+        ((_HA * fp_max + _HB) % _P) % BLOOM_M,
+        BLOOM_M,
+    ))
+
+    # corpus_prep minhash affine hashes (worst multiplier last)
+    for i, (a, b) in enumerate(_MH_PARAMS):
+        sites.append((
+            f"minhash_affine_{i}",
+            (F.lit(a) * F.lit(fp_max).cast("long") + F.lit(b)) % F.lit(_MH_P),
+            (a * fp_max + b) % _MH_P,
+            _MH_P,
+        ))
+
+    # dedup.py SimHash 62-bit portable token hash: the TIGHT site —
+    # a1 ≈ 2^30.6 times fp ≈ 2^31 is within 2^62 by less than a bit,
+    # and the h1·2^31 + h2 concatenation must stay under 2^63
+    (a1, b1), (a2, b2) = _SH_PARAMS
+    h1 = (F.lit(a1) * F.lit(fp_max).cast("long") + F.lit(b1)) % F.lit(_MH_P)
+    h2 = (F.lit(a2) * F.lit(fp_max).cast("long") + F.lit(b2)) % F.lit(_MH_P)
+    sites.append((
+        "simhash_portable_token",
+        h1 * F.lit(1 << 31) + h2,
+        ((a1 * fp_max + b1) % _MH_P) * (1 << 31)
+        + ((a2 * fp_max + b2) % _MH_P),
+        1 << 62,
+    ))
+
+    # span_dedup winnow (fp, pos) packing and its sum-of-1024 worst
+    fpu_max = fp_max * _POS_BASE + (_POS_BASE - 1)
+    sites.append((
+        "winnow_fpu_pack",
+        F.lit(fp_max).cast("long") * F.lit(_POS_BASE)
+        + F.lit(_POS_BASE - 1),
+        fpu_max,
+        1 << 42,
+    ))
+    sites.append((
+        "winnow_fp_sum_worst",
+        F.expr(
+            f"aggregate(sequence(1, {_POS_BASE}), CAST(0 AS BIGINT), "
+            f"(acc, x) -> acc + CAST({fpu_max // _POS_BASE} AS BIGINT))"
+        ),
+        _POS_BASE * (fpu_max // _POS_BASE),
+        1 << 42,
+    ))
+
+    # analytics.py bootstrap hash (the r8 fix, swept here too so the
+    # class has ONE covering test)
+    key = 6_000_000_000  # o_orderkey at TPC-H sf1000
+    sites.append((
+        "bootstrap_poisson_hash",
+        (
+            F.lit(_BOOT_A)
+            * (((F.lit(key).cast("long") % _BOOT_P) * BOOT_R + F.lit(31))
+               % _BOOT_P)
+            + F.lit(_BOOT_B)
+        )
+        % F.lit(_BOOT_P),
+        (_BOOT_A * (((key % _BOOT_P) * BOOT_R + 31) % _BOOT_P) + _BOOT_B)
+        % _BOOT_P,
+        _BOOT_P,
+    ))
+
+    # corpus_prep char-fold fingerprint over a max-ascii long string
+    big = "\x7f" * 4096
+    from lakehouse_app_spark.operators.corpus_prep import _FP_SPARK
+
+    acc = 0
+    for _ in range(4096):
+        acc = (acc * 31 + 127) % _MH_P
+    sites.append((
+        "char_fold_fingerprint",
+        F.expr(_FP_SPARK.format(w=f"'{big}'")),
+        acc,
+        _MH_P,
+    ))
+    return sites
+
+
+def test_hash_overflow_safe_at_warehouse_keys(spark):
+    """Parametrized-in-one-pass sweep of every hash-multiply site at
+    warehouse-scale worst-case operands, under ANSI so any int64
+    overflow raises instead of wrapping; each value must also equal
+    the pure-Python (unbounded-int) reference and respect its
+    declared bound."""
+    sites = _overflow_sites()
+    prev = spark.conf.get("spark.sql.ansi.enabled", None)
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        row = spark.range(1).select(
+            *[col.alias(f"v{i}") for i, (_, col, _, _) in enumerate(sites)]
+        ).collect()[0]
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.ansi.enabled")
+        else:
+            spark.conf.set("spark.sql.ansi.enabled", prev)
+    for i, (name, _, expect, bound) in enumerate(sites):
+        got = row[f"v{i}"]
+        assert got == expect, (name, got, expect)
+        assert 0 <= got < bound, (name, got, bound)
