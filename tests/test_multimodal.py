@@ -107,3 +107,78 @@ def test_arrow_norm_batches_handles_sliced_list_array():
         round((25 + 36) ** 0.5, 6),
     ]
     assert out.column("v_max").to_pylist() == [4.0, 6.0]
+
+
+def test_wav_decode_exact_known_payload(spark):
+    """q_media_decode's pure-expression WAV parser against hand-built
+    RIFF/PCM payloads with known sample values, covering the
+    two's-complement negative branch and the per-file sample rate:
+    text ' A~' → samples [(32−64)·256, (65−64)·256, (126−64)·256] =
+    [−8192, 256, 15872] → peak 15872 (not −8192: abs), amp_sum 7936."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_app_spark.operators.multimodal import _le_uint
+
+    def wav(rate, samples):
+        data = struct.pack(f"<{len(samples)}h", *samples)
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    payloads = [
+        (1, bytearray(wav(12000, [-8192, 256, 15872]))),
+        (2, bytearray(wav(8000, [-32768, 32767]))),  # int16 extremes
+    ]
+    df = spark.createDataFrame(payloads, "media_id long, payload binary")
+    # reuse the query's expression pieces via a minimal re-derivation:
+    # run the REAL query function over a fake sf_dir is heavier, so
+    # assert the header reads and the full decode on this frame by
+    # calling the same _le_uint builders the query uses
+    rate = F.expr(_le_uint(25, 4)).alias("rate")
+    nsamp = F.expr(f"({_le_uint(41, 4)}) DIV 2").alias("n")
+    magic = F.expr(
+        "CAST(substring(payload, 1, 4) AS STRING) = 'RIFF' AND "
+        "CAST(substring(payload, 9, 8) AS STRING) = 'WAVEfmt ' AND "
+        "CAST(substring(payload, 37, 4) AS STRING) = 'data'"
+    ).alias("ok")
+    samples = F.expr(
+        "transform(transform(sequence(0, CAST(("
+        + _le_uint(41, 4)
+        + ") DIV 2 AS INT) - 1), i -> "
+        "CAST(ascii(substring(decode(substring(payload, 45 + 2*i, 1), "
+        "'ISO-8859-1'), 1, 1)) AS BIGINT) + 256 * "
+        "CAST(ascii(substring(decode(substring(payload, 46 + 2*i, 1), "
+        "'ISO-8859-1'), 1, 1)) AS BIGINT)), v -> v - 65536 * (v DIV 32768))"
+    ).alias("samples")
+    rows = {
+        r["media_id"]: r
+        for r in df.select("media_id", rate, nsamp, magic, samples).collect()
+    }
+    assert rows[1]["rate"] == 12000 and rows[1]["n"] == 3 and rows[1]["ok"]
+    assert rows[1]["samples"] == [-8192, 256, 15872]
+    assert rows[2]["rate"] == 8000 and rows[2]["samples"] == [-32768, 32767]
+
+
+def test_q_media_decode_matches_text_derivation(spark, sf_dir):
+    """End-to-end: the decoded features equal the text-side
+    derivation for every document (the oracle's contract, in-process
+    at the smoke sf)."""
+    from lakehouse_app_spark import QUERIES
+
+    got = {
+        r["media_id"]: r
+        for r in QUERIES["q_media_decode"](spark, sf_dir).collect()
+    }
+    docs = load_tables(spark, sf_dir).documents.where("n_chars >= 1")
+    for d in docs.collect():
+        samples = [(ord(c) - 64) * 256 for c in d["text"]]
+        r = got[d["doc_id"]]
+        assert r["sample_rate"] == 8000 + (d["doc_id"] % 4) * 4000
+        assert r["n_samples"] == len(samples)
+        assert r["peak"] == max(abs(s) for s in samples)
+        assert r["amp_sum"] == sum(samples)
+        assert r["is_pcm"] is True
