@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from lakehouse_app_spark.operators.corpus_prep import q_corpus_gate
 from lakehouse_app_spark.operators.dedup import rep_docs, spread
+from lakehouse_app_spark.operators.dedup_ext import q_dedup_incremental
 from lakehouse_app_spark.operators.quality import q_quality_classifier
 from lakehouse_app_spark.registry import ORACLES, query
 from lakehouse_app_spark.sources.tables import load_tables
@@ -100,4 +101,115 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("split").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").cast("long").alias("n_tokens"),
+    )
+
+
+def _ingest_oracle() -> str:
+    incr = ORACLES["q_dedup_incremental"]
+    return f"""
+    WITH quar AS (
+      SELECT DISTINCT new_id AS doc_id FROM ({incr}) qq
+    ),
+    j AS (
+      SELECT b.source,
+             len(string_split(b.text, ' ')) AS n_tok,
+             (q.doc_id IS NOT NULL) AS quarantined
+      FROM documents b LEFT JOIN quar q USING (doc_id)
+      WHERE b.doc_id % 10 = 7
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_batch,
+           CAST(SUM(CASE WHEN quarantined THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quarantined,
+           CAST(SUM(CASE WHEN quarantined THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_committed,
+           CAST(SUM(CASE WHEN quarantined THEN 0 ELSE n_tok END) AS BIGINT)
+             AS committed_tokens
+    FROM j GROUP BY source
+    """
+
+
+@query("q_ingest_pipeline", oracle=_ingest_oracle())
+def q_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE-side ingest composition, end to end and hash-checked
+    (round-9 verdict item 5): an arriving batch (doc_id % 10 = 7, as
+    in [[q_dedup_incremental]]) is screened against the standing
+    corpus's STORED signatures — banded candidates are quarantined —
+    and the survivors are committed through the DQ-gated manifest-
+    last snapshot protocol (`write_snapshot_checked`: one aggregate
+    pass proves every row satisfies the gate or nothing lands).
+    The returned per-source report reads n_committed/committed_tokens
+    BACK FROM THE COMMITTED SNAPSHOT, so the oracle's hash check
+    covers the quarantine decision AND the commit round-trip, not
+    just the plan.
+
+    Scale: work is batch-sized throughout — corpus text is never
+    read (signatures only), the quarantine join ships 16-byte
+    signatures, the DQ gate is one aggregate over the batch, and the
+    snapshot write is the batch itself. The standing 100 TB corpus
+    participates via its signature layout alone."""
+    import tempfile
+
+    from lakehouse_app_spark.sources.sinks import (
+        read_snapshot,
+        write_snapshot_checked,
+    )
+
+    from lakehouse_app_spark.runtime_cache import scoped_persist
+
+    t = load_tables(spark, sf_dir)
+    batch = t.documents.where(F.col("doc_id") % 10 == 7)
+    # persist: the quarantine list feeds BOTH the semi (flagged) and
+    # anti (admitted) joins — unpersisted, the whole signature-band
+    # candidate pipeline would execute twice. Broadcast: it's a
+    # candidate-id list (banded near-dups of one batch), metadata-
+    # sized next to the batch at any corpus scale.
+    quar = scoped_persist(
+        q_dedup_incremental(spark, sf_dir)
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+    )
+    flagged = batch.join(F.broadcast(quar), "doc_id", "left_semi")
+    admitted = batch.join(F.broadcast(quar), "doc_id", "left_anti")
+    path = tempfile.mkdtemp(prefix="ingest_commit_")
+    write_snapshot_checked(
+        admitted.select("doc_id", "source", "text", "n_chars"),
+        path,
+        checks={
+            "doc_id_present": F.col("doc_id").isNotNull(),
+            "text_present": F.col("text").isNotNull(),
+            "n_chars_positive": F.col("n_chars") >= 1,
+            "batch_invariant": F.col("doc_id") % 10 == 7,
+        },
+        note="ingest batch commit (near-dup quarantine applied)",
+    )
+    committed = read_snapshot(spark, path)
+    commit_agg = committed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_committed"),
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias(
+            "committed_tokens"
+        ),
+    )
+    batch_agg = batch.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_batch")
+    )
+    quar_agg = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_quarantined")
+    )
+    return (
+        batch_agg.join(quar_agg, "source", "left")
+        .join(commit_agg, "source", "left")
+        .select(
+            "source",
+            "n_batch",
+            F.coalesce("n_quarantined", F.lit(0).cast("long")).alias(
+                "n_quarantined"
+            ),
+            F.coalesce("n_committed", F.lit(0).cast("long")).alias(
+                "n_committed"
+            ),
+            F.coalesce("committed_tokens", F.lit(0).cast("long")).alias(
+                "committed_tokens"
+            ),
+        )
     )
