@@ -182,3 +182,50 @@ def test_q_media_decode_matches_text_derivation(spark, sf_dir):
         assert r["peak"] == max(abs(s) for s in samples)
         assert r["amp_sum"] == sum(samples)
         assert r["is_pcm"] is True
+
+
+def test_bmp_decode_known_image(spark):
+    """The BMP path against a hand-built 2×2 24bpp image with padding
+    (stride 8 for width 2): known channel bytes, bottom-up storage —
+    the logical-order checksum must weight pixel (0,0) first even
+    though it is stored in the LAST row."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_app_spark.operators.multimodal import _le_uint
+
+    w, h, stride = 2, 2, 8
+    # logical B values: (0,0)=10 (0,1)=20 / (1,0)=30 (1,1)=40
+    def row(bs):
+        out = bytearray()
+        for b in bs:
+            out += bytes((b, (b + 85) % 256, (b + 170) % 256))
+        return bytes(out) + b"\x00" * (stride - 3 * w)
+
+    data = row([30, 40]) + row([10, 20])  # bottom-up: logical row 1 first
+    payload = (
+        b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                      2835, 2835, 0, 0)
+        + data
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    got = df.select(
+        F.expr(_le_uint(19, 4)).alias("w"),
+        F.expr(_le_uint(23, 4)).alias("h"),
+        F.expr(
+            "aggregate(zip_with("
+            "  transform(sequence(0, 3), i -> CAST((" + _le_uint(23, 4)
+            + " - 1 - i DIV 2) * 8 + 3 * (i % 2) + 1 AS INT)),"
+            "  sequence(1, 4),"
+            "  (o, i) -> i * CAST(ascii(substring(decode("
+            "    substring(payload, 54 + o, 1), 'ISO-8859-1'), 1, 1))"
+            "    AS BIGINT)), CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("ck"),
+    ).collect()[0]
+    assert got["w"] == 2 and got["h"] == 2
+    # logical order weights: 1*10 + 2*20 + 3*30 + 4*40 = 300
+    assert got["ck"] == 300
