@@ -849,3 +849,34 @@ def test_hash_overflow_safe_at_warehouse_keys(spark):
         got = row[f"v{i}"]
         assert got == expect, (name, got, expect)
         assert 0 <= got < bound, (name, got, bound)
+
+
+def test_media_decoders_are_exchange_free(spark, sf_dir):
+    """Both real codec paths (WAV and BMP, round 9) must stay
+    scan-local projections over the stored media layout: all decode
+    arithmetic is bound-lambda Catalyst expressions, so the physical
+    plan has NO Exchange and NO Python eval — the 100 TB shape is a
+    partition-pruned scan + map."""
+    from lakehouse_app_spark.plans.checks import formatted_plan
+
+    for key in ("q_media_decode", "q_media_decode_image"):
+        plan = formatted_plan(QUERIES[key](spark, sf_dir))
+        assert "Exchange" not in plan, (key, plan)
+        assert "BatchEvalPython" not in plan, (key, plan)
+        assert "ArrowEvalPython" not in plan, (key, plan)
+
+
+def test_ingest_pipeline_broadcasts_quarantine(spark, sf_dir):
+    """q_ingest_pipeline's flagged/admitted splits must consume the
+    quarantine id list as a BROADCAST build side (it is metadata-
+    sized at any corpus scale), never a shuffled join of the batch."""
+    from lakehouse_app_spark.plans.checks import formatted_plan
+
+    plan = formatted_plan(QUERIES["q_ingest_pipeline"](spark, sf_dir))
+    # the flagged split's semi join broadcasts the quarantine list
+    # (the admitted split's anti join executed inside the snapshot
+    # write, so the returned report reads the committed parquet back
+    # instead of re-running it); nothing in the report shuffles a
+    # join input
+    assert "BroadcastHashJoin LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
