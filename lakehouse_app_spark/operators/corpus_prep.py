@@ -897,3 +897,153 @@ def q_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cs") - F.col("rs"), 6).alias("margin"),
         )
     )
+
+
+# ------------------------------- pretraining target transformations
+
+# T5-style span corruption layout: tokens come in blocks of
+# _SC_SPAN; every _SC_EVERY-th block is masked and replaced by one
+# <extra_id_k> sentinel in the input, with the masked content
+# re-emitted after the same sentinel in the target. Deterministic
+# (position-derived, no RNG), so both engines compute it closed-form.
+_SC_SPAN = 3
+_SC_EVERY = 5
+
+
+@query(
+    "q_span_corrupt",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS tk
+      FROM documents WHERE n_chars >= 1
+    )
+    SELECT doc_id,
+           array_to_string(list_filter(list_transform(range(0, len(tk)),
+             i -> CASE
+               WHEN (i // {_SC_SPAN}) % {_SC_EVERY} = 0
+                    AND i % {_SC_SPAN} = 0
+                 THEN '<extra_id_' ||
+                      CAST(i // {_SC_SPAN * _SC_EVERY} AS VARCHAR) || '>'
+               WHEN (i // {_SC_SPAN}) % {_SC_EVERY} = 0 THEN NULL
+               ELSE tk[i + 1] END),
+             x -> x IS NOT NULL), ' ') AS input_text,
+           array_to_string(list_filter(list_transform(range(0, len(tk)),
+             i -> CASE
+               WHEN (i // {_SC_SPAN}) % {_SC_EVERY} = 0
+                    AND i % {_SC_SPAN} = 0
+                 THEN '<extra_id_' ||
+                      CAST(i // {_SC_SPAN * _SC_EVERY} AS VARCHAR) ||
+                      '> ' || tk[i + 1]
+               WHEN (i // {_SC_SPAN}) % {_SC_EVERY} = 0 THEN tk[i + 1]
+               ELSE NULL END),
+             x -> x IS NOT NULL), ' ') AS target_text,
+           CAST((len(tk) // {_SC_SPAN * _SC_EVERY}) * {_SC_SPAN}
+                + least(len(tk) % {_SC_SPAN * _SC_EVERY}, {_SC_SPAN})
+                AS BIGINT) AS n_masked
+    FROM t
+    """,
+)
+def q_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption — the denoising-pretraining target
+    transform: every {_SC_EVERY}-th {_SC_SPAN}-token block is masked,
+    the input keeps one <extra_id_k> sentinel per masked span, and
+    the target re-emits each sentinel followed by the span it hid.
+    Mask positions are position-derived (block index arithmetic, no
+    RNG), so the pair is reproducible and the oracle recomputes it
+    exactly. One scan-local expression per document: the token array
+    is bound once (lambda-binding rule) and both sides fold over the
+    same sequence — no shuffle, no Python; at 100 TB this is a
+    partition-parallel map over the corpus, the same shape a
+    tokenizer-sharding job runs (no repartition: scan splits provide
+    the parallelism; the spread shuffle lost the A/B at sf0.1 too,
+    0.34 vs 0.28 s)."""
+    t = load_tables(spark, sf_dir)
+    blk = f"(i DIV {_SC_SPAN}) % {_SC_EVERY} = 0"
+    sent = f"'<extra_id_' || CAST(i DIV {_SC_SPAN * _SC_EVERY} AS STRING) || '>'"
+    body = (
+        "element_at(transform(array(split(text, ' ')), tk -> named_struct("
+        "  'inp', array_join(filter(transform(sequence(0, size(tk) - 1),"
+        f"    i -> CASE WHEN {blk} AND i % {_SC_SPAN} = 0 THEN {sent}"
+        f"              WHEN {blk} THEN NULL"
+        "               ELSE element_at(tk, i + 1) END),"
+        "    x -> x IS NOT NULL), ' '),"
+        "  'tgt', array_join(filter(transform(sequence(0, size(tk) - 1),"
+        f"    i -> CASE WHEN {blk} AND i % {_SC_SPAN} = 0"
+        f"                THEN {sent} || ' ' || element_at(tk, i + 1)"
+        f"              WHEN {blk} THEN element_at(tk, i + 1)"
+        "               ELSE NULL END),"
+        "    x -> x IS NOT NULL), ' '),"
+        f"  'nm', CAST((size(tk) DIV {_SC_SPAN * _SC_EVERY}) * {_SC_SPAN}"
+        f"             + least(size(tk) % {_SC_SPAN * _SC_EVERY},"
+        f"                     {_SC_SPAN}) AS BIGINT)"
+        ")), 1)"
+    )
+    return (
+        t.documents.where(F.col("n_chars") >= 1)
+        .select("doc_id", F.expr(body).alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.inp").alias("input_text"),
+            F.col("s.tgt").alias("target_text"),
+            F.col("s.nm").alias("n_masked"),
+        )
+    )
+
+
+# FIM split-point multipliers (primes, doc_id-derived; products stay
+# far inside int64 at warehouse-scale ids: 1e11 · 104729 < 2^54)
+_FIM_A = 7919
+_FIM_B = 104729
+
+
+@query(
+    "q_fim_transform",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, text, n_chars,
+             greatest(n_chars // 3, 1) AS third
+      FROM documents WHERE n_chars >= 3
+    ), cut AS (
+      SELECT doc_id, text,
+             1 + (doc_id * {_FIM_A}) % third AS a,
+             2 + (doc_id * {_FIM_A}) % third
+               + (doc_id * {_FIM_B}) % third AS b
+      FROM s
+    )
+    SELECT doc_id,
+           '<PRE>' || substring(text, 1, CAST(a AS INT))
+             || '<SUF>' || substring(text, CAST(b + 1 AS INT))
+             || '<MID>' || substring(text, CAST(a + 1 AS INT),
+                                     CAST(b - a AS INT)) AS fim_text,
+           CAST(a AS BIGINT) AS len_prefix,
+           CAST(b - a AS BIGINT) AS len_middle
+    FROM cut
+    """,
+)
+def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle reordering (PSM layout) — the infilling
+    pretraining transform: each document splits at two
+    doc_id-derived character offsets into prefix/middle/suffix and is
+    re-emitted as <PRE>prefix<SUF>suffix<MID>middle, teaching a
+    causal model to infill. Cut points are affine in doc_id (no RNG;
+    both cuts land in the first two thirds so every part is
+    non-empty for n ≥ 3), so the oracle reproduces the exact string.
+    Pure projection over the scan — zero exchanges at any scale."""
+    t = load_tables(spark, sf_dir)
+    third = f"greatest(n_chars DIV 3, CAST(1 AS BIGINT))"
+    a = f"(1 + (doc_id * {_FIM_A}) % {third})"
+    b = f"(2 + (doc_id * {_FIM_A}) % {third} + (doc_id * {_FIM_B}) % {third})"
+    return (
+        t.documents.where(F.col("n_chars") >= 3)
+        .select(
+            "doc_id",
+            F.expr(
+                f"'<PRE>' || substring(text, 1, CAST({a} AS INT))"
+                f" || '<SUF>' || substring(text, CAST({b} + 1 AS INT))"
+                f" || '<MID>' || substring(text, CAST({a} + 1 AS INT),"
+                f"                         CAST({b} - {a} AS INT))"
+            ).alias("fim_text"),
+            F.expr(f"CAST({a} AS BIGINT)").alias("len_prefix"),
+            F.expr(f"CAST({b} - {a} AS BIGINT)").alias("len_middle"),
+        )
+    )

@@ -880,3 +880,16 @@ def test_ingest_pipeline_broadcasts_quarantine(spark, sf_dir):
     # join input
     assert "BroadcastHashJoin LeftSemi" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_pretraining_transforms_are_exchange_free(spark, sf_dir):
+    """Span corruption and FIM reordering (round 9) are pure
+    projections over the documents scan: no Exchange (scan splits
+    supply the parallelism at scale), no Python eval."""
+    from lakehouse_app_spark.plans.checks import formatted_plan
+
+    for key in ("q_span_corrupt", "q_fim_transform"):
+        plan = formatted_plan(QUERIES[key](spark, sf_dir))
+        assert "Exchange" not in plan, (key, plan)
+        assert "BatchEvalPython" not in plan, (key, plan)
+        assert "ArrowEvalPython" not in plan, (key, plan)
