@@ -698,8 +698,13 @@ def q_stream_state_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             # have pandas loaded.
             import pandas as pd
 
-            first = not self.agg.exists()
-            n, mx, nt = (0, None, 0) if first else self.agg.get()
+            # ONE get() round-trip: ValueState.get() returns None for
+            # an absent key (value_state_client.py), so the
+            # exists()+get() pair was a second state-server trip per
+            # key per batch for no information
+            got = self.agg.get()
+            first = got is None
+            n, mx, nt = (0, None, 0) if first else got
             local: dict = {}  # batch-local pre-aggregation: one state
             for pdf in rows:  # write per etype even across Arrow chunks
                 n += len(pdf)
