@@ -282,7 +282,13 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     formula), peak/amp_sum only match if every two's-complement
     sample decodes exactly, and is_pcm asserts the magic tags and
     fmt fields survived the byte roundtrip."""
-    media = wav_media_table(spark, sf_dir)
+    return decode_wav_features(wav_media_table(spark, sf_dir))
+
+
+def decode_wav_features(media: DataFrame) -> DataFrame:
+    """The WAV parser as a reusable frame transform over
+    (media_id, payload) — the query above and the seeded-random
+    roundtrip property test drive the SAME expressions."""
     n_samples = f"({_le_uint(41, 4)}) DIV 2"
     # The sample sweep is ONE scan-local expression built from bound
     # lambda variables (the winnow pattern, test_plan_shapes'
@@ -432,7 +438,13 @@ def q_media_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stride padding hash-mismatches even though the plain channel
     sums would still agree. No Python in the decode path; features
     leave the scan, payload bytes never shuffle."""
-    media = bmp_media_table(spark, sf_dir)
+    return decode_bmp_features(bmp_media_table(spark, sf_dir))
+
+
+def decode_bmp_features(media: DataFrame) -> DataFrame:
+    """The BMP parser as a reusable frame transform over
+    (media_id, payload) — shared by the query above and the
+    seeded-random roundtrip property test."""
     width = f"({_le_uint(19, 4)})"
     height = f"({_le_uint(23, 4)})"
     stride = f"(((3 * {width} + 3) DIV 4) * 4)"

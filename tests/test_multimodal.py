@@ -229,3 +229,92 @@ def test_bmp_decode_known_image(spark):
     assert got["w"] == 2 and got["h"] == 2
     # logical order weights: 1*10 + 2*20 + 3*30 + 4*40 = 300
     assert got["ck"] == 300
+
+
+def test_wav_decode_roundtrip_random(spark):
+    """Seeded-random roundtrip: 200 arbitrary PCM payloads (random
+    lengths 1..600, full int16 range incl. extremes, random rates) →
+    the PRODUCTION decode expressions must reproduce the Python
+    reference exactly for every file, in one Spark evaluation."""
+    import random
+    import struct
+
+    from lakehouse_app_spark.operators.multimodal import decode_wav_features
+
+    rng = random.Random(42)
+    rows, expect = [], {}
+    for mid in range(200):
+        n = rng.randint(1, 600)
+        samples = [rng.randint(-32768, 32767) for _ in range(n)]
+        if mid % 7 == 0:  # force extremes into some files
+            samples[0] = -32768
+            samples[-1] = 32767
+        rate = rng.choice([8000, 11025, 16000, 22050, 44100])
+        data = struct.pack(f"<{n}h", *samples)
+        payload = (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        rows.append((mid, bytearray(payload)))
+        expect[mid] = (
+            rate, n, max(abs(s) for s in samples), sum(samples), True
+        )
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r["media_id"]: (
+            r["sample_rate"], r["n_samples"], r["peak"], r["amp_sum"],
+            r["is_pcm"],
+        )
+        for r in decode_wav_features(df).collect()
+    }
+    assert got == expect
+
+
+def test_bmp_decode_roundtrip_random(spark):
+    """Seeded-random roundtrip for the BMP parser: 150 images with
+    arbitrary dims (1..20 × 1..12 — every stride-padding residue) and
+    random channel bytes (0 and 255 forced in), decoded by the
+    PRODUCTION expressions against the Python reference."""
+    import random
+    import struct
+
+    from lakehouse_app_spark.operators.multimodal import decode_bmp_features
+
+    rng = random.Random(7)
+    rows, expect = [], {}
+    for mid in range(150):
+        w, h = rng.randint(1, 20), rng.randint(1, 12)
+        stride = ((3 * w + 3) // 4) * 4
+        logical = [
+            [rng.randint(0, 255) for _ in range(3)] for _ in range(w * h)
+        ]
+        logical[0][0] = 255 if mid % 2 else 0
+        data = bytearray()
+        for r in range(h - 1, -1, -1):  # bottom-up
+            for c in range(w):
+                data += bytes(logical[r * w + c])
+            data += b"\x00" * (stride - 3 * w)
+        payload = (
+            b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                          2835, 2835, 0, 0)
+            + bytes(data)
+        )
+        rows.append((mid, bytearray(payload)))
+        expect[mid] = (
+            w, h,
+            sum(px[0] for px in logical),
+            sum(px[1] for px in logical),
+            sum((i + 1) * px[0] for i, px in enumerate(logical)),
+            True,
+        )
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r["media_id"]: (
+            r["width"], r["height"], r["sum_b"], r["sum_g"],
+            r["px_checksum"], r["is_bmp"],
+        )
+        for r in decode_bmp_features(df).collect()
+    }
+    assert got == expect
