@@ -817,3 +817,91 @@ def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup_rate"),
     )
+
+
+@query(
+    "q_time_travel",
+    oracle="""
+    WITH batch AS (
+      SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 10 = 3
+    ),
+    v1 AS (SELECT * FROM batch WHERE NOT (n_chars < 100)),
+    v2 AS (SELECT doc_id,
+                  CASE WHEN n_chars >= 400 THEN 'archived' ELSE source END
+                    AS source,
+                  n_chars
+           FROM v1)
+    SELECT 0 AS version, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN source = 'archived' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_archived
+    FROM batch
+    UNION ALL
+    SELECT 1, CAST(count(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT),
+           CAST(SUM(CASE WHEN source = 'archived' THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM v1
+    UNION ALL
+    SELECT 2, CAST(count(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT),
+           CAST(SUM(CASE WHEN source = 'archived' THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM v2
+    """,
+)
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACID snapshot layer's full mutation lineage, hash-checked:
+    commit a base table (v0), copy-on-write DELETE the short docs
+    (v1), copy-on-write UPDATE the long docs' source to 'archived'
+    (v2), then TIME-TRAVEL READ every version and report its
+    (n_docs, total_chars, n_archived). The oracle derives all three
+    states from the source table AND asserts the literal version
+    numbers 0/1/2, so the manifest-last commit protocol's numbering,
+    the COW semantics (old versions stay readable — the delete must
+    NOT leak into v0's read), and the latest-version resolution are
+    all load-bearing in one hash match. This is the Delta/Iceberg
+    DESCRIBE HISTORY + VERSION AS OF workflow on the homegrown
+    snapshot layer (sources/sinks.py; delta-spark absent here by
+    environment, SURVEY §7.6)."""
+    import tempfile
+
+    from lakehouse_app_spark.sources.sinks import (
+        delete_where,
+        read_snapshot,
+        update_where,
+        write_snapshot,
+    )
+
+    t = load_tables(spark, sf_dir)
+    batch = t.documents.where(F.col("doc_id") % 10 == 3).select(
+        "doc_id", "source", "n_chars"
+    )
+    path = tempfile.mkdtemp(prefix="time_travel_")
+    v0 = write_snapshot(batch, path, note="base")
+    v1 = delete_where(spark, path, F.col("n_chars") < 100)
+    v2 = update_where(
+        spark,
+        path,
+        F.col("n_chars") >= 400,
+        {"source": F.lit("archived")},
+    )
+    frames = []
+    for ver in (v0, v1, v2):
+        frames.append(
+            read_snapshot(spark, path, ver).agg(
+                F.lit(ver).cast("int").alias("version"),
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("total_chars"),
+                F.count_if(F.col("source") == "archived").alias(
+                    "n_archived"
+                ),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out.select(
+        "version",
+        "n_docs",
+        "total_chars",
+        F.col("n_archived").cast("long").alias("n_archived"),
+    )
