@@ -862,8 +862,7 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     DESCRIBE HISTORY + VERSION AS OF workflow on the homegrown
     snapshot layer (sources/sinks.py; delta-spark absent here by
     environment, SURVEY §7.6)."""
-    import tempfile
-
+    from lakehouse_app_spark.runtime_cache import scratch_commit_dir
     from lakehouse_app_spark.sources.sinks import (
         delete_where,
         read_snapshot,
@@ -875,7 +874,7 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = t.documents.where(F.col("doc_id") % 10 == 3).select(
         "doc_id", "source", "n_chars"
     )
-    path = tempfile.mkdtemp(prefix="time_travel_")
+    path = scratch_commit_dir("time_travel_")
     v0 = write_snapshot(batch, path, note="base")
     v1 = delete_where(spark, path, F.col("n_chars") < 100)
     v2 = update_where(

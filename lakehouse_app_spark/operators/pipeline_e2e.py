@@ -148,14 +148,14 @@ def q_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures, the DQ gate is one aggregate over the batch, and the
     snapshot write is the batch itself. The standing 100 TB corpus
     participates via its signature layout alone."""
-    import tempfile
-
+    from lakehouse_app_spark.runtime_cache import (
+        scoped_persist,
+        scratch_commit_dir,
+    )
     from lakehouse_app_spark.sources.sinks import (
         read_snapshot,
         write_snapshot_checked,
     )
-
-    from lakehouse_app_spark.runtime_cache import scoped_persist
 
     t = load_tables(spark, sf_dir)
     batch = t.documents.where(F.col("doc_id") % 10 == 7)
@@ -171,7 +171,7 @@ def q_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flagged = batch.join(F.broadcast(quar), "doc_id", "left_semi")
     admitted = batch.join(F.broadcast(quar), "doc_id", "left_anti")
-    path = tempfile.mkdtemp(prefix="ingest_commit_")
+    path = scratch_commit_dir("ingest_commit_")
     write_snapshot_checked(
         admitted.select("doc_id", "source", "text", "n_chars"),
         path,

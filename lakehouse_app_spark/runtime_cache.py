@@ -120,3 +120,28 @@ def release_caches() -> int:
             pass  # session already stopped
     _SCOPED.clear()
     return n
+
+
+_SCRATCH_DIRS: dict[str, str] = {}
+
+
+def scratch_commit_dir(prefix: str) -> str:
+    """A fresh scratch directory for a query's demo snapshot commits,
+    with DEFERRED cleanup: the PREVIOUS invocation's directory (whose
+    lazily-read consumers have necessarily been drained by the time
+    the same query runs again) is removed when the next one is
+    created, so repeated bench/driver invocations don't accumulate
+    dead snapshot trees (the pb_vendor quarantine-leak lesson,
+    applied before review finds it). RAM-backed when /dev/shm exists
+    — the same policy as the stream checkpoints."""
+    import os
+    import shutil
+    import tempfile
+
+    prev = _SCRATCH_DIRS.get(prefix)
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
+    root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    d = tempfile.mkdtemp(prefix=prefix, dir=root)
+    _SCRATCH_DIRS[prefix] = d
+    return d

@@ -116,3 +116,24 @@ def test_plan_cache_repersists_scoped_intermediates_on_hit(spark, sf_dir):
     rc.release_caches()
     rc._PLANS.pop(key, None)
     rc._PLAN_SCOPED.pop(key, None)
+
+
+def test_scratch_commit_dir_defers_cleanup():
+    """Each prefix keeps exactly ONE live scratch dir: creating the
+    next invocation's dir removes the previous one (r9 — demo
+    snapshot commits must not accumulate dead trees across bench
+    reps), while distinct prefixes don't interfere."""
+    import os
+
+    from lakehouse_app_spark.runtime_cache import scratch_commit_dir
+
+    a1 = scratch_commit_dir("sc_test_a_")
+    b1 = scratch_commit_dir("sc_test_b_")
+    assert os.path.isdir(a1) and os.path.isdir(b1)
+    a2 = scratch_commit_dir("sc_test_a_")
+    assert os.path.isdir(a2) and a2 != a1
+    assert not os.path.exists(a1)  # previous gone
+    assert os.path.isdir(b1)  # other prefix untouched
+    # cleanup for the test itself
+    scratch_commit_dir("sc_test_a_")
+    scratch_commit_dir("sc_test_b_")
