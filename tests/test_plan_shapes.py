@@ -811,6 +811,19 @@ def _overflow_sites():
         _BOOT_P,
     ))
 
+    # corpus_prep FIM cut points: doc_id · prime at warehouse-scale
+    # document ids (1e11 docs)
+    from lakehouse_app_spark.operators.corpus_prep import _FIM_A, _FIM_B
+
+    for nm, mult in (("fim_a", _FIM_A), ("fim_b", _FIM_B)):
+        did, third = 100_000_000_000, 577 // 3
+        sites.append((
+            f"fim_cut_{nm}",
+            (F.lit(did).cast("long") * F.lit(mult)) % F.lit(third),
+            (did * mult) % third,
+            third,
+        ))
+
     # corpus_prep char-fold fingerprint over a max-ascii long string
     big = "\x7f" * 4096
     from lakehouse_app_spark.operators.corpus_prep import _FP_SPARK
