@@ -1,6 +1,8 @@
 """Simulate the driver: vanilla SparkSession + __spark_entry__ contract."""
+import os
 import sys
 sys.path.insert(0, "/root/repo")
+SF = os.environ.get("DRIVE_SF_DIR", "/root/testdata/sf0.01")
 from pyspark.sql import SparkSession
 import duckdb, pandas as pd
 
@@ -19,7 +21,7 @@ print(f"{len(q)} queries, {len(o)} oracles")
 
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('/root/testdata/sf0.01/{t}.parquet')")
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
 def norm(pdf):
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
@@ -31,7 +33,7 @@ def norm(pdf):
 
 fails = []
 for name in sorted(q):
-    spdf = q[name](spark, "/root/testdata/sf0.01").toPandas()
+    spdf = q[name](spark, SF).toPandas()
     if name in o:
         dpdf = con.execute(o[name]).fetchdf()
         a, b = norm(spdf), norm(dpdf)
