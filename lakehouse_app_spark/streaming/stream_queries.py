@@ -1042,3 +1042,38 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("new_id", "corpus_id", F.round(est, 6).alias("est_jaccard"))
     )
     return run_to_memory(joined, "stream_inc_dedup", output_mode="append")
+
+
+# ------------------------------------------- streaming media decode
+
+
+def _media_decode_oracle() -> str:
+    from lakehouse_app_spark.operators import multimodal  # noqa: F401
+    from lakehouse_app_spark.registry import ORACLES
+
+    return ORACLES["q_media_decode"]
+
+
+@query("q_stream_media_decode", oracle=_media_decode_oracle())
+def q_stream_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-at-ingest: the stored WAV corpus replayed as a bounded
+    file stream through the SAME pure-expression parser the batch
+    query uses ([[q_media_decode]]'s `decode_wav_features` — one
+    shared transform, zero per-mode code). Stateless map over the
+    stream, so there is no state store at all; at 100 TB this is the
+    arriving-media feature extractor running continuously, with only
+    the source line changing for Kafka. Oracle: the batch query's own
+    SQL (stream/table duality on a stateless projection)."""
+    from lakehouse_app_spark.operators.multimodal import (
+        decode_wav_features,
+        wav_media_table,
+    )
+    from lakehouse_app_spark.sources.layout import layout_path
+
+    wav_media_table(spark, sf_dir)  # ensure the layout is committed
+    path = layout_path("wav_media", sf_dir)
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    return run_to_memory(
+        decode_wav_features(stream), "media_decode", output_mode="append"
+    )
