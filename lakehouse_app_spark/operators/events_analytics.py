@@ -270,21 +270,25 @@ MAD_CUT = 3.5     # Iglewicz & Hoaglin recommended modified-z cutoff
 @query(
     "q_anomaly_mad",
     oracle=f"""
-    WITH med AS (
-      SELECT *, median(value) OVER (PARTITION BY event_type) AS med
+    WITH hc AS (
+      SELECT *, CAST(round(value * 100) AS BIGINT) * 2 AS x
       FROM events
+    ),
+    med AS (
+      SELECT *, median(x) OVER (PARTITION BY event_type) AS m2
+      FROM hc
     ),
     mad AS (
       SELECT *,
-             median(abs(value - med)) OVER (PARTITION BY event_type) AS mad
+             median(2 * abs(x - m2)) OVER (PARTITION BY event_type) AS mad4
       FROM med
     )
     SELECT event_id, event_type, round(value, 4) AS value,
-           round(med, 4) AS median_val,
-           round({MAD_K!r} * (value - med) / nullif(mad, 0.0), 4)
+           round(m2 / 200.0, 4) AS median_val,
+           round({MAD_K!r} * (2 * (x - m2)) / nullif(mad4, 0.0), 4)
              AS robust_z
     FROM mad
-    WHERE abs({MAD_K!r} * (value - med) / nullif(mad, 0.0)) > {MAD_CUT!r}
+    WHERE abs({MAD_K!r} * (2 * (x - m2)) / nullif(mad4, 0.0)) > {MAD_CUT!r}
     """,
 )
 def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -299,24 +303,33 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Two same-key window aggregates (median, then median of absolute
     deviations — the second depends on the first, so they are
-    inherently sequential) share ONE exchange on event_type; both
-    engines interpolate even-count medians identically (verified) and
-    the modified z is plain IEEE arithmetic — no libm in the filter
-    path — so the flagged row set cannot straddle engines. At 100 TB
-    the per-type medians would come from a |types|-row broadcast
+    inherently sequential) share ONE exchange on event_type. The
+    medians run over EXACT INTEGER units (r9, after a 1-ulp
+    float-median divergence at sf0.1 flipped one row's 4-dp rounding
+    across engines): values are 2-dp money, so x = 2·cents is
+    integral, median(x) averages two ints → integral, 2·|x − m2| is
+    integral, and MAD4 = median of those is integral again — every
+    input to the final K·2·(x−m2)/MAD4 double expression is exact,
+    the expression shapes are identical in both engines, and the
+    result is bit-identical, not merely close. At 100 TB the
+    per-type medians would come from a |types|-row broadcast
     aggregate (two passes) instead of full-partition windows; the
     window form keeps it one shuffle at bench scale and states the
     swap here."""
     t = load_tables(spark, sf_dir)
     w = Window.partitionBy("event_type")
-    med = t.events.withColumn("med", F.median("value").over(w))
+    hc = t.events.withColumn(
+        "x", F.round(F.col("value") * 100, 0).cast("long") * 2
+    )
+    med = hc.withColumn("m2", F.median("x").over(w))
     mad = med.withColumn(
-        "mad", F.median(F.abs(F.col("value") - F.col("med"))).over(w)
+        "mad4",
+        F.median(F.lit(2) * F.abs(F.col("x") - F.col("m2"))).over(w),
     )
     rz = (
         F.lit(MAD_K)
-        * (F.col("value") - F.col("med"))
-        / F.nullif(F.col("mad"), F.lit(0.0))
+        * (F.lit(2) * (F.col("x") - F.col("m2")))
+        / F.nullif(F.col("mad4"), F.lit(0.0))
     )
     return (
         mad.where(F.abs(rz) > MAD_CUT)
@@ -324,7 +337,7 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "event_type",
             F.round("value", 4).alias("value"),
-            F.round("med", 4).alias("median_val"),
+            F.round(F.col("m2") / 200.0, 4).alias("median_val"),
             F.round(rz, 4).alias("robust_z"),
         )
     )
