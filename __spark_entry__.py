@@ -57,7 +57,7 @@ _SHOWCASE = [
     # (a) this round's NEW keys
     "q_ingest_pipeline", "q_media_decode", "q_media_decode_image",
     "q_span_corrupt", "q_fim_transform", "q_time_travel",
-    "q_stream_media_decode",
+    "q_stream_media_decode", "q_csv_ingest",
     # (b) this round's changed paths
     "q_stream_state_v2", "q_stream_dedup", "q_stream_session",
     "q_percentile_disc", "q_approx_quantiles_audit", "q_dedup_clusters",
@@ -75,13 +75,12 @@ _SHOWCASE = [
     "q_concurrency", "q_context_pack", "q_corr_matrix", "q_date_spine",
     "q_dedup_from_layout", "q_funnel", "q_fuzzy_match", "q_histogram",
     "q_incremental_agg", "q_ivf_balance", "q_join_asof_tolerance",
-    "q_join_bucketed",
 ]
 
 # Keys that would rotate in next if the driver over-samples past 50:
 # the oldest-green cycle continues through the r04/r05 remainder.
 _NEXT_UP = [
-    "q_json_ingest", "q_mmr_diversify", "q_pq_quantize",
+    "q_join_bucketed", "q_json_ingest", "q_mmr_diversify", "q_pq_quantize",
     "q_quality_classifier",
     "q_retrieval_ndcg",
     "q_rollup_hypertable", "q_sample_hash", "q_sample_weighted",

@@ -94,3 +94,53 @@ def q_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").alias("id_sum"),
         F.sum(F.length("text")).alias("text_chars"),
     )
+
+
+@query(
+    "q_csv_ingest",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def q_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingestion, the third landing-zone format beside parquet
+    and JSONL (round 9): the corpus round-trips through quoted CSV
+    (quoteAll + header — the dialect a spreadsheet export or legacy
+    feed actually produces) and is read back with an EXPLICIT schema,
+    never inference. The oracle aggregates the ORIGINAL parquet view
+    INCLUDING a token count recomputed from the read-back text, so
+    the hash-match proves quoting/escaping preserved every text byte
+    through the CSV cycle — a delimiter-handling bug would change
+    token or char sums before it changed row counts. Parallel write
+    and read (no coalesce): multi-part CSV verifies identically."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_app_spark.sources.tables import load_tables
+
+    t = load_tables(spark, sf_dir)
+    out = _scratch_dir("csv_ingest", sf_dir)
+    cols = ["doc_id", "lang", "text", "n_chars"]
+    (
+        t.documents.select(*cols)
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("quoteAll", True)
+        .csv(out)
+    )
+    schema = "doc_id long, lang string, text string, n_chars long"
+    back = (
+        spark.read.schema(schema).option("header", True).csv(out)
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("id_sum"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias(
+            "n_tokens"
+        ),
+    )
