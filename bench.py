@@ -41,25 +41,40 @@ def _sf_from_dir(d: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
-def time_spark_query(spark, name: str, fn) -> float:
+# The two TWS-family stateful queries whose r9 score-of-record doubled
+# WHILE the in-band floor instruments fell (driver-host throttling
+# signature). They get min-of-5 and their full per-rep wall-times plus
+# an ADJACENT floor re-probe recorded in the printed line, so a
+# throttle window during their reps is visible in the record itself —
+# the duck_pairing_bias treatment applied to the stateful tail.
+TWS_WATCH = ("q_stream_state_v2", "q_stream_user_state")
+
+
+def time_spark_query(spark, name: str, fn) -> tuple[float, list[float]]:
     # streaming queries are dominated by per-query startup floors
     # (state-store init, checkpoint WAL, TWS worker fork) whose
     # variance is a large fraction of the measurement — the r7
     # driver round recorded a 2.7× swing on unchanged streaming code.
     # They get at least 3 reps even under a lowered ITERS env; with
     # the round-8 default of 3 everywhere this is a floor, not an
-    # extra rep (stream replays are wall-clock-expensive).
-    reps = max(ITERATIONS, 3) if name.startswith("q_stream") else ITERATIONS
-    best = float("inf")
+    # extra rep (stream replays are wall-clock-expensive). The two
+    # TWS_WATCH queries get min-of-5 (round-9 verdict item 1).
+    if name in TWS_WATCH:
+        reps = max(ITERATIONS, 5)
+    elif name.startswith("q_stream"):
+        reps = max(ITERATIONS, 3)
+    else:
+        reps = ITERATIONS
+    times: list[float] = []
     for _ in range(reps):
         t0 = time.perf_counter()
         df = fn(spark, SF_DIR)
         df.write.mode("overwrite").format("noop").save()
-        best = min(best, time.perf_counter() - t0)
+        times.append(time.perf_counter() - t0)
     # scoped caches (signature/posting tables) are per-query; release
     # so one query's blocks never linger under the rest of the session
     eng.release_caches()
-    return round(best, 4)
+    return round(min(times), 4), [round(t, 3) for t in times]
 
 
 def time_duckdb(con, sql: str) -> float:
@@ -274,10 +289,28 @@ def main() -> None:
             )
 
     per_query: dict[str, float] = {}
+    tws_watch: dict[str, dict] = {}
     for name in sorted(eng.QUERIES):
         try:
-            per_query[name] = time_spark_query(spark, name, eng.QUERIES[name])
+            per_query[name], rep_times = time_spark_query(
+                spark, name, eng.QUERIES[name]
+            )
             print(f"bench: {name} {per_query[name]}s", file=sys.stderr, flush=True)
+            if name in TWS_WATCH:
+                # adjacent floor re-probe: one sample of the SAME floor
+                # instrument this query's residual is read against,
+                # taken seconds after its reps — if the host throttled
+                # the reps, it throttles this probe too, and the record
+                # shows it (reps high + floor_adj high = host; reps
+                # high + floor_adj normal = regression in the query).
+                if name == "q_stream_state_v2":
+                    floor_adj = _measure_tws_floor(spark, runs=1)
+                else:
+                    floor_adj = _measure_stream_floor(spark, runs=1)[1]
+                tws_watch[name] = {
+                    "reps": rep_times,
+                    "floor_adj": round(floor_adj, 3),
+                }
         except Exception as ex:  # a broken query must not sink the bench
             print(f"bench: {name} failed: {ex}", file=sys.stderr, flush=True)
             per_query[name] = -1.0
@@ -300,6 +333,7 @@ def main() -> None:
         "stream_floor_per_query_sec": round(stream_floor, 4),
         "stream_floor_stateful_sec": round(stream_floor_stateful, 4),
         "tws_floor_sec": round(tws_floor, 4),
+        "tws_watch": tws_watch,
     }
 
     if RUN_DUCKDB:
@@ -360,6 +394,7 @@ def main() -> None:
         "stream_floor_per_query_sec": full["stream_floor_per_query_sec"],
         "stream_floor_stateful_sec": full["stream_floor_stateful_sec"],
         "tws_floor_sec": full["tws_floor_sec"],
+        "tws_watch": tws_watch,
     }
     if RUN_DUCKDB:
         compact["duckdb_total"] = full["duckdb_total"]

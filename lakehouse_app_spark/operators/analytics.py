@@ -43,11 +43,16 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     billion-row-group caveat applies — at that scale both exact forms
     yield to the sketch path audited by [[q_approx_quantiles_audit]]."""
     t = load_tables(spark, sf_dir)
+    # Even-n midpoint written as lo + (hi - lo) / 2 — the same
+    # interpolation form DuckDB's quantile_cont computes — so the two
+    # engines agree to the last bit instead of by the 1-ulp grace of
+    # (lo + hi) / 2 on money-typed data (the q_anomaly_mad class).
     med = (
         "IF(size(s) % 2 = 1,"
         "   element_at(s, CAST((size(s) + 1) DIV 2 AS INT)),"
-        "   (element_at(s, CAST(size(s) DIV 2 AS INT))"
-        "    + element_at(s, CAST(size(s) DIV 2 + 1 AS INT))) / 2)"
+        "   element_at(s, CAST(size(s) DIV 2 AS INT))"
+        "   + (element_at(s, CAST(size(s) DIV 2 + 1 AS INT))"
+        "      - element_at(s, CAST(size(s) DIV 2 AS INT))) / 2)"
     )
     return (
         t.orders.groupBy("o_orderstatus")

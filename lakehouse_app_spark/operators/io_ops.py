@@ -133,8 +133,15 @@ def q_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(out)
     )
     schema = "doc_id long, lang string, text string, n_chars long"
+    # multiLine: a quoted field may legally contain embedded newlines
+    # (quoteAll wrote them verbatim); without it the reader splits such
+    # a record into spurious rows and the round-trip silently breaks on
+    # corpora beyond newline-free test data.
     back = (
-        spark.read.schema(schema).option("header", True).csv(out)
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("multiLine", True)
+        .csv(out)
     )
     return back.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -485,7 +485,15 @@ def decode_bmp_features(media: DataFrame) -> DataFrame:
             f"({_le_uint(15, 4)}) = 40 AND "  # BITMAPINFOHEADER size
             f"({_le_uint(27, 2)}) = 1 AND "  # planes
             f"({_le_uint(29, 2)}) = 24 AND "  # bpp
-            f"({_le_uint(31, 4)}) = 0"  # BI_RGB (uncompressed)
+            f"({_le_uint(31, 4)}) = 0 AND "  # BI_RGB (uncompressed)
+            # biHeight is SIGNED int32 (negative = top-down rows); the
+            # unsigned read would turn a top-down BMP into height≈2^32
+            # and a nonsense stride*height decode. This layer only
+            # emits bottom-up, so the flag asserts 1 ≤ height < 2^31:
+            # foreign top-down payloads fail is_bmp instead of
+            # decoding garbage (round-9 advice).
+            f"({height}) >= 1 AND ({height}) < 2147483648 AND "
+            f"({width}) >= 1"
         ).alias("is_bmp"),
     )
     return decoded.select(

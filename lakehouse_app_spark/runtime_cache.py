@@ -110,8 +110,11 @@ def scoped_persist(df: DataFrame) -> DataFrame:
 
 
 def release_caches() -> int:
-    """Unpersist every scoped cache registered since the last call;
-    returns how many were released."""
+    """Unpersist every scoped cache registered since the last call —
+    and reap retired scratch directories (see scratch_commit_dir);
+    returns how many caches were released."""
+    import shutil
+
     n = len(_SCOPED)
     for df in _SCOPED:
         try:
@@ -119,29 +122,41 @@ def release_caches() -> int:
         except Exception:
             pass  # session already stopped
     _SCOPED.clear()
+    with _SCRATCH_LOCK:
+        retired, _RETIRED_SCRATCH[:] = list(_RETIRED_SCRATCH), []
+    for d in retired:
+        shutil.rmtree(d, ignore_errors=True)
     return n
 
 
+import threading as _threading  # noqa: E402  (stdlib, no Spark dep)
+
+_SCRATCH_LOCK = _threading.Lock()
 _SCRATCH_DIRS: dict[str, str] = {}
+_RETIRED_SCRATCH: list[str] = []
 
 
 def scratch_commit_dir(prefix: str) -> str:
     """A fresh scratch directory for a query's demo snapshot commits,
-    with DEFERRED cleanup: the PREVIOUS invocation's directory (whose
-    lazily-read consumers have necessarily been drained by the time
-    the same query runs again) is removed when the next one is
-    created, so repeated bench/driver invocations don't accumulate
-    dead snapshot trees (the pb_vendor quarantine-leak lesson,
-    applied before review finds it). RAM-backed when /dev/shm exists
-    — the same policy as the stream checkpoints."""
+    with DEFERRED cleanup: a superseded directory is only RETIRED here
+    and physically removed at the next release_caches() — the harness
+    drain point, after the query's consumers have executed — never at
+    the next acquisition, which could yank the tree out from under a
+    still-live lazily-evaluated DataFrame built by an earlier
+    invocation (round-9 advice). The registry is lock-guarded since
+    streaming queries may acquire from listener threads. RAM-backed
+    when /dev/shm exists — the same policy as the stream checkpoints.
+    Callers that never call release_caches (the driver's one-shot
+    correctness pass) leak at most one retired tree per prefix per
+    process — bounded, and on tmpfs reclaimed at process exit."""
     import os
-    import shutil
     import tempfile
 
-    prev = _SCRATCH_DIRS.get(prefix)
-    if prev is not None:
-        shutil.rmtree(prev, ignore_errors=True)
     root = "/dev/shm" if os.path.isdir("/dev/shm") else None
     d = tempfile.mkdtemp(prefix=prefix, dir=root)
-    _SCRATCH_DIRS[prefix] = d
+    with _SCRATCH_LOCK:
+        prev = _SCRATCH_DIRS.get(prefix)
+        if prev is not None:
+            _RETIRED_SCRATCH.append(prev)
+        _SCRATCH_DIRS[prefix] = d
     return d
