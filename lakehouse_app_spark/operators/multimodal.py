@@ -285,6 +285,26 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_wav_features(wav_media_table(spark, sf_dir))
 
 
+def _wav_samples_bound(inner: str) -> str:
+    """Bind the decoded int16 sample array of a WAV payload as the
+    lambda variable ``sm`` inside ``inner`` — THE one decode
+    expression, shared by the scalar-fold features below and the
+    per-frame aggregation of [[q_audio_features]] (round-9 verdict
+    item 6: new aggregation shape, zero new decode code)."""
+    return (
+        "element_at(transform(array("
+        "  transform(split(decode(substring(payload, 45,"
+        f"    CAST({_le_uint(41, 4)} AS INT)), 'ISO-8859-1'), ''),"
+        "    ch -> CAST(ascii(ch) AS BIGINT))"
+        "), cs -> element_at(transform(array("
+        f"  transform(transform(sequence(0, CAST(({_le_uint(41, 4)}) DIV 2"
+        "     AS INT) - 1),"
+        "     i -> element_at(cs, 2*i + 1) + 256 * element_at(cs, 2*i + 2)),"
+        "    v -> v - 65536 * (v DIV 32768))"
+        f"), sm -> {inner}), 1)), 1)"
+    )
+
+
 def decode_wav_features(media: DataFrame) -> DataFrame:
     """The WAV parser as a reusable frame transform over
     (media_id, payload) — the query above and the seeded-random
@@ -303,20 +323,11 @@ def decode_wav_features(media: DataFrame) -> DataFrame:
     # folds produce (amp_sum, peak) — cheaper than one fold carrying
     # a struct accumulator, which allocates a struct per element
     # (A/B'd: struct-acc 0.78 s, this 0.20 s at sf0.1).
-    agg_struct = (
-        "element_at(transform(array("
-        "  transform(split(decode(substring(payload, 45,"
-        f"    CAST({_le_uint(41, 4)} AS INT)), 'ISO-8859-1'), ''),"
-        "    ch -> CAST(ascii(ch) AS BIGINT))"
-        "), cs -> element_at(transform(array("
-        f"  transform(transform(sequence(0, CAST({n_samples} AS INT) - 1),"
-        "     i -> element_at(cs, 2*i + 1) + 256 * element_at(cs, 2*i + 2)),"
-        "    v -> v - 65536 * (v DIV 32768))"
-        "), sm -> named_struct("
+    agg_struct = _wav_samples_bound(
+        "named_struct("
         "  's', aggregate(sm, CAST(0 AS BIGINT), (a, x) -> a + x),"
         "  'm', aggregate(sm, CAST(0 AS BIGINT),"
         "                 (a, x) -> greatest(a, abs(x))))"
-        "), 1)), 1)"
     )
     decoded = media.select(
         "media_id",
@@ -577,4 +588,82 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             "media_id long, frame_idx int, first_byte int, checksum long, "
             "frame_w int, frame_h int"
         ),
+    )
+
+
+FRAME_N = 16  # samples per analysis frame (non-overlapping)
+
+
+@query(
+    "q_audio_features",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ''),
+                            c -> CAST((ascii(c) - 64) * 256 AS BIGINT))
+               AS sm
+      FROM documents WHERE n_chars >= 1
+    ), f AS (
+      SELECT doc_id, CAST(u.f AS BIGINT) AS frame_idx,
+             sm[u.f*16 + 1 : u.f*16 + 16] AS fr
+      FROM s, LATERAL unnest(range(0, CAST((len(sm) + 15) // 16 AS INT)))
+             AS u(f)
+    )
+    SELECT doc_id AS media_id, frame_idx,
+           CAST(len(fr) AS BIGINT) AS n,
+           round(sqrt(CAST(list_aggregate(
+                   list_transform(fr, x -> x * x), 'sum') AS DOUBLE)
+                 / len(fr)), 4) AS rms,
+           CAST(len(list_filter(
+                  list_transform(range(1, CAST(len(fr) AS INT)),
+                                 i -> fr[i] * fr[i + 1]),
+                  p -> p < 0)) AS BIGINT) AS zcr
+    FROM f
+    """,
+)
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio features over the DECODED WAV sample stream —
+    per-frame RMS energy and zero-crossing rate, the first two
+    features of every speech/VAD pipeline (round-9 verdict item 6):
+    the stored WAV corpus decodes through the SAME pure-Catalyst
+    sample-array expression as [[q_media_decode]]
+    (:func:`_wav_samples_bound` — zero new decode code), then frames
+    of 16 samples aggregate independently and posexplode into one row
+    per (media_id, frame). Everything stays JVM-side: the frame
+    structs leave the scan ~100× smaller than the payload bytes,
+    which never shuffle. ZCR counts strict sign changes between
+    adjacent samples (product < 0 — zeros break runs), an integer the
+    oracle reproduces exactly; RMS is sqrt(ssq/n) of exact BIGINT
+    sums, so both engines perform the identical two IEEE operations
+    before the 4-dp round. At 100 TB this is the embarrassingly
+    parallel per-file map shape: no aggregation across files, no
+    skew, scan-proportional cost."""
+    media = wav_media_table(spark, sf_dir)
+    frames_sql = _wav_samples_bound(
+        f"transform(sequence(0, CAST((size(sm) + {FRAME_N - 1})"
+        f" DIV {FRAME_N} AS INT) - 1),"
+        "  f -> element_at(transform(array("
+        f"    slice(sm, {FRAME_N} * f + 1, {FRAME_N})"
+        "  ), fr -> named_struct("
+        "    'n', CAST(size(fr) AS BIGINT),"
+        "    'ssq', aggregate(fr, CAST(0 AS BIGINT), (a, x) -> a + x * x),"
+        "    'zc', CAST(size(filter(zip_with("
+        "            slice(fr, 1, size(fr) - 1),"
+        "            slice(fr, 2, size(fr) - 1),"
+        "            (a, b) -> a * b), p -> p < 0)) AS BIGINT)"
+        "  )), 1))"
+    )
+    return (
+        media.select(
+            "media_id", F.posexplode(F.expr(frames_sql)).alias("fi", "fr")
+        )
+        .select(
+            "media_id",
+            F.col("fi").cast("long").alias("frame_idx"),
+            F.col("fr.n").alias("n"),
+            F.round(
+                F.sqrt(F.col("fr.ssq").cast("double") / F.col("fr.n")), 4
+            ).alias("rms"),
+            F.col("fr.zc").alias("zcr"),
+        )
     )

@@ -740,35 +740,9 @@ def q_stream_state_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
-    # scoped store confs, restored after: RocksDB is REQUIRED by the
-    # TWS API; row-count tracking is a per-batch full-store scan this
-    # bounded replay never reads (a production deployment reporting
-    # numRowsTotal metrics turns it back on); changelog checkpointing
-    # buys faster failure recovery across batches, irrelevant to a
-    # single-batch run-to-completion replay (A/B r8: together
-    # 3.11 → 2.83 s min-of-3).
-    scoped = {
-        "spark.sql.streaming.stateStore.providerClass":
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider",
-        "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows":
-            "false",
-        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing."
-        "enabled": "false",
-    }
-    prev = {k: spark.conf.get(k, None) for k in scoped}
-    for k, v in scoped.items():
-        spark.conf.set(k, v)
-    try:
-        return run_to_memory(
-            stateful, "state_v2", output_mode="update", partitions=16
-        )
-    finally:
-        for k, old in prev.items():
-            if old is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, old)
+    # TWS-scoped store confs + run-to-completion via run_tws (defined
+    # below with q_stream_state_timers, the other TWS query)
+    return run_tws(spark, stateful, "state_v2", partitions=16)
 
 
 # ------------------------------------------- streaming vector search
@@ -1077,3 +1051,226 @@ def q_stream_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         decode_wav_features(stream), "media_decode", output_mode="append"
     )
+
+
+# --------------------------------------------- TWS event-time timers
+
+_state_timers_query = (
+    query(
+        "q_stream_state_timers",
+        oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      FROM flagged
+    ), agg AS (
+      SELECT user_id, sid,
+             min(ts) AS session_start,
+             max(ts) + INTERVAL '30 minutes' AS session_end,
+             CAST(count(*) AS BIGINT) AS n,
+             max(ts) AS last_ts
+      FROM sessions GROUP BY user_id, sid
+    ), marked AS (
+      SELECT *, max(sid) OVER (PARTITION BY user_id) AS max_sid FROM agg
+    )
+    SELECT user_id, session_start, session_end, n,
+           CASE WHEN sid < max_sid THEN 'gap' ELSE 'timer' END AS closed_by
+    FROM marked
+    WHERE sid < max_sid
+       OR epoch_us(last_ts) // 1000 + 1800000
+          <= (SELECT epoch_us(max(ts)) // 1000 FROM events)
+    """,
+    )
+    if _twsp_available()
+    else (lambda f: f)
+)
+
+
+@_state_timers_query
+def q_stream_state_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session timeout via REGISTERED EVENT-TIME TIMERS — the one
+    Spark-4 transformWithStateInPandas capability q_stream_state_v2's
+    ValueState+MapState design does not exercise (round-9 verdict
+    item 5), and the generalization of the reference's idle-session
+    expiry (`app/app.py:85-94` keeps per-session history that the
+    platform reaps on timeout). Each key holds ONLY its trailing
+    open session in a ValueState; a 30-minute-gap split inside a
+    batch closes a session inline (closed_by='gap'), and the trailing
+    session is closed by handleExpiredTimer when the watermark passes
+    last_event + 30 min (closed_by='timer') — at which point the
+    state is CLEARED, so state volume is one open session per active
+    key, reaped by event time exactly like production sessionization
+    at 100 TB (contrast q_window_sessionize, where the engine's
+    session_window operator owns the state).
+
+    Exactness anatomy (probed, tools_probe_timers.py): Spark tracks
+    watermarks and timer expiry in MILLISECONDS and fires on the
+    NON-STRICT boundary (timer <= watermark), with delay 0 making the
+    final no-data-batch watermark floor_ms(max ts). The oracle's
+    trailing-session filter encodes exactly that ms-truncated
+    comparison, and the in-batch split rule (gap >= 30 min, full µs
+    precision) matches Spark's session_window convention, so a
+    trailing session re-opened after a fire can only be a genuinely
+    new session (ts >= watermark > last+30min → gap > 30min) and the
+    stream/batch duality stays exact."""
+    keyed = session_timeout_transform(spark, events_stream(spark, sf_dir))
+    return run_tws(spark, keyed, "state_timers", partitions=16)
+
+
+def session_timeout_transform(spark: SparkSession, stream: DataFrame) -> DataFrame:
+    """The timer-driven sessionizer as a reusable stream transform
+    over ANY (user_id, ts) stream — module-level like
+    :func:`tumbling_agg` so tests can drive it across multi-file
+    micro-batch replays the bounded single-batch query can't witness."""
+    from lakehouse_app_spark.sources.pb_vendor import (
+        inject_worker_pythonpath,
+        protobuf_runtime_dir,
+    )
+
+    pb_dir = protobuf_runtime_dir()
+    if pb_dir:
+        inject_worker_pythonpath(spark, pb_dir)
+
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    GAP_US = 30 * 60 * 1_000_000
+    GAP_MS = 30 * 60 * 1_000
+
+    class SessionTimeout(StatefulProcessor):
+        # Round-trip-minimal like UserSummary: ONE ValueState get per
+        # key per batch (get() returns None when absent), one update,
+        # and at most one deleteTimer+registerTimer pair — the timer
+        # moves only when the trailing session's end moved.
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.h = handle
+            self.sess = handle.getValueState(
+                "sess", "start long, last long, n long, timer long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
+            import pandas as pd
+
+            parts = [pdf["ts_l"] for pdf in rows]
+            s = parts[0] if len(parts) == 1 else pd.concat(parts)
+            us = np.sort(s.to_numpy().astype("datetime64[ns]").astype("int64")) // 1000
+
+            got = self.sess.get()
+            if got is None:
+                cur, old_timer = None, None
+            else:
+                cur, old_timer = (got[0], got[1], got[2]), got[3]
+
+            # vectorized gaps-and-islands over the sorted batch: a
+            # session starts where the gap from the previous event
+            # (or the carried trailing session's last event) is
+            # >= 30 min; the per-SESSION python loop below runs once
+            # per session boundary, never per row
+            prev0 = cur[1] if cur is not None else us[0] - GAP_US
+            starts = np.flatnonzero(
+                (us - np.concatenate(([prev0], us[:-1]))) >= GAP_US
+            )
+            bounds = np.concatenate((starts, [len(us)]))
+            closed: list[tuple[int, int, int]] = []
+            if len(starts) == 0 or starts[0] != 0:
+                e = int(starts[0]) if len(starts) else len(us)
+                cur = (cur[0], int(us[e - 1]), cur[2] + e)
+            for j in range(len(starts)):
+                if cur is not None:
+                    closed.append(cur)
+                b, e = int(starts[j]), int(bounds[j + 1])
+                cur = (int(us[b]), int(us[e - 1]), e - b)
+
+            new_timer = cur[1] // 1000 + GAP_MS
+            if old_timer != new_timer:
+                if old_timer is not None:
+                    self.h.deleteTimer(old_timer)
+                self.h.registerTimer(new_timer)
+            self.sess.update((cur[0], cur[1], cur[2], new_timer))
+            if closed:
+                a = np.asarray(closed, dtype="int64")
+                yield pd.DataFrame(
+                    {
+                        "user_id": np.full(len(a), key[0], dtype="int64"),
+                        "session_start": pd.to_datetime(a[:, 0], unit="us"),
+                        "session_end": pd.to_datetime(a[:, 1] + GAP_US, unit="us"),
+                        "n": a[:, 2],
+                        "closed_by": ["gap"] * len(a),
+                    }
+                )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            import pandas as pd
+
+            got = self.sess.get()
+            if got is not None:
+                self.sess.clear()
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "session_start": [pd.to_datetime(got[0], unit="us")],
+                        "session_end": [pd.to_datetime(got[1] + GAP_US, unit="us")],
+                        "n": [got[2]],
+                        "closed_by": ["timer"],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        # watermark needs TIMESTAMP (not NTZ) event time; session-UTC
+        # makes the cast value-preserving (§A gotcha)
+        stream.withColumn("ts_l", F.col("ts").cast("timestamp"))
+        .withWatermark("ts_l", "0 seconds")
+        .select("user_id", "ts_l")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=SessionTimeout(),
+            outputStructType="user_id long, session_start timestamp_ntz, "
+            "session_end timestamp_ntz, n long, closed_by string",
+            outputMode="Update",
+            timeMode="EventTime",
+        )
+    )
+
+
+def run_tws(
+    spark: SparkSession, keyed: DataFrame, name: str, partitions: int = 16
+) -> DataFrame:
+    """Run a transformWithStateInPandas stream to completion under the
+    TWS-scoped store confs, restored after: RocksDB is REQUIRED by the
+    API; row-count tracking is a per-batch full-store scan a bounded
+    replay never reads; changelog checkpointing buys cross-batch
+    failure recovery, irrelevant to run-to-completion (A/B r8:
+    together 3.11 → 2.83 s min-of-3)."""
+    scoped = {
+        "spark.sql.streaming.stateStore.providerClass":
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows":
+            "false",
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing."
+        "enabled": "false",
+    }
+    prev = {k: spark.conf.get(k, None) for k in scoped}
+    for k, v in scoped.items():
+        spark.conf.set(k, v)
+    try:
+        return run_to_memory(
+            keyed, name, output_mode="update", partitions=partitions
+        )
+    finally:
+        for k, old in prev.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)

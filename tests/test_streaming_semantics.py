@@ -437,3 +437,88 @@ def test_tws_liststate_accumulates_across_micro_batches(spark, tmp_path):
     assert rows[1]["n_batches"] == 2 and rows[1]["last_v"] == 11.0, rows
     assert rows[2]["n_batches"] == 1 and rows[2]["last_v"] == 20.0, rows
 
+
+
+
+def test_tws_event_time_timers_across_micro_batches(spark, tmp_path):
+    """session_timeout_transform (q_stream_state_timers' processor)
+    driven across TWO micro-batches (maxFilesPerTrigger=1) — the paths
+    the bounded single-batch replay can't witness: (a) a session
+    straddling the batch boundary is CONTINUED (timer re-registered,
+    old one deleted); (b) a >=30-min cross-batch gap closes the
+    carried session as 'gap'; (c) an event-time timer fires once the
+    watermark passes last+30min, emits 'timer' and CLEARS the state;
+    (d) a trailing session whose timer is beyond the final watermark
+    is never emitted (state awaits more data)."""
+    from lakehouse_app_spark.streaming.stream_queries import _twsp_available
+
+    if not _twsp_available():
+        pytest.skip("no protobuf source on this host")
+
+    from lakehouse_app_spark.registry import QUERIES
+    from lakehouse_app_spark.streaming.stream_queries import (
+        run_tws,
+        session_timeout_transform,
+    )
+
+    assert "q_stream_state_timers" in QUERIES
+
+    src = str(tmp_path / "timer_events")
+    waves = [
+        # file 1
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:10:00"),
+         (2, "2024-01-01 10:00:00"), (3, "2024-01-01 10:00:00")],
+        # file 2: key1 continues its session across the boundary;
+        # key2 returns after a 2h gap (carried session closes 'gap');
+        # key3 silent (its registered timer must fire); key2's new
+        # 12:00 session holds the global max ts, so its timer (12:30)
+        # is beyond the final watermark and must NOT fire
+        [(1, "2024-01-01 10:20:00"), (2, "2024-01-01 12:00:00")],
+    ]
+    seen: set = set()
+    for batch, rows_w in enumerate(waves):
+        (
+            spark.createDataFrame(rows_w, "user_id long, ts_s string")
+            .selectExpr(
+                "user_id", "CAST(to_timestamp(ts_s) AS TIMESTAMP_NTZ) AS ts"
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        # pin strictly increasing mtimes per wave so FileStreamSource
+        # replays the files in write order (review r7)
+        for f in os.listdir(src):
+            p = os.path.join(src, f)
+            if p not in seen and f.endswith(".parquet"):
+                os.utime(p, (1_700_000_000 + batch * 60,) * 2)
+                seen.add(p)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp_ntz")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = run_tws(
+        spark,
+        session_timeout_transform(spark, stream),
+        "tws_timer_test",
+        partitions=2,
+    )
+    got: dict = {}
+    for r in out.collect():
+        got.setdefault(r["user_id"], []).append(
+            (str(r["session_start"]), str(r["session_end"]), r["n"], r["closed_by"])
+        )
+    for v in got.values():
+        v.sort()
+
+    assert got.get(1) == [
+        ("2024-01-01 10:00:00", "2024-01-01 10:50:00", 3, "timer")
+    ], got
+    assert got.get(2) == [
+        ("2024-01-01 10:00:00", "2024-01-01 10:30:00", 1, "gap")
+    ], got
+    assert got.get(3) == [
+        ("2024-01-01 10:00:00", "2024-01-01 10:30:00", 1, "timer")
+    ], got
