@@ -43,51 +43,51 @@ def entry(spark: SparkSession) -> DataFrame:
 # (a) new keys, (b) changed plans, (c) the keys the driver has
 # re-sampled least recently, so the whole surface accumulates FRESH
 # driver-green coverage instead of re-checking a fixed showcase.
-# Round-9 window: (a) the two NEW keys — q_ingest_pipeline (write-
-# side quarantine→DQ-gated-commit composition, 1.33x within-run) and
-# q_media_decode (pure-expression RIFF/PCM WAV decoder over stored
-# media payloads); (b) every plan or oracle this round touched
-# (transformWithState floor cuts + lazy-pandas unpickle, stream
-# dedup/session partitions re-A/B'd to 8, percentile empty-group
-# guard in both recipes, connected-components probe persisted +
-# type-derived schema, pipeline_e2e composition joined by the new
-# key); (c) the r04/r05-window keys the driver hasn't re-sampled
-# since round 4/5 (per r8 verdict item 6), oldest first.
+# Round-10 window: (a) the NEW keys — q_stream_state_timers
+# (event-time timers on the TWS API), q_audio_features (per-frame
+# RMS/ZCR over the decoded WAV samples), q_compact_roundtrip
+# (executed compaction with file-count-pinning oracle); (b) every
+# plan or oracle this round touched — q_knn_classify now routes
+# through the stored IVF layout (new plan AND new oracle),
+# q_bootstrap_ci's hash prefactor hoisted pre-explode, q_agg_stats'
+# median interpolation form, q_csv_ingest's multiLine read-back,
+# q_media_decode_image's signed-height flag, the WAV decode
+# refactor's consumers, and the scratch-dir lifecycle consumers
+# (q_time_travel, q_ingest_pipeline); (c) the _NEXT_UP window the
+# r9 state notes as never driver-resampled since r05/r06, oldest
+# first, continuing the rotation.
 _SHOWCASE = [
     # (a) this round's NEW keys
-    "q_ingest_pipeline", "q_media_decode", "q_media_decode_image",
-    "q_span_corrupt", "q_fim_transform", "q_time_travel",
-    "q_stream_media_decode", "q_csv_ingest",
+    "q_stream_state_timers", "q_audio_features", "q_compact_roundtrip",
     # (b) this round's changed paths
-    "q_stream_state_v2", "q_stream_dedup", "q_stream_session",
-    "q_percentile_disc", "q_approx_quantiles_audit", "q_dedup_clusters",
-    "q_dedup_incremental", "q_corpus_pipeline", "q_multimodal_bytes",
-    "q_media_frames",
-    # (c) regression re-checks: the r04 window tail not re-sampled
-    # since round 4 ...
-    "q_ewma", "q_map_funcs", "q_math_funcs", "q_minhash_sig",
-    "q_mix_weights", "q_null_semantics", "q_pack_batches",
-    "q_perplexity", "q_pii_redact", "q_pivot", "q_profile_table",
-    "q_string_funcs", "q_subquery_scalar", "q_train_split",
-    # ... then the r04/r05 remainder, alphabetical
-    "q_agg_conditional", "q_agg_stats", "q_ann_hyperplane",
-    "q_ann_recall", "q_attribution", "q_bpe_encode", "q_bpe_merges",
-    "q_concurrency", "q_context_pack", "q_corr_matrix", "q_date_spine",
-    "q_dedup_from_layout", "q_funnel", "q_fuzzy_match", "q_histogram",
-    "q_incremental_agg", "q_ivf_balance", "q_join_asof_tolerance",
-]
-
-# Keys that would rotate in next if the driver over-samples past 50:
-# the oldest-green cycle continues through the r04/r05 remainder.
-_NEXT_UP = [
-    "q_join_bucketed", "q_json_ingest", "q_mmr_diversify", "q_pq_quantize",
-    "q_quality_classifier",
-    "q_retrieval_ndcg",
+    "q_knn_classify", "q_bootstrap_ci", "q_agg_stats", "q_csv_ingest",
+    "q_media_decode_image", "q_media_decode", "q_stream_media_decode",
+    "q_time_travel", "q_ingest_pipeline", "q_stream_state_v2",
+    "q_anomaly_mad", "q_compact_plan",
+    # (c) the never-resampled window, continuing the r9 rotation
+    "q_join_bucketed", "q_json_ingest", "q_mmr_diversify",
+    "q_pq_quantize", "q_quality_classifier", "q_retrieval_ndcg",
     "q_rollup_hypertable", "q_sample_hash", "q_sample_weighted",
     "q_scd2", "q_scd2_lookup", "q_sequence_gaps", "q_stream_sliding",
     "q_stream_static_join", "q_stream_topk", "q_stream_tumbling",
     "q_stream_vector_search", "q_table_diff", "q_tpch_q10",
-    "q_tpch_q11", "q_tpch_q12",
+    "q_tpch_q11", "q_tpch_q12", "q_tpch_q13", "q_tpch_q14",
+    "q_tpch_q15", "q_tpch_q16", "q_tpch_q17", "q_tpch_q18",
+    "q_tpch_q19", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
+    "q_triangles", "q_twa", "q_udaf_grouped_agg", "q_udtf_tokens",
+]
+
+# Keys that would rotate in next if the driver over-samples past 50:
+# the oldest-green cycle continues alphabetically through the
+# remaining r06/r07 windows.
+_NEXT_UP = [
+    "q_union_by_name", "q_unpivot", "q_upsert", "q_url_dedup",
+    "q_url_parse", "q_variant_json", "q_vocab_coverage",
+    "q_window_dist", "q_window_timerange", "q_winnow_fingerprint",
+    "q_zorder_stats", "q_agg_approx", "q_agg_cube", "q_agg_gsets",
+    "q_agg_rollup", "q_arrow_batch_norm", "q_bigram_lm",
+    "q_bloom_membership", "q_join_bloom_prune", "q_corpus_gate",
+    "q_chunk_dedup",
 ]
 
 

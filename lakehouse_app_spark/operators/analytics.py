@@ -432,31 +432,43 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     /100.0 at the aggregate); headroom: a per-(category, replicate)
     sum stays under 2^63 up to ~10^11 orders per category."""
     t = load_tables(spark, sf_dir)
-    reps = t.orders.select(
-        F.col("o_orderpriority").alias("category"),
-        (F.col("o_totalprice").cast("decimal(25,2)") * 100)
-        .cast("long")
-        .alias("yc"),
-        "o_orderkey",
-        F.explode(F.sequence(F.lit(0), F.lit(BOOT_R - 1))).alias("r"),
-    ).withColumn(
-        # overflow-safe universal hash (review r7): reduce the key mod
-        # the prime BEFORE each multiply so every intermediate stays
-        # below ~2.4e18 < 2^62 even at o_orderkey ~ 6e9 (TPC-H
-        # sf1000); without the inner mod, A*(key*R+r) wraps int64 at
-        # sf≈45 — Spark (non-ANSI) silently, DuckDB with an error.
-        # At bench/test scales key*R < P, so the inner mod is the
-        # identity and every recorded hash is unchanged.
-        "h",
-        (
-            F.lit(_BOOT_A)
-            * (
-                ((F.col("o_orderkey") % _BOOT_P) * BOOT_R + F.col("r"))
-                % _BOOT_P
-            )
-            + F.lit(_BOOT_B)
+    reps = (
+        t.orders.select(
+            F.col("o_orderpriority").alias("category"),
+            (F.col("o_totalprice").cast("decimal(25,2)") * 100)
+            .cast("long")
+            .alias("yc"),
+            # the key-dependent hash prefactor computed ONCE per
+            # source row, BEFORE the {BOOT_R}x amplification — the
+            # same pre-explode hoisting as the cents fix (r10 A/B vs
+            # post-explode: 0.591 vs 0.614 and 0.652 vs 0.677 s,
+            # min-of-3/5 interleaved; a broadcast-range cross join
+            # lost badly at 1.60 s — BroadcastNestedLoopJoin's
+            # per-row overhead dwarfs Generate's)
+            ((F.col("o_orderkey") % _BOOT_P) * BOOT_R).alias("kr"),
         )
-        % F.lit(_BOOT_P),
+        .select(
+            "category",
+            "yc",
+            "kr",
+            F.explode(F.sequence(F.lit(0), F.lit(BOOT_R - 1))).alias("r"),
+        )
+        .withColumn(
+            # overflow-safe universal hash (review r7): reduce the key
+            # mod the prime BEFORE each multiply so every intermediate
+            # stays below ~2.4e18 < 2^62 even at o_orderkey ~ 6e9
+            # (TPC-H sf1000); without the inner mod, A*(key*R+r) wraps
+            # int64 at sf≈45 — Spark (non-ANSI) silently, DuckDB with
+            # an error. At bench/test scales key*R < P, so the inner
+            # mod is the identity and every recorded hash is
+            # unchanged.
+            "h",
+            (
+                F.lit(_BOOT_A) * ((F.col("kr") + F.col("r")) % _BOOT_P)
+                + F.lit(_BOOT_B)
+            )
+            % F.lit(_BOOT_P),
+        )
     )
     w = None
     for thr in _POIS_T:

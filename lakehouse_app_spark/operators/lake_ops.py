@@ -703,6 +703,131 @@ def q_compact_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COMPACT_LO, _COMPACT_HI = "1996-01-01", "1996-02-28"
+
+
+@query(
+    "q_compact_roundtrip",
+    oracle=f"""
+    WITH sub AS (
+      SELECT CAST(l_shipdate AS DATE) AS day, l_orderkey, l_extendedprice
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE)
+            BETWEEN DATE '{_COMPACT_LO}' AND DATE '{_COMPACT_HI}'
+    ),
+    parts AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS rows_in_part
+      FROM sub GROUP BY 1
+    ),
+    planned AS (
+      SELECT day,
+             CAST(floor(CAST(coalesce(SUM(rows_in_part) OVER (
+                    ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ), 0) AS DOUBLE) / {COMPACT_TARGET_ROWS}.0) AS BIGINT)
+               AS bucket
+      FROM parts
+    )
+    SELECT p.bucket,
+           CAST(1 AS BIGINT) AS n_files,
+           CAST(count(*) AS BIGINT) AS rows_total,
+           CAST(SUM(s.l_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(CAST(s.l_extendedprice AS DECIMAL(25,2)) * 100
+                         AS BIGINT)) AS DOUBLE) / 100.0 AS price_sum,
+           strftime(min(s.day), '%Y-%m-%d') AS day_min,
+           strftime(max(s.day), '%Y-%m-%d') AS day_max
+    FROM sub s JOIN planned p USING (day)
+    GROUP BY p.bucket
+    """,
+)
+def q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction EXECUTED, not just planned — the OPTIMIZE analog
+    completing [[q_compact_plan]] (round-9 verdict item 7). A
+    two-month slice of lineitem lands day-partitioned (one small file
+    per day — the append-heavy fragmentation pattern), the greedy
+    adjacent-day bin-packing plan is derived FROM the fragmented
+    table itself, and the rewrite repartitions by bucket so each
+    bucket commits as exactly ONE file, clusterable on the original
+    pruning key (day ranges stay contiguous per bucket).
+
+    The oracle pins BOTH halves: content identity (row counts,
+    key/cents sums, day ranges per bucket — recomputed from the
+    source, so a row lost or doubled in either write hash-mismatches)
+    and PHYSICAL compaction — n_files is countDistinct(
+    input_file_name()) on the Spark side but the constant 1 in the
+    oracle, so the query only matches if every bucket really is one
+    file. Like [[q_time_travel]], the comparison is structurally
+    asymmetric in the conservative direction: Spark performs two real
+    write-read cycles, the oracle recomputes the end state.
+
+    At 100 TB: per-day counts are one partial aggregate; the
+    bin-packing window runs over |days| manifest-sized rows; the
+    rewrite shuffles once on the bucket id (each output file written
+    by one task), and untouched partitions are never read — the same
+    I/O shape as Delta OPTIMIZE / Iceberg binpack."""
+    import os
+
+    from pyspark.sql import Window
+
+    from lakehouse_app_spark.runtime_cache import scratch_commit_dir
+
+    t = load_tables(spark, sf_dir)
+    sub = t.lineitem.where(
+        F.to_date("l_shipdate").between(_COMPACT_LO, _COMPACT_HI)
+    ).select(
+        F.to_date("l_shipdate").alias("day"),
+        "l_orderkey",
+        "l_extendedprice",
+    )
+    frag_dir = os.path.join(scratch_commit_dir("compact_rt_"), "frag")
+    out_dir = os.path.join(os.path.dirname(frag_dir), "compacted")
+    # fragmented landing: repartition by day puts each day's rows in
+    # one task, so partitionBy(day) commits exactly one file per day
+    sub.repartition(F.col("day")).write.mode("overwrite").partitionBy(
+        "day"
+    ).parquet(frag_dir)
+
+    frag = spark.read.parquet(frag_dir)
+    parts = frag.groupBy("day").agg(F.count(F.lit(1)).alias("rows_in_part"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    plan = parts.withColumn(
+        "bucket",
+        F.floor(
+            F.coalesce(F.sum("rows_in_part").over(w), F.lit(0)).cast("double")
+            / F.lit(float(COMPACT_TARGET_ROWS))
+        ).cast("bigint"),
+    ).select("day", "bucket")
+    (
+        frag.join(F.broadcast(plan), "day")
+        .repartition(F.col("bucket"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(out_dir)
+    )
+
+    back = spark.read.parquet(out_dir).withColumn(
+        # the hidden _metadata struct is the deterministic form of
+        # input_file_name() (which analysis rejects inside aggregates)
+        "fn",
+        F.col("_metadata.file_path"),
+    )
+    return back.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
+        F.countDistinct("fn").alias("n_files"),
+        F.count(F.lit(1)).alias("rows_total"),
+        F.sum("l_orderkey").alias("key_sum"),
+        (
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(25,2)") * 100).cast(
+                    "long"
+                )
+            ).cast("double")
+            / 100.0
+        ).alias("price_sum"),
+        F.date_format(F.min("day"), "yyyy-MM-dd").alias("day_min"),
+        F.date_format(F.max("day"), "yyyy-MM-dd").alias("day_max"),
+    )
+
+
 # ------------------------------------------------- dedup health report
 
 

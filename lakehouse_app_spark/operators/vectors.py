@@ -266,89 +266,10 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_knn_classify",
-    oracle="""
-    WITH q AS (
-      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
-             label AS true_label
-      FROM embeddings WHERE vec_id % 5 = 0
-    ),
-    c AS (
-      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv, label
-      FROM embeddings WHERE vec_id % 5 <> 0
-    ),
-    top AS (
-      SELECT qid, true_label, label FROM (
-        SELECT q.qid, q.true_label, c.label,
-               row_number() OVER (PARTITION BY q.qid
-                 ORDER BY round(list_cosine_similarity(c.cv, q.qv), 6) DESC,
-                          c.cid) AS rn
-        FROM q CROSS JOIN c
-      ) WHERE rn <= 5
-    ),
-    votes AS (
-      SELECT qid, true_label, label, count(*) AS votes
-      FROM top GROUP BY 1, 2, 3
-    )
-    SELECT qid, pred_label, CAST(votes AS BIGINT) AS votes, true_label,
-           pred_label = true_label AS correct
-    FROM (SELECT qid, true_label, label AS pred_label, votes,
-                 row_number() OVER (PARTITION BY qid
-                   ORDER BY votes DESC, label) AS r
-          FROM votes)
-    WHERE r = 1
-    """,
-)
-def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-NN weak labeling — the classifier-bootstrapping stage of a
-    training-data pipeline (label a held-out/eval sample by majority
-    vote of its 5 nearest labeled neighbors; FastText-quality-filter
-    seeding, dataset-shift audits, and pseudo-labeling all run this
-    shape). The EVAL set (every 5th vector) is the small side and
-    broadcasts; the labeled corpus streams through ONE scan, each
-    row scoring against the broadcast queries scan-locally, and the
-    per-query top-5 is a WindowGroupLimit keyed by query id — so at
-    100 TB the cost is one corpus pass per labeling batch, no
-    corpus-sized shuffle (swap in the IVF probe of [[q_ann_ivf]] to
-    prune that pass when the index exists). Majority vote with
-    deterministic ties: (votes DESC, label) — and the output carries
-    the true label + correctness flag, making the query its own
-    accuracy audit."""
-    t = load_tables(spark, sf_dir)
-    npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    corpus = _sides(t.embeddings.where(F.col("vec_id") % 5 != 0), "b")
-    queries = _sides(t.embeddings.where(F.col("vec_id") % 5 == 0), "a")
-    pairs = (
-        corpus.repartition(npart)
-        .join(F.broadcast(queries))
-        .select(
-            F.col("a_id").alias("qid"),
-            F.col("a_label").alias("true_label"),
-            F.col("b_id").alias("cid"),
-            F.col("b_label").alias("label"),
-            _pair_sim().alias("sim"),
-        )
-    )
-    w5 = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
-    top = pairs.withColumn("rn", F.row_number().over(w5)).where(
-        F.col("rn") <= 5
-    )
-    votes = top.groupBy("qid", "true_label", "label").agg(
-        F.count(F.lit(1)).alias("votes")
-    )
-    wv = Window.partitionBy("qid").orderBy(F.col("votes").desc(), F.col("label"))
-    return (
-        votes.withColumn("r", F.row_number().over(wv))
-        .where(F.col("r") == 1)
-        .select(
-            "qid",
-            F.col("label").alias("pred_label"),
-            "votes",
-            "true_label",
-            (F.col("label") == F.col("true_label")).alias("correct"),
-        )
-    )
+# q_knn_classify moved to operators/ann.py (round 10): the labeling
+# pass now routes through the stored IVF layout — the scale path the
+# old brute-force docstring itself named — with the probed plan
+# replicated exactly in its oracle, like q_stream_vector_search.
 
 
 @query(

@@ -119,21 +119,32 @@ def test_plan_cache_repersists_scoped_intermediates_on_hit(spark, sf_dir):
 
 
 def test_scratch_commit_dir_defers_cleanup():
-    """Each prefix keeps exactly ONE live scratch dir: creating the
-    next invocation's dir removes the previous one (r9 — demo
-    snapshot commits must not accumulate dead trees across bench
-    reps), while distinct prefixes don't interfere."""
+    """Superseded scratch dirs are RETIRED, not deleted, when the
+    next invocation's dir is created — a lazily-evaluated DataFrame
+    built by the earlier invocation may still read the old tree
+    (r9 ADVICE) — and are physically reaped only at the next
+    release_caches(), the harness drain point. Distinct prefixes
+    don't interfere."""
     import os
 
-    from lakehouse_app_spark.runtime_cache import scratch_commit_dir
+    from lakehouse_app_spark.runtime_cache import (
+        release_caches,
+        scratch_commit_dir,
+    )
 
+    release_caches()  # drain any dirs retired by earlier tests
     a1 = scratch_commit_dir("sc_test_a_")
     b1 = scratch_commit_dir("sc_test_b_")
     assert os.path.isdir(a1) and os.path.isdir(b1)
     a2 = scratch_commit_dir("sc_test_a_")
     assert os.path.isdir(a2) and a2 != a1
-    assert not os.path.exists(a1)  # previous gone
-    assert os.path.isdir(b1)  # other prefix untouched
-    # cleanup for the test itself
+    # previous tree still readable until the drain point ...
+    assert os.path.isdir(a1)
+    release_caches()
+    # ... and reaped there; the live dirs survive
+    assert not os.path.exists(a1)
+    assert os.path.isdir(a2) and os.path.isdir(b1)
+    # cleanup for the test itself: retire + drain
     scratch_commit_dir("sc_test_a_")
     scratch_commit_dir("sc_test_b_")
+    release_caches()

@@ -841,3 +841,42 @@ def test_pb_vendor_heal_quarantines_instead_of_deleting(monkeypatch, tmp_path):
     assert quarantined  # ...but preserved, renamed aside, not deleted
     qdir = os.path.join(os.path.dirname(dst), quarantined[0])
     assert os.path.isfile(os.path.join(qdir, "google", "half_written.py"))
+
+
+def test_compact_roundtrip_physical_file_counts(spark, sf_dir):
+    """q_compact_roundtrip's oracle already pins n_files == 1 per
+    bucket through the hash compare; this test pins the OTHER half of
+    the physical claim — the fragmented landing really was one file
+    per day, so the rewrite measurably REDUCED the file count — by
+    inspecting the scratch tree the query just wrote."""
+    import os
+
+    from lakehouse_app_spark.registry import QUERIES
+    from lakehouse_app_spark.runtime_cache import _SCRATCH_DIRS
+
+    rows = QUERIES["q_compact_roundtrip"](spark, sf_dir).collect()
+    assert rows and all(r["n_files"] == 1 for r in rows)
+
+    root = _SCRATCH_DIRS["compact_rt_"]
+
+    def parquet_files(d):
+        return [
+            os.path.join(p, f)
+            for p, _, fs in os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+
+    frag = parquet_files(os.path.join(root, "frag"))
+    comp = parquet_files(os.path.join(root, "compacted"))
+    n_days = len(
+        {p.split("day=")[1].split("/")[0] for p in frag if "day=" in p}
+    )
+    assert len(frag) == n_days, "landing zone must be one file per day"
+    assert len(comp) == len(rows), "one file per compacted bucket"
+    assert len(comp) < len(frag), "compaction must reduce file count"
+    # bucket day-ranges stay disjoint and ordered (clusterable on the
+    # original pruning key)
+    spans = sorted((r["day_min"], r["day_max"], r["bucket"]) for r in rows)
+    for (a_min, a_max, _), (b_min, _, _) in zip(spans, spans[1:]):
+        assert a_max < b_min
