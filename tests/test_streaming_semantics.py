@@ -522,3 +522,125 @@ def test_tws_event_time_timers_across_micro_batches(spark, tmp_path):
     assert got.get(3) == [
         ("2024-01-01 10:00:00", "2024-01-01 10:30:00", 1, "timer")
     ], got
+
+
+@pytest.mark.parametrize(
+    "ttl_ms,expect_survives",
+    [(150, False), (3_600_000, True)],
+    ids=["short-ttl-expires", "long-ttl-survives"],
+)
+def test_tws_value_state_ttl_across_restarts(
+    spark, tmp_path, ttl_ms, expect_survives
+):
+    """State TTL on the TWS API (the remaining state-v2 lifecycle
+    feature beside timers): a ValueState declared with ttlDurationMs
+    expires by PROCESSING time. Two runs share one checkpoint with a
+    wall-clock gap larger than the short TTL between them — the
+    second run reads None for the expired state (counter restarts)
+    but finds the long-TTL state alive (counter accumulates), so
+    RocksDB restart recovery is witnessed too.
+
+    Harness note (upstream, same family as the processing-time-timer
+    caveat above): ProcessingTime timeMode keeps scheduling no-data
+    micro-batches under trigger(availableNow) — the query never
+    terminates (observed 291 committed batches before a forced stop).
+    So each run uses a plain processing-time trigger with a
+    restartable PARQUET sink (the memory sink refuses checkpoint
+    recovery), polls the sink for the expected rows, and stops the
+    query explicitly between batches."""
+    import time as _time
+
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+
+    from lakehouse_app_spark.sources.pb_vendor import (
+        inject_worker_pythonpath,
+        protobuf_runtime_dir,
+    )
+    from lakehouse_app_spark.streaming.stream_queries import _twsp_available
+
+    if not _twsp_available():
+        pytest.skip("no protobuf source on this host")
+    pb = protobuf_runtime_dir()
+    if pb:
+        inject_worker_pythonpath(spark, pb)
+
+    src = str(tmp_path / "ttl_src")
+    ckpt = str(tmp_path / "ttl_ckpt")  # SHARED across the two runs
+    sink = str(tmp_path / "ttl_sink")
+
+    class Counter(StatefulProcessor):
+        def init(self, handle):
+            self.cnt = handle.getValueState("cnt", "n long", ttl_ms)
+
+        def handleInputRows(self, key, rows, timerValues):
+            got = self.cnt.get()
+            n = (0 if got is None else got[0]) + sum(len(p) for p in rows)
+            self.cnt.update((int(n),))
+            yield pd.DataFrame({"k": [key[0]], "n": [n]})
+
+        def close(self):
+            pass
+
+    def run_once(expect_rows):
+        stream = spark.readStream.schema("k long").parquet(src)
+        out = stream.groupBy("k").transformWithStateInPandas(
+            statefulProcessor=Counter(),
+            outputStructType="k long, n long",
+            outputMode="Update",
+            timeMode="ProcessingTime",  # the TTL clock
+        )
+        prev = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", None
+        )
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        try:
+            q = (
+                out.writeStream.format("parquet")
+                .outputMode("append")
+                .option("path", sink)
+                .trigger(processingTime="0 seconds")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            deadline = _time.time() + 90
+            rows = []
+            while _time.time() < deadline:
+                try:
+                    rows = spark.read.parquet(sink).collect()
+                except Exception:
+                    rows = []
+                if len(rows) >= expect_rows:
+                    break
+                _time.sleep(0.3)
+            q.stop()
+            q.awaitTermination(60)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            if prev is None:
+                spark.conf.unset(
+                    "spark.sql.streaming.stateStore.providerClass"
+                )
+            else:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev
+                )
+        return sorted((r["k"], r["n"]) for r in rows)
+
+    spark.createDataFrame([(1,)], "k long").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    assert run_once(1) == [(1, 1)]
+
+    _time.sleep(1.0)  # > short TTL, << long TTL
+    spark.createDataFrame([(1,)], "k long").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    got = run_once(2)
+    assert got == ([(1, 1), (1, 2)] if expect_survives else [(1, 1), (1, 1)])
