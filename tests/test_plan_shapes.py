@@ -906,3 +906,41 @@ def test_pretraining_transforms_are_exchange_free(spark, sf_dir):
         assert "Exchange" not in plan, (key, plan)
         assert "BatchEvalPython" not in plan, (key, plan)
         assert "ArrowEvalPython" not in plan, (key, plan)
+
+
+def test_knn_classify_probes_layout_and_broadcasts(spark, sf_dir):
+    """The IVF-routed labeling pass (r10) must keep its two scale
+    properties: the candidate scan is the STORED assignment layout
+    (not a recomputed clustering), and every query-side/probe-side/
+    label-side join is a broadcast — no corpus-sized shuffle and no
+    cartesian pair space anywhere in the plan."""
+    import re
+
+    df = QUERIES["q_knn_classify"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "ivf8_a" in plan, plan  # stored layout, not a rebuild
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan, plan
+    # BroadcastNestedLoopJoins are legal ONLY against the 8-row
+    # centroid table (index METADATA — the probe ranking; the planner
+    # instantiates that bounded subtree up to twice); anything more
+    # would mean a corpus-sized pair space. The centroid layout scan
+    # is pinned present so the nested loops have a bounded side.
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 2, plan
+    assert "ivf8_cents" in plan, plan
+
+
+def test_audio_features_decodes_jvm_side_single_scan(spark, sf_dir):
+    """Per-frame audio features stay in the JVM: no Python evaluation
+    node anywhere (the decode + framing is one Catalyst expression),
+    exactly one parquet scan (the stored WAV layout), and no shuffle
+    at all — the per-file map shape that scales linearly with the
+    corpus."""
+    import re
+
+    df = QUERIES["q_audio_features"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    # one scan NODE (formatted plans print each node twice: tree + detail)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Exchange" not in plan, plan
