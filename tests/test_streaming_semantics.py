@@ -644,3 +644,84 @@ def test_tws_value_state_ttl_across_restarts(
     ).parquet(src)
     got = run_once(2)
     assert got == ([(1, 1), (1, 2)] if expect_survives else [(1, 1), (1, 1)])
+
+
+def test_tws_initial_state_warm_start(spark, tmp_path):
+    """handleInitialState — the last TWS lifecycle hook beside
+    state variables, timers, and TTL: a stored BATCH aggregate warm-
+    starts the per-key state (the migration path from a batch table
+    to a live stream, q_incremental_agg's delta-apply shape on the
+    state API), and the streamed delta accumulates ON TOP of it. The
+    assert is the batch duality: warm-start + delta == full
+    recompute, including a key with initial state but no stream rows
+    (must not emit) and a stream key with no initial state (starts
+    from zero)."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+
+    from lakehouse_app_spark.sources.pb_vendor import (
+        inject_worker_pythonpath,
+        protobuf_runtime_dir,
+    )
+    from lakehouse_app_spark.streaming.stream_queries import (
+        _twsp_available,
+        run_tws,
+    )
+
+    if not _twsp_available():
+        pytest.skip("no protobuf source on this host")
+    pb = protobuf_runtime_dir()
+    if pb:
+        inject_worker_pythonpath(spark, pb)
+
+    src = str(tmp_path / "warm_src")
+    # stream delta: keys 1 (warm) and 3 (cold); key 2 is warm-only
+    spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (3, 7.0)], "k long, v double"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    # stored batch aggregate: (key, running count, running sum)
+    initial = (
+        spark.createDataFrame(
+            [(1, 4, 100.0), (2, 2, 20.0)], "k long, n long, total double"
+        )
+        .groupBy("k")
+    )
+
+    class WarmAgg(StatefulProcessor):
+        def init(self, handle):
+            self.s = handle.getValueState("s", "n long, total double")
+
+        def handleInitialState(self, key, initialState, timerValues):
+            self.s.update(
+                (int(initialState["n"].iloc[0]),
+                 float(initialState["total"].iloc[0]))
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            got = self.s.get()
+            n, total = (0, 0.0) if got is None else got
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["v"].sum())
+            self.s.update((int(n), float(total)))
+            yield pd.DataFrame(
+                {"k": [key[0]], "n": [n], "total": [total]}
+            )
+
+        def close(self):
+            pass
+
+    stream = spark.readStream.schema("k long, v double").parquet(src)
+    out = stream.groupBy("k").transformWithStateInPandas(
+        statefulProcessor=WarmAgg(),
+        outputStructType="k long, n long, total double",
+        outputMode="Update",
+        timeMode="None",
+        initialState=initial,
+    )
+    res = {
+        r["k"]: (r["n"], r["total"])
+        for r in run_tws(spark, out, "tws_warm", partitions=2).collect()
+    }
+    # warm-start + delta == full recompute; warm-only keys stay silent
+    assert res == {1: (6, 115.0), 3: (1, 7.0)}, res
