@@ -318,3 +318,42 @@ def test_bmp_decode_roundtrip_random(spark):
         for r in decode_bmp_features(df).collect()
     }
     assert got == expect
+
+
+def test_bmp_flag_rejects_top_down_payload(spark):
+    """biHeight is SIGNED int32; negative means top-down row order,
+    which this layer never emits — a foreign top-down BMP must fail
+    the is_bmp flag (r9 ADVICE: the unsigned header read would
+    otherwise turn height into ~2^32 and decode a nonsense
+    stride*height region). A positive twin of the same payload must
+    still pass."""
+    import struct
+
+    from lakehouse_app_spark.operators.multimodal import decode_bmp_features
+
+    w, h, stride = 2, 2, 8
+
+    def payload(height_field):
+        def row(bs):
+            out = bytearray()
+            for b in bs:
+                out += bytes((b, (b + 85) % 256, (b + 170) % 256))
+            return bytes(out) + b"\x00" * (stride - 3 * w)
+
+        data = row([30, 40]) + row([10, 20])
+        return (
+            b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, w, height_field, 1, 24, 0,
+                          len(data), 2835, 2835, 0, 0)
+            + data
+        )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(payload(h))), (2, bytearray(payload(-h)))],
+        "media_id long, payload binary",
+    )
+    flags = {
+        r["media_id"]: r["is_bmp"]
+        for r in decode_bmp_features(df).select("media_id", "is_bmp").collect()
+    }
+    assert flags == {1: True, 2: False}, flags

@@ -880,3 +880,37 @@ def test_compact_roundtrip_physical_file_counts(spark, sf_dir):
     spans = sorted((r["day_min"], r["day_max"], r["bucket"]) for r in rows)
     for (a_min, a_max, _), (b_min, _, _) in zip(spans, spans[1:]):
         assert a_max < b_min
+
+
+def test_csv_ingest_roundtrips_embedded_newlines(spark, tmp_path):
+    """The q_csv_ingest dialect (quoteAll write, explicit-schema
+    multiLine read) must round-trip text containing embedded
+    newlines and quotes byte-losslessly — the r9 ADVICE gap: without
+    multiLine the reader splits a quoted multi-line field into
+    spurious rows."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "en", "plain text", 10),
+        (2, "en", "line one\nline two\nline three", 28),
+        (3, "de", 'quote " and, comma\nnewline too', 30),
+    ]
+    src = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string, n_chars long"
+    )
+    out = str(tmp_path / "csv_nl")
+    (
+        src.write.mode("overwrite")
+        .option("header", True)
+        .option("quoteAll", True)
+        .csv(out)
+    )
+    back = (
+        spark.read.schema("doc_id long, lang string, text string, n_chars long")
+        .option("header", True)
+        .option("multiLine", True)
+        .csv(out)
+    )
+    got = sorted((r["doc_id"], r["text"]) for r in back.collect())
+    assert got == sorted((d, t) for d, _, t, _ in rows), got
+    assert back.count() == len(rows)
