@@ -460,6 +460,14 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial agg ships registers, never shingles, exactly how Spark's
     own approx_count_distinct HLL++ partials merge."""
     t = load_tables(spark, sf_dir)
+    # DISTINCT-FIRST (r10 A/B: 0.91 vs 1.41 s min interleaved,
+    # value-identical): both arms only need the distinct shingle set —
+    # a register's max-rho is unchanged by duplicates, and the exact
+    # audit IS the distinct count — so ONE (source, s) distinct
+    # shuffle feeds both, replacing count_distinct's expand shuffle
+    # AND shrinking the per-shingle hash fold to distinct shingles.
+    # (The r10 word-level KR composition attacked the fold itself and
+    # lost; not hashing duplicates at all is the cheaper theorem.)
     sh = (
         t.documents.select("source", F.split(F.lower("text"), " ").alias("tk"))
         .where(F.size("tk") >= 3)
@@ -472,6 +480,7 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("s"),
         )
+        .distinct()
         .transform(scoped_persist)
     )
     fp = F.expr(_FP_SPARK.format(w="s"))
@@ -490,7 +499,9 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 40 - rho)")).alias("psum"),
         F.count(F.lit(1)).alias("n_present"),
     )
-    ex = sh.groupBy("source").agg(F.count_distinct("s").alias("n_exact"))
+    # sh is already distinct per (source, s): plain count IS the
+    # exact cardinality, map-side combinable
+    ex = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_exact"))
     denom = F.col("psum") + (F.lit(HLL_M) - F.col("n_present")) * F.expr(
         "shiftleft(CAST(1 AS BIGINT), 40)"
     )
