@@ -46,7 +46,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-10 window: (a) the NEW keys — q_stream_state_timers
 # (event-time timers on the TWS API), q_audio_features (per-frame
 # RMS/ZCR over the decoded WAV samples), q_compact_roundtrip
-# (executed compaction with file-count-pinning oracle); (b) every
+# (executed compaction with file-count-pinning oracle),
+# q_recursive_hierarchy (Spark-4 WITH RECURSIVE); (b) every
 # plan or oracle this round touched — q_knn_classify now routes
 # through the stored IVF layout (new plan AND new oracle),
 # q_bootstrap_ci's hash prefactor hoisted pre-explode, q_agg_stats'
@@ -59,6 +60,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _SHOWCASE = [
     # (a) this round's NEW keys
     "q_stream_state_timers", "q_audio_features", "q_compact_roundtrip",
+    "q_recursive_hierarchy",
     # (b) this round's changed paths
     "q_knn_classify", "q_bootstrap_ci", "q_agg_stats", "q_csv_ingest",
     "q_media_decode_image", "q_media_decode", "q_stream_media_decode",
@@ -74,7 +76,7 @@ _SHOWCASE = [
     "q_tpch_q11", "q_tpch_q12", "q_tpch_q13", "q_tpch_q14",
     "q_tpch_q15", "q_tpch_q16", "q_tpch_q17", "q_tpch_q18",
     "q_tpch_q19", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
-    "q_triangles", "q_twa", "q_udaf_grouped_agg", "q_udtf_tokens",
+    "q_triangles", "q_twa", "q_udaf_grouped_agg",
 ]
 
 # Keys that would rotate in next if the driver over-samples past 50:

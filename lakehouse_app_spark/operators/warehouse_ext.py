@@ -331,3 +331,69 @@ def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_hit.vfrom").alias("status_since"),
         )
     )
+
+
+@query(
+    "q_recursive_hierarchy",
+    oracle="""
+    WITH RECURSIVE tree AS (
+      SELECT c_custkey, c_custkey AS root, 0 AS depth
+      FROM customer WHERE c_custkey < 10
+      UNION ALL
+      SELECT c.c_custkey, t.root, t.depth + 1
+      FROM customer c JOIN tree t ON c.c_custkey // 10 = t.c_custkey
+      WHERE c.c_custkey >= 10
+    )
+    SELECT t.root, CAST(t.depth AS BIGINT) AS depth,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(c.c_acctbal AS DECIMAL(25,2)) * 100
+                         AS BIGINT)) AS DOUBLE) / 100.0 AS bal_sum
+    FROM tree t JOIN customer c USING (c_custkey)
+    GROUP BY 1, 2
+    """,
+)
+def q_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE — the iterative-query operator class (org-chart /
+    BOM walks, graph reachability) that Spark 4.1 finally runs as
+    plain SQL (`WITH RECURSIVE`), generalized over a deterministic
+    hierarchy derived from the data: customers form a 10-ary tree
+    (parent = c_custkey DIV 10, roots are keys < 10), the anchor
+    seeds the roots, and each iteration joins the children of the
+    previous level — O(log10 N) iterations regardless of corpus
+    size, each one an equi-join Catalyst plans like any other (the
+    recursion does NOT collect to the driver). The rollup reports
+    per (root, depth) subtree width and account-balance cents —
+    exact integers plus one final double division, so the DuckDB
+    recursive oracle matches hash-exactly. At 100 TB each iteration
+    is a broadcast join against the previous level's frontier
+    (bounded by tree width), and the recursion depth is the
+    hierarchy's, not the data's.
+
+    Cost anatomy (declared, BASELINE.md r10): the bench row is
+    per-ITERATION job latency — each of the ~5 recursion levels
+    schedules its own Spark jobs (~0.2 s each in local mode) against
+    a DuckDB oracle that iterates in-process — the q_time_travel /
+    streaming structural-floor class, conservative direction. A/Bs
+    that did NOT move it (recorded): broadcast hint on the frontier,
+    shuffle partitions 2 scoped over the execution — the floor is
+    scheduling, not shuffle width, and it amortizes to zero on a
+    cluster where each level joins real data volumes."""
+    load_tables(spark, sf_dir)  # registers the `customer` temp view
+    return spark.sql(
+        """
+        WITH RECURSIVE tree AS (
+          SELECT c_custkey, c_custkey AS root, 0 AS depth
+          FROM customer WHERE c_custkey < 10
+          UNION ALL
+          SELECT c.c_custkey, t.root, t.depth + 1
+          FROM customer c JOIN tree t ON c.c_custkey DIV 10 = t.c_custkey
+          WHERE c.c_custkey >= 10
+        )
+        SELECT t.root, CAST(t.depth AS BIGINT) AS depth,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(CAST(c.c_acctbal AS DECIMAL(25,2)) * 100
+                             AS BIGINT)) AS DOUBLE) / 100.0 AS bal_sum
+        FROM tree t JOIN customer c USING (c_custkey)
+        GROUP BY 1, 2
+        """
+    )
