@@ -703,17 +703,26 @@ def q_compact_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_COMPACT_LO, _COMPACT_HI = "1996-01-01", "1996-01-20"
+# 20-day window anchored at the CORPUS'S OWN first ship date (not a
+# calendar literal): a regenerated corpus with a shifted date era
+# still produces a populated, same-width landing zone in both
+# engines — the q_dedup_minhash regeneration-proofing policy applied
+# to dates (r10)
+_COMPACT_DAYS = 19  # inclusive span: lo .. lo + 19 = 20 day-files
+_COMPACT_LO_CACHE: dict = {}
 
 
 @query(
     "q_compact_roundtrip",
     oracle=f"""
-    WITH sub AS (
+    WITH lo AS (
+      SELECT min(CAST(l_shipdate AS DATE)) AS d FROM lineitem
+    ),
+    sub AS (
       SELECT CAST(l_shipdate AS DATE) AS day, l_orderkey, l_extendedprice
-      FROM lineitem
+      FROM lineitem, lo
       WHERE CAST(l_shipdate AS DATE)
-            BETWEEN DATE '{_COMPACT_LO}' AND DATE '{_COMPACT_HI}'
+            BETWEEN lo.d AND lo.d + INTERVAL {_COMPACT_DAYS} DAY
     ),
     parts AS (
       SELECT day, CAST(count(*) AS BIGINT) AS rows_in_part
@@ -769,11 +778,28 @@ def q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
-    from lakehouse_app_spark.runtime_cache import scratch_commit_dir
+    from lakehouse_app_spark.runtime_cache import (
+        scratch_commit_dir,
+        session_key,
+    )
 
     t = load_tables(spark, sf_dir)
+    # corpus-anchored window bound: a 1-row min aggregate (bounded
+    # scalar collect, the _probe_ids class), memoized per (session,
+    # corpus) — it is ingest-time table METADATA, the same lifetime
+    # as the layout catalog's fingerprints, so repeat invocations
+    # don't re-scan for a constant
+    ck = (session_key(spark), sf_dir)
+    lo = _COMPACT_LO_CACHE.get(ck)
+    if lo is None:
+        lo = t.lineitem.agg(
+            F.min(F.to_date("l_shipdate")).alias("d")
+        ).collect()[0]["d"]
+        _COMPACT_LO_CACHE[ck] = lo
     sub = t.lineitem.where(
-        F.to_date("l_shipdate").between(_COMPACT_LO, _COMPACT_HI)
+        F.to_date("l_shipdate").between(
+            F.lit(lo), F.date_add(F.lit(lo), _COMPACT_DAYS)
+        )
     ).select(
         F.to_date("l_shipdate").alias("day"),
         "l_orderkey",
