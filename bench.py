@@ -86,7 +86,9 @@ def time_duckdb(con, sql: str) -> float:
     return round(best, 4)
 
 
-def _measure_stream_floor(spark, runs: int = 5) -> tuple[float, float]:
+def _measure_stream_floor(
+    spark, runs: int = 5, stateful_only: bool = False
+) -> tuple[float, float]:
     """(stateless, stateful) medians of a minimal 1-row availableNow
     stream into a memory sink. Stateless = passthrough append (bare
     micro-batch machinery). Stateful = watermark + windowed count in
@@ -143,7 +145,11 @@ def _measure_stream_floor(spark, runs: int = 5) -> tuple[float, float]:
         spark.catalog.dropTempView(name)
         return dt
 
-    plain = sorted(once(i, False) for i in range(runs))
+    # the adjacent re-probe only reads the stateful median; skip the
+    # passthrough arm there (one full streaming startup saved per use)
+    plain = (
+        [0.0] if stateful_only else sorted(once(i, False) for i in range(runs))
+    )
     stateful = sorted(once(i, True) for i in range(runs))
     return plain[len(plain) // 2], stateful[len(stateful) // 2]
 
@@ -296,24 +302,34 @@ def main() -> None:
                 spark, name, eng.QUERIES[name]
             )
             print(f"bench: {name} {per_query[name]}s", file=sys.stderr, flush=True)
-            if name in TWS_WATCH:
-                # adjacent floor re-probe: one sample of the SAME floor
-                # instrument this query's residual is read against,
-                # taken seconds after its reps — if the host throttled
-                # the reps, it throttles this probe too, and the record
-                # shows it (reps high + floor_adj high = host; reps
-                # high + floor_adj normal = regression in the query).
-                if name == "q_stream_state_v2":
-                    floor_adj = _measure_tws_floor(spark, runs=1)
-                else:
-                    floor_adj = _measure_stream_floor(spark, runs=1)[1]
-                tws_watch[name] = {
-                    "reps": rep_times,
-                    "floor_adj": round(floor_adj, 3),
-                }
         except Exception as ex:  # a broken query must not sink the bench
             print(f"bench: {name} failed: {ex}", file=sys.stderr, flush=True)
             per_query[name] = -1.0
+            rep_times = []
+        if name in TWS_WATCH and per_query[name] > 0:
+            # adjacent floor re-probe: one sample of the SAME floor
+            # instrument this query's residual is read against, taken
+            # seconds after its reps — if the host throttled the reps,
+            # it throttles this probe too, and the record shows it
+            # (reps high + floor_adj high = host; reps high +
+            # floor_adj normal = regression in the query). OUTSIDE the
+            # query's try, with its own guard: a probe hiccup must
+            # neither discard the valid measurement it annotates nor
+            # shrink the recorded Spark total (review r10).
+            try:
+                if name == "q_stream_state_v2":
+                    floor_adj = _measure_tws_floor(spark, runs=1)
+                else:
+                    floor_adj = _measure_stream_floor(
+                        spark, runs=1, stateful_only=True
+                    )[1]
+            except Exception as ex:
+                print(f"bench(probe): {name} {ex}", file=sys.stderr)
+                floor_adj = -1.0
+            tws_watch[name] = {
+                "reps": rep_times,
+                "floor_adj": round(floor_adj, 3),
+            }
         if con is not None and name in eng.ORACLES:
             try:
                 duck[name] = time_duckdb(con, eng.ORACLES[name])

@@ -786,10 +786,14 @@ def q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     # corpus-anchored window bound: a 1-row min aggregate (bounded
     # scalar collect, the _probe_ids class), memoized per (session,
-    # corpus) — it is ingest-time table METADATA, the same lifetime
-    # as the layout catalog's fingerprints, so repeat invocations
-    # don't re-scan for a constant
-    ck = (session_key(spark), sf_dir)
+    # corpus CONTENT) — the key embeds the layout catalog's corpus
+    # fingerprint (file sizes/mtimes), so an in-session regeneration
+    # with a shifted date era re-derives the bound instead of serving
+    # a stale window (review r10); repeat invocations on the same
+    # corpus still skip the scan
+    from lakehouse_app_spark.sources.layout import corpus_fingerprint
+
+    ck = (session_key(spark), sf_dir, corpus_fingerprint(sf_dir))
     lo = _COMPACT_LO_CACHE.get(ck)
     if lo is None:
         lo = t.lineitem.agg(
