@@ -449,7 +449,11 @@ def test_tws_event_time_timers_across_micro_batches(spark, tmp_path):
     carried session as 'gap'; (c) an event-time timer fires once the
     watermark passes last+30min, emits 'timer' and CLEARS the state;
     (d) a trailing session whose timer is beyond the final watermark
-    is never emitted (state awaits more data)."""
+    is never emitted (state awaits more data); (e) a key whose timer
+    fired MID-REPLAY and then returns opens a FRESH session — the
+    re-open-after-fire path whose boundary invariance the
+    q_stream_state_timers docstring claims (the fired session stays
+    closed, nothing merges)."""
     from lakehouse_app_spark.streaming.stream_queries import _twsp_available
 
     if not _twsp_available():
@@ -467,13 +471,22 @@ def test_tws_event_time_timers_across_micro_batches(spark, tmp_path):
     waves = [
         # file 1
         [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:10:00"),
-         (2, "2024-01-01 10:00:00"), (3, "2024-01-01 10:00:00")],
+         (2, "2024-01-01 10:00:00"), (3, "2024-01-01 10:00:00"),
+         (4, "2024-01-01 10:00:00")],
         # file 2: key1 continues its session across the boundary;
         # key2 returns after a 2h gap (carried session closes 'gap');
-        # key3 silent (its registered timer must fire); key2's new
-        # 12:00 session holds the global max ts, so its timer (12:30)
-        # is beyond the final watermark and must NOT fire
+        # key3/key4 silent — their timers must fire later
         [(1, "2024-01-01 10:20:00"), (2, "2024-01-01 12:00:00")],
+        # file 3: key5 only — batch 3 runs with watermark 12:00, so
+        # the 10:30/10:50 timers of keys 1/3/4 fire MID-REPLAY
+        # (no key-4 input in this batch: the fire is unambiguous)
+        [(5, "2024-01-01 12:05:00")],
+        # file 4: key4 RETURNS after its fire — must open a fresh
+        # session (nothing to merge; its old state was cleared).
+        # Final watermark 12:10: the trailing sessions of keys 2
+        # (timer 12:30), 5 (12:35) and 4's new one (12:40) all stay
+        # unexpired and unreported
+        [(4, "2024-01-01 12:10:00")],
     ]
     seen: set = set()
     for batch, rows_w in enumerate(waves):
@@ -522,6 +535,13 @@ def test_tws_event_time_timers_across_micro_batches(spark, tmp_path):
     assert got.get(3) == [
         ("2024-01-01 10:00:00", "2024-01-01 10:30:00", 1, "timer")
     ], got
+    # (e) mid-replay fire + re-open: exactly the fired session, once,
+    # closed by timer; the 12:10 re-open stays an unreported fresh
+    # trailing session — no merge, no duplicate
+    assert got.get(4) == [
+        ("2024-01-01 10:00:00", "2024-01-01 10:30:00", 1, "timer")
+    ], got
+    assert 5 not in got, got
 
 
 @pytest.mark.parametrize(
