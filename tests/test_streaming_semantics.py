@@ -745,3 +745,108 @@ def test_tws_initial_state_warm_start(spark, tmp_path):
     }
     # warm-start + delta == full recompute; warm-only keys stay silent
     assert res == {1: (6, 115.0), 3: (1, 7.0)}, res
+
+
+def test_timer_sessionize_random_matches_reference(spark, tmp_path):
+    """Seeded-random property check of q_stream_state_timers' full
+    semantics against an independent Python reference: 300 events,
+    10 keys, µs-precision timestamps with ADVERSARIAL constructions —
+    gaps of exactly 30 minutes (split boundary), trailing sessions
+    ending exactly 30 minutes before the max event (ms-truncated
+    non-strict fire boundary), ±1 ms perturbations of both, and
+    duplicate timestamps. The reference implements the documented
+    contract directly (µs gap splits, floor-ms timer vs floor-ms
+    watermark); any drift in the vectorized islands code or the
+    boundary encoding shows up as a set difference."""
+    import random
+
+    from lakehouse_app_spark.streaming.stream_queries import _twsp_available
+
+    if not _twsp_available():
+        pytest.skip("no protobuf source on this host")
+
+    from lakehouse_app_spark.registry import QUERIES
+
+    rng = random.Random(20260815)
+    GAP_US = 30 * 60 * 1_000_000
+    base = 1_700_000_000_000_000  # epoch µs
+    events: list[tuple[int, int]] = []
+    for key in range(1, 11):
+        t = base + rng.randrange(0, 3_600_000_000)
+        for _ in range(rng.randrange(1, 40)):
+            events.append((key, t))
+            step = rng.choice(
+                [
+                    rng.randrange(1, GAP_US),       # same session
+                    GAP_US,                          # exact boundary
+                    GAP_US - 1000, GAP_US + 1000,    # ±1 ms around it
+                    rng.randrange(GAP_US, 3 * GAP_US),  # new session
+                    0,                               # duplicate ts
+                ]
+            )
+            t += step
+    # force the trailing-fire boundary: one key's last event exactly
+    # 30 min before the global max, one 1 ms later, one 1 ms earlier
+    mx = max(t for _, t in events)
+    events += [(11, mx - GAP_US), (12, mx - GAP_US + 1000),
+               (13, mx - GAP_US - 1000)]
+
+    # stage as a fake corpus dir shaped like the events table
+    fake_sf = str(tmp_path / "sf_rand")
+    os.makedirs(fake_sf, exist_ok=True)
+    ev_stage = str(tmp_path / "ev_stage")
+    (
+        spark.createDataFrame(events, "user_id long, ts_us long")
+        .selectExpr(
+            "CAST(monotonically_increasing_id() AS LONG) AS event_id",
+            "user_id",
+            "CAST('click' AS STRING) AS event_type",
+            "CAST(1.0 AS DOUBLE) AS value",
+            "CAST(timestamp_micros(ts_us) AS TIMESTAMP_NTZ) AS ts",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(ev_stage)
+    )
+    import glob as _glob
+    import shutil as _shutil
+
+    part = _glob.glob(os.path.join(ev_stage, "part-*.parquet"))[0]
+    _shutil.copyfile(part, os.path.join(fake_sf, "events.parquet"))
+
+    got = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]),
+         r["n"], r["closed_by"])
+        for r in QUERIES["q_stream_state_timers"](spark, fake_sf).collect()
+    }
+
+    # independent reference
+    import pandas as pd
+
+    per_key: dict = {}
+    for k, t in events:
+        per_key.setdefault(k, []).append(t)
+    wm_ms = mx // 1000
+    want = set()
+    for k, ts_list in per_key.items():
+        ts_list.sort()
+        sessions, cur = [], [ts_list[0]]
+        for t in ts_list[1:]:
+            if t - cur[-1] >= GAP_US:
+                sessions.append(cur)
+                cur = [t]
+            else:
+                cur.append(t)
+        sessions.append(cur)
+        for i, s in enumerate(sessions):
+            final = i == len(sessions) - 1
+            if final and s[-1] // 1000 + 30 * 60 * 1000 > wm_ms:
+                continue  # unexpired trailing session: unreported
+            want.add((
+                k,
+                str(pd.Timestamp(s[0], unit="us")),
+                str(pd.Timestamp(s[-1] + GAP_US, unit="us")),
+                len(s),
+                "timer" if final else "gap",
+            ))
+    assert got == want, (got - want, want - got)
