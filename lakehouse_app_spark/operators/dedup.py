@@ -215,19 +215,39 @@ def shingle_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup: identical sorted distinct-token-set fingerprint.
-    One deterministic signature per doc + an equi-self-join — the
-    cheapest dedup tier (pure hash shuffle on the fingerprint)."""
+    One deterministic signature per doc, then ONE hash shuffle —
+    groupBy(fingerprint) gathers each equality class and the ordered
+    pairs explode SCAN-LOCAL from the sorted id array (the
+    q_freq_pairs basket pattern). The r10 A/B retired the former
+    fingerprint self-join, which shuffled every document-sized
+    fingerprint string TWICE and built a join hash table keyed on
+    those strings: 0.32 vs 0.51 s min-of-4 interleaved at sf0.1,
+    output-identical — and the win compounds into q_dedup_clusters,
+    whose edge list this builds. At 100 TB the group key would be
+    (hash(fp), fp) so the shuffle carries hashes for routing while
+    equality stays exact; class sizes bound the quadratic step the
+    same way the basket width does in q_freq_pairs."""
     t = load_tables(spark, sf_dir)
     f = t.documents.select(
         "doc_id",
         F.array_join(F.array_sort(F.array_distinct(F.split(F.col("text"), " "))), " ")
         .alias("fp"),
     )
-    a = f.select(F.col("doc_id").alias("a_id"), F.col("fp").alias("a_fp"))
-    b = f.select(F.col("doc_id").alias("b_id"), F.col("fp").alias("b_fp"))
-    return a.join(
-        b, (F.col("a_fp") == F.col("b_fp")) & (F.col("a_id") < F.col("b_id"))
-    ).select("a_id", "b_id")
+    g = (
+        f.groupBy("fp")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    pairs = g.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                "y -> struct(x AS a_id, y AS b_id))))"
+            )
+        ).alias("p")
+    )
+    return pairs.select(F.col("p.a_id"), F.col("p.b_id"))
 
 
 # ---------------------------------------------------------------- jaccard
