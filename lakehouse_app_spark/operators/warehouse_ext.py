@@ -353,9 +353,11 @@ def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RECURSIVE CTE — the iterative-query operator class (org-chart /
-    BOM walks, graph reachability) that Spark 4.1 finally runs as
-    plain SQL (`WITH RECURSIVE`), generalized over a deterministic
+    """RECURSIVE CTE, hierarchy-walk shape — the second recursive
+    form beside [[q_recursive_cte]]'s hop-capped BFS: this recursion
+    is UNBOUNDED (terminates when the child frontier empties, not at
+    a hop literal) and its output feeds an aggregation join — the
+    org-chart / BOM-explosion rollup, over a deterministic
     hierarchy derived from the data: customers form a 10-ary tree
     (parent = c_custkey DIV 10, roots are keys < 10), the anchor
     seeds the roots, and each iteration joins the children of the
