@@ -146,9 +146,13 @@ def _measure_stream_floor(
         return dt
 
     # the adjacent re-probe only reads the stateful median; skip the
-    # passthrough arm there (one full streaming startup saved per use)
+    # passthrough arm there (one full streaming startup saved per
+    # use). The skipped arm reports -1.0 — the codebase's explicit
+    # "not measured" sentinel (same as tws_floor when unavailable) —
+    # never a fabricated 0.0 a future reader could mistake for a
+    # measured floor (review r10).
     plain = (
-        [0.0] if stateful_only else sorted(once(i, False) for i in range(runs))
+        [-1.0] if stateful_only else sorted(once(i, False) for i in range(runs))
     )
     stateful = sorted(once(i, True) for i in range(runs))
     return plain[len(plain) // 2], stateful[len(stateful) // 2]

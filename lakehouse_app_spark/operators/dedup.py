@@ -234,7 +234,13 @@ def q_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("fp"),
     )
     g = (
-        f.groupBy("fp")
+        # NULL fingerprints (a NULL text) must not form an equality
+        # class: groupBy would bucket them together, while the SQL
+        # oracle's `a.fp = b.fp` join — and the retired self-join —
+        # drop NULLs (review r10; latent until a corpus carries NULL
+        # text, the regeneration class this round hardens against)
+        f.where(F.col("fp").isNotNull())
+        .groupBy("fp")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .where(F.size("ids") >= 2)
     )
