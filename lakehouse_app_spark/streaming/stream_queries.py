@@ -1205,18 +1205,26 @@ def session_timeout_transform(spark: SparkSession, stream: DataFrame) -> DataFra
                 self.h.registerTimer(new_timer)
             self.sess.update((cur[0], cur[1], cur[2], new_timer))
             if closed:
+                # datetime64[us] views, not pd.to_datetime: this frame
+                # is built once per key per batch (~1.5k calls at
+                # sf0.1) and to_datetime's inference path measures 2.3×
+                # the raw-dtype cast (r11 microbench, ported with the
+                # matching change in handleExpiredTimer)
                 a = np.asarray(closed, dtype="int64")
                 yield pd.DataFrame(
                     {
                         "user_id": np.full(len(a), key[0], dtype="int64"),
-                        "session_start": pd.to_datetime(a[:, 0], unit="us"),
-                        "session_end": pd.to_datetime(a[:, 1] + GAP_US, unit="us"),
+                        "session_start": a[:, 0].astype("datetime64[us]"),
+                        "session_end": (a[:, 1] + GAP_US).astype(
+                            "datetime64[us]"
+                        ),
                         "n": a[:, 2],
                         "closed_by": ["gap"] * len(a),
                     }
                 )
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            import numpy as np
             import pandas as pd
 
             got = self.sess.get()
@@ -1224,10 +1232,14 @@ def session_timeout_transform(spark: SparkSession, stream: DataFrame) -> DataFra
                 self.sess.clear()
                 yield pd.DataFrame(
                     {
-                        "user_id": [key[0]],
-                        "session_start": [pd.to_datetime(got[0], unit="us")],
-                        "session_end": [pd.to_datetime(got[1] + GAP_US, unit="us")],
-                        "n": [got[2]],
+                        "user_id": np.asarray([key[0]], dtype="int64"),
+                        "session_start": np.asarray(
+                            [got[0]], dtype="datetime64[us]"
+                        ),
+                        "session_end": np.asarray(
+                            [got[1] + GAP_US], dtype="datetime64[us]"
+                        ),
+                        "n": np.asarray([got[2]], dtype="int64"),
                         "closed_by": ["timer"],
                     }
                 )
