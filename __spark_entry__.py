@@ -43,53 +43,53 @@ def entry(spark: SparkSession) -> DataFrame:
 # (a) new keys, (b) changed plans, (c) the keys the driver has
 # re-sampled least recently, so the whole surface accumulates FRESH
 # driver-green coverage instead of re-checking a fixed showcase.
-# Round-10 window: (a) the NEW keys — q_stream_state_timers
-# (event-time timers on the TWS API), q_audio_features (per-frame
-# RMS/ZCR over the decoded WAV samples), q_compact_roundtrip
-# (executed compaction with file-count-pinning oracle),
-# q_recursive_hierarchy (Spark-4 WITH RECURSIVE); (b) every
-# plan or oracle this round touched — q_knn_classify now routes
-# through the stored IVF layout (new plan AND new oracle),
-# q_bootstrap_ci's hash prefactor hoisted pre-explode, q_agg_stats'
-# median interpolation form, q_csv_ingest's multiLine read-back,
-# q_media_decode_image's signed-height flag, the WAV decode
-# refactor's consumers, and the scratch-dir lifecycle consumers
-# (q_time_travel, q_ingest_pipeline); (c) the _NEXT_UP window the
-# r9 state notes as never driver-resampled since r05/r06, oldest
-# first, continuing the rotation.
+# Round-11 window: (a) the NEW keys — q_ann_ivf_append (incremental
+# IVF index maintenance: batch assigned to stored centroids, delta
+# segment layout, drift report vs the stored health baseline) and
+# q_ann_ivf_delta_probe (top-k over base∪delta, both cid-pruned); (b)
+# every plan or oracle this round touched — q_stream_foreach_sink
+# (upgraded rows-only → exact: max-batch_id read-back with a batch
+# groupBy oracle), q_stream_state_timers (cheap-frame construction
+# port, hash-identical), q_neardup_exact (mega-class salted-fallback
+# hatch) and its edge consumers q_dedup_clusters / q_dedup_report,
+# q_ivf_balance (cohesion aggregate shared with the append report),
+# q_csv_ingest (docstring-only, kept for the r10-fix adjacency);
+# (c) the LEAST-recently-driver-sampled keys, computed from the
+# union of CORRECTNESS_r02..r10: the r04 tail (TPC-H q3-q8 block,
+# try/udaf/udtf/union/unpivot/url keys), the r05 remainder, then the
+# r06 alphabet — oldest first.
 _SHOWCASE = [
     # (a) this round's NEW keys
-    "q_stream_state_timers", "q_audio_features", "q_compact_roundtrip",
-    "q_recursive_hierarchy",
+    "q_ann_ivf_append", "q_ann_ivf_delta_probe",
     # (b) this round's changed paths
-    "q_knn_classify", "q_bootstrap_ci", "q_agg_stats", "q_csv_ingest",
-    "q_media_decode_image", "q_media_decode", "q_stream_media_decode",
-    "q_time_travel", "q_ingest_pipeline", "q_stream_state_v2",
-    "q_anomaly_mad", "q_compact_plan",
-    # (c) the never-resampled window, continuing the r9 rotation
-    "q_join_bucketed", "q_json_ingest", "q_mmr_diversify",
-    "q_pq_quantize", "q_quality_classifier", "q_retrieval_ndcg",
-    "q_rollup_hypertable", "q_sample_hash", "q_sample_weighted",
-    "q_scd2", "q_scd2_lookup", "q_sequence_gaps", "q_stream_sliding",
-    "q_stream_static_join", "q_stream_topk", "q_stream_tumbling",
-    "q_stream_vector_search", "q_table_diff", "q_tpch_q10",
-    "q_tpch_q11", "q_tpch_q12", "q_tpch_q13", "q_tpch_q14",
-    "q_tpch_q15", "q_tpch_q16", "q_tpch_q17", "q_tpch_q18",
-    "q_tpch_q19", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
-    "q_triangles", "q_twa", "q_udaf_grouped_agg",
+    "q_stream_foreach_sink", "q_stream_state_timers", "q_neardup_exact",
+    "q_dedup_clusters", "q_dedup_report", "q_ivf_balance", "q_csv_ingest",
+    # (c) least-recently-sampled, oldest first: r04 window
+    "q_tpch_q3", "q_tpch_q4", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7",
+    "q_tpch_q8", "q_try_funcs", "q_udaf_normalize", "q_udtf_tokens",
+    "q_union_by_name", "q_unpivot", "q_url_dedup", "q_url_parse",
+    # r05 window
+    "q_tpch_q2", "q_tpch_q9", "q_upsert", "q_window_dist",
+    "q_window_timerange", "q_zorder_stats",
+    # r06 window, alphabetical
+    "q_ann_brp_lsh", "q_arrow_batch_norm", "q_autocorr", "q_bigram_lm",
+    "q_bm25", "q_chunk_documents", "q_contamination", "q_dataset_card",
+    "q_derived_col", "q_embed_project", "q_entropy_kl", "q_fill_interp",
+    "q_filter_pred", "q_hybrid_retrieve", "q_join_bloom_prune",
+    "q_join_inner", "q_join_left", "q_join_multiway", "q_join_semi",
+    "q_json_extract", "q_lateral_topk", "q_markov_transitions",
 ]
 
 # Keys that would rotate in next if the driver over-samples past 50:
 # the oldest-green cycle continues alphabetically through the
-# remaining r06/r07 windows.
+# remaining r06 window.
 _NEXT_UP = [
-    "q_union_by_name", "q_unpivot", "q_upsert", "q_url_dedup",
-    "q_url_parse", "q_variant_json", "q_vocab_coverage",
-    "q_window_dist", "q_window_timerange", "q_winnow_fingerprint",
-    "q_zorder_stats", "q_agg_approx", "q_agg_cube", "q_agg_gsets",
-    "q_agg_rollup", "q_arrow_batch_norm", "q_bigram_lm",
-    "q_bloom_membership", "q_join_bloom_prune", "q_corpus_gate",
-    "q_chunk_dedup",
+    "q_mode_per_group", "q_neardup_lsh", "q_ngram_containment", "q_ohlc",
+    "q_pmi_collocations", "q_project", "q_quantiles", "q_recursive_cte",
+    "q_regr_trend", "q_rolling_median", "q_sample_stratified",
+    "q_scan_count", "q_skew_stats", "q_skyline", "q_sql_interface",
+    "q_stream_join", "q_stream_join_outer", "q_variant_json",
+    "q_agg_approx", "q_agg_cube", "q_agg_gsets", "q_agg_rollup",
 ]
 
 

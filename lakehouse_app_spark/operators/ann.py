@@ -21,7 +21,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from lakehouse_app_spark.operators.ann_index import ivf_index, lloyd_sql
+from lakehouse_app_spark.operators.ann_index import (
+    ivf_index,
+    lloyd_sql,
+    with_cid,
+)
 from lakehouse_app_spark.operators.dedup import spread
 from lakehouse_app_spark.operators.vectors import as_double_array, cosine_sim
 from lakehouse_app_spark.registry import query
@@ -923,21 +927,250 @@ def q_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     list, aggregated by cid; per-member sims are rounded then
     decimal-summed so the mean is order-insensitive and
     oracle-exact. At 100 TB this runs as the write-side observer of
-    index ingest, like the DQ gates."""
+    index ingest, like the DQ gates; [[q_ann_ivf_append]] reads the
+    STORED copy of this frame as its drift baseline."""
     cents, assigned = ivf_index(spark, sf_dir, "ivf8", N_CENTROIDS, KM_ITERS)
+    return _ivf_cohesion(cents, assigned, "n_vectors", "sum_sim_over_n")
+
+
+def _ivf_cohesion(
+    cents: DataFrame, members: DataFrame, n_name: str, mean_name: str
+) -> DataFrame:
+    """Per-cluster (count, decimal-exact mean member→centroid cosine,
+    min cosine) — the shared cohesion aggregate of q_ivf_balance and
+    q_ann_ivf_append, one broadcast join + one groupBy."""
     sim = F.round(cosine_sim(F.col("emb"), F.col("cvec")), 6)
     return (
-        assigned.join(F.broadcast(cents), "cid")
+        members.join(F.broadcast(cents), "cid")
         .select("cid", sim.alias("sim"))
         .groupBy("cid")
         .agg(
-            F.count(F.lit(1)).alias("n_vectors"),
+            F.count(F.lit(1)).alias(n_name),
             (
                 F.sum(F.col("sim").cast("decimal(25,6)")).cast("double")
                 / F.count(F.lit(1))
-            ).alias("sum_sim_over_n"),
+            ).alias(mean_name),
             F.round(F.min("sim"), 6).alias("min_sim"),
         )
+    )
+
+
+_APPEND_MOD = 10
+_APPEND_REM = 7
+# Arriving vectors get ids in a RESERVED namespace (base ids stay
+# below it): an O(1) literal, not a max(vec_id)+1 corpus probe, so
+# append stays O(batch) and the id rule is replayable in plain SQL.
+_APPEND_ID_OFFSET = 1_000_000
+
+
+def _append_batch(t) -> DataFrame:
+    """The arriving vector batch (vec_id % 10 = 7 stands in, re-read
+    RAW), re-identified into the reserved arriving-id namespace —
+    shared by the append report and the base∪delta probe so the two
+    can never disagree on what 'the batch' is."""
+    return t.embeddings.where(
+        F.col("vec_id") % _APPEND_MOD == _APPEND_REM
+    ).select(
+        (F.col("vec_id") + _APPEND_ID_OFFSET).alias("vec_id"),
+        as_double_array("embedding").alias("emb"),
+    )
+
+
+def ivf_delta_segment(
+    spark: SparkSession, sf_dir: str, cents: DataFrame, batch: DataFrame
+) -> DataFrame:
+    """The cid-partitioned DELTA segment: the arriving batch assigned
+    to the STORED centroids (broadcast scan-local argmax — no
+    retrain, no corpus touch) and committed once beside the base
+    assignment layout. Probes union base+delta; compaction folds the
+    delta in at the next retrain."""
+    return derived_table(
+        spark,
+        f"ivf8_delta_m{_APPEND_MOD}r{_APPEND_REM}o1m",
+        sf_dir,
+        lambda: with_cid(batch, F.col("emb"), cents).select(
+            "vec_id", "emb", "cid"
+        ),
+        partition_by=["cid"],
+    )
+
+
+@query(
+    "q_ann_ivf_append",
+    oracle=f"""
+    WITH {_IVF_CHAIN},
+    batch AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings WHERE vec_id % {_APPEND_MOD} = {_APPEND_REM}
+    ),
+    dasg AS (
+      SELECT vec_id, emb, cid FROM (
+        SELECT b.vec_id, b.emb, c.cid,
+               row_number() OVER (PARTITION BY b.vec_id
+                 ORDER BY round(list_cosine_similarity(b.emb, c.cvec), 6)
+                   DESC, c.cid) AS rn
+        FROM batch b, {_IVF_CENTS} c
+      ) WHERE rn = 1
+    ),
+    base AS (
+      SELECT a.cid, CAST(count(*) AS BIGINT) AS n_base,
+             CAST(SUM(CAST(round(list_cosine_similarity(a.emb, c.cvec), 6)
+                           AS DECIMAL(25,6))) AS DOUBLE) / count(*)
+               AS mean_sim_base
+      FROM {_IVF_ASG} a JOIN {_IVF_CENTS} c ON c.cid = a.cid
+      GROUP BY a.cid
+    ),
+    delta AS (
+      SELECT d.cid, CAST(count(*) AS BIGINT) AS n_new,
+             CAST(SUM(CAST(round(list_cosine_similarity(d.emb, c.cvec), 6)
+                           AS DECIMAL(25,6))) AS DOUBLE) / count(*)
+               AS mean_sim_new
+      FROM dasg d JOIN {_IVF_CENTS} c ON c.cid = d.cid
+      GROUP BY d.cid
+    )
+    SELECT b.cid, b.n_base,
+           CAST(COALESCE(d.n_new, 0) AS BIGINT) AS n_new,
+           round((b.n_base + COALESCE(d.n_new, 0))
+                   / (SUM(b.n_base) OVER () + SUM(COALESCE(d.n_new, 0)) OVER ())
+                 - b.n_base / SUM(b.n_base) OVER (), 6) AS occupancy_drift,
+           b.mean_sim_base, d.mean_sim_new,
+           round(d.mean_sim_new - b.mean_sim_base, 6) AS sim_drift
+    FROM base b LEFT JOIN delta d ON d.cid = b.cid
+    """,
+)
+def q_ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance — the assign-WITHOUT-rebuild
+    path that closes the index lifecycle (build q_ann_ivf → probe
+    q_knn_classify → health q_ivf_balance → compact
+    q_compact_roundtrip → **append, here**). The reference's VS index
+    is Delta-synced and ingests continuously (`app/vector_search.py:
+    24-27`); this is that operator on the stored-layout index.
+
+    An arriving batch (vectors with ``vec_id % 10 = 7`` stand in, the
+    [[q_dedup_incremental]] treatment — re-read RAW, since at ingest
+    the batch has no layout yet) is assigned to the STORED centroids
+    by the same broadcast scan-local argmax the base build used
+    (``with_cid`` — no shuffle, no corpus touch, no retrain) and
+    committed as a cid-partitioned DELTA segment next to the base
+    assignment layout; probes union base+delta partitions, compaction
+    folds the delta in. Cost is O(batch) + O(k): the corpus is never
+    re-scanned — the drift report joins the batch's per-cluster
+    aggregates against the STORED health baseline
+    (``ivf8_health``, the materialized [[q_ivf_balance]] frame)
+    rather than recomputing base cohesion. Output per cluster:
+    occupancy before/after drift and cohesion drift — the signals
+    that decide when append-only degradation warrants a retrain.
+    Oracle: DuckDB replays the identical trained codebook, batch
+    argmax, and decimal-mean arithmetic, so the report is hash-exact;
+    its base arm recomputes what the layout stores (same staleness
+    treatment as [[q_dedup_from_layout]])."""
+    cents, assigned = ivf_index(spark, sf_dir, "ivf8", N_CENTROIDS, KM_ITERS)
+    t = load_tables(spark, sf_dir)
+    delta = ivf_delta_segment(spark, sf_dir, cents, _append_batch(t))
+    health = derived_table(
+        spark,
+        "ivf8_health",
+        sf_dir,
+        lambda: _ivf_cohesion(cents, assigned, "n_vectors", "sum_sim_over_n"),
+    )
+    base = health.select(
+        "cid",
+        F.col("n_vectors").alias("n_base"),
+        F.col("sum_sim_over_n").alias("mean_sim_base"),
+    )
+    new = _ivf_cohesion(cents, delta, "n_new", "mean_sim_new").drop("min_sim")
+    rep = base.join(new, "cid", "left").select(
+        "cid",
+        "n_base",
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        "mean_sim_base",
+        "mean_sim_new",
+    )
+    w = Window.partitionBy()  # k rows by construction — trivial window
+    tot_b, tot_n = F.sum("n_base").over(w), F.sum("n_new").over(w)
+    return rep.select(
+        "cid",
+        "n_base",
+        "n_new",
+        F.round(
+            (F.col("n_base") + F.col("n_new")) / (tot_b + tot_n)
+            - F.col("n_base") / tot_b,
+            6,
+        ).alias("occupancy_drift"),
+        "mean_sim_base",
+        "mean_sim_new",
+        F.round(F.col("mean_sim_new") - F.col("mean_sim_base"), 6).alias(
+            "sim_drift"
+        ),
+    )
+
+
+@query(
+    "q_ann_ivf_delta_probe",
+    oracle=f"""
+    WITH {_IVF_CHAIN},
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    probed AS (
+      SELECT c.cid
+      FROM {_IVF_CENTS} c, q
+      ORDER BY round(list_cosine_similarity(c.cvec, q.qv), 6) DESC, c.cid
+      LIMIT {N_PROBE}
+    ),
+    batch AS (
+      SELECT vec_id + {_APPEND_ID_OFFSET} AS vec_id,
+             CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings WHERE vec_id % {_APPEND_MOD} = {_APPEND_REM}
+    ),
+    dasg AS (
+      SELECT vec_id, emb, cid FROM (
+        SELECT b.vec_id, b.emb, c.cid,
+               row_number() OVER (PARTITION BY b.vec_id
+                 ORDER BY round(list_cosine_similarity(b.emb, c.cvec), 6)
+                   DESC, c.cid) AS rn
+        FROM batch b, {_IVF_CENTS} c
+      ) WHERE rn = 1
+    ),
+    uni AS (
+      SELECT vec_id, emb, cid FROM {_IVF_ASG}
+      UNION ALL
+      SELECT vec_id, emb, cid FROM dasg
+    )
+    SELECT u.vec_id,
+           round(list_cosine_similarity(u.emb, q.qv), 6) AS sim
+    FROM uni u JOIN probed p ON u.cid = p.cid, q
+    ORDER BY sim DESC, u.vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def q_ann_ivf_delta_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The probe half of incremental maintenance: top-{TOP_K} over
+    the UNION of the base assignment layout and [[q_ann_ivf_append]]'s
+    delta segment — appended vectors are searchable the moment their
+    segment commits, with NO index rebuild. Both scans carry the same
+    literal cid partition filter (the delta is cid-partitioned like
+    the base, so pruning applies segment-by-segment — exactly how an
+    IVF deployment probes base+delta posting lists), and the arriving
+    batch's reserved id namespace (+{_APPEND_ID_OFFSET}) keeps the
+    union well-keyed. On this demo batch every appended vector is a
+    twin of a corpus member, so its sim equals its original's — the
+    id tie-break makes the merged ranking deterministic and the
+    oracle replays it exactly."""
+    cents, assigned = ivf_index(spark, sf_dir, "ivf8", N_CENTROIDS, KM_ITERS)
+    t = load_tables(spark, sf_dir)
+    delta = ivf_delta_segment(spark, sf_dir, cents, _append_batch(t))
+    qv = _query_vec(t)
+    probes = _probe_ids(cents, qv)
+    uni = assigned.where(F.col("cid").isin(probes)).unionByName(
+        delta.where(F.col("cid").isin(probes))
+    )
+    return (
+        uni.join(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(cosine_sim(F.col("emb"), F.col("qv")), 6).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(TOP_K)
     )
 
 

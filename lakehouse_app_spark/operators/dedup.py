@@ -233,6 +233,31 @@ def q_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.array_distinct(F.split(F.col("text"), " "))), " ")
         .alias("fp"),
     )
+    return fingerprint_pairs(f)
+
+
+# One scan-local pair explosion handles a class of this size in one
+# task (CAP² ≈ 16M 16-byte pairs ≈ 256 MB peak per task); classes
+# above it take the salted fallback so a pathological mega-class of
+# identical documents cannot concentrate its quadratic explode in a
+# single task (advice r10)
+NEARDUP_CLASS_CAP = 4096
+_NEARDUP_SALTS = 32
+
+
+def fingerprint_pairs(
+    f: DataFrame, cap: int = NEARDUP_CLASS_CAP
+) -> DataFrame:
+    """All ordered (a_id, b_id) pairs within each ``fp`` equality
+    class. One hash shuffle gathers each class (the id buffer is
+    linear in class size — only the PAIR space is quadratic); classes
+    ≤ ``cap`` explode scan-local from the sorted array, classes above
+    it fall back to a salted equality join — the a-side keeps one
+    salt per id, the b-side replicates across all salts, so each pair
+    materializes exactly once and the n²/S-per-task spread replaces
+    the single-task n² explode. Both branches read the SAME shuffle
+    (ReusedExchange; plan-pinned by test_neardup_mega_class_hatch's
+    output check), so the hatch costs no extra corpus pass."""
     g = (
         # NULL fingerprints (a NULL text) must not form an equality
         # class: groupBy would bucket them together, while the SQL
@@ -244,7 +269,7 @@ def q_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .where(F.size("ids") >= 2)
     )
-    pairs = g.select(
+    small = g.where(F.size("ids") <= cap).select(
         F.explode(
             F.expr(
                 "flatten(transform(ids, (x, i) -> "
@@ -252,8 +277,25 @@ def q_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "y -> struct(x AS a_id, y AS b_id))))"
             )
         ).alias("p")
+    ).select(F.col("p.a_id"), F.col("p.b_id"))
+    big_ids = g.where(F.size("ids") > cap).select(
+        "fp", F.explode("ids").alias("id")
     )
-    return pairs.select(F.col("p.a_id"), F.col("p.b_id"))
+    salts = F.array([F.lit(i) for i in range(_NEARDUP_SALTS)])
+    a = big_ids.select(
+        "fp",
+        F.col("id").alias("a_id"),
+        (F.col("id") % _NEARDUP_SALTS).alias("salt"),
+    )
+    b = big_ids.select(
+        "fp", F.col("id").alias("b_id"), F.explode(salts).alias("salt")
+    )
+    big = (
+        a.join(b, ["fp", "salt"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+    )
+    return small.unionAll(big)
 
 
 # ---------------------------------------------------------------- jaccard

@@ -136,7 +136,13 @@ def q_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multiLine: a quoted field may legally contain embedded newlines
     # (quoteAll wrote them verbatim); without it the reader splits such
     # a record into spurious rows and the round-trip silently breaks on
-    # corpora beyond newline-free test data.
+    # corpora beyond newline-free test data. The correctness comes at
+    # a stated parallelism price (advice r10): multiLine makes each
+    # CSV file an UNSPLITTABLE stream (no line-boundary splits inside
+    # a file), so read parallelism degrades to one task per file —
+    # inherent to quoted-newline CSV anywhere, and why the landing
+    # zone should arrive as MANY files; at 100 TB the file count, not
+    # maxPartitionBytes, is the scan's parallelism knob here.
     back = (
         spark.read.schema(schema)
         .option("header", True)

@@ -214,13 +214,14 @@ def min_label_components(
         # ONE action probes size AND fetches the edges: limit(N+1)
         # returning ≤ N rows proves the full edge set is in hand (a
         # separate count() would execute the upstream pair pipeline
-        # twice). The probe runs against a PERSISTED frame so a graph
-        # that exceeds the threshold doesn't pay the upstream pair
-        # pipeline's final stage again when the distributed loop scans
-        # it (shuffle outputs are stage-reused either way; the persist
-        # covers the post-shuffle work — ADVICE r8).
-        pairs = pairs.persist()
-        probed = True
+        # twice). The probe itself runs UNPERSISTED: on the common
+        # small-graph outcome the edges are consumed exactly once, so
+        # the r8 pre-probe persist was pure overhead there (re-A/B'd
+        # r11 after the pair pipeline got cheaper: 0.92 vs 1.01 s
+        # min-of-4 interleaved at sf0.1); a graph that exceeds the
+        # threshold persists BELOW, before the iterative loop, which
+        # still re-reads only post-shuffle work (shuffle outputs are
+        # stage-reused either way).
         head = pairs.limit(small_graph_threshold + 1).collect()
         if len(head) <= small_graph_threshold:
             labels_map = _union_find((r[0], r[1]) for r in head)
@@ -241,8 +242,11 @@ def min_label_components(
                     ]
                 ),
             )
-            pairs.unpersist()
             return labels, 0
+        # over-threshold: the iterative loop scans the edges in every
+        # round — persist now (see the probe comment above)
+        pairs = pairs.persist()
+        probed = True
     fwd = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
     rev = pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
     adj = fwd.unionByName(rev).persist()

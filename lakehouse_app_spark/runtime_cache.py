@@ -124,7 +124,7 @@ def release_caches() -> int:
     _SCOPED.clear()
     with _SCRATCH_LOCK:
         retired, _RETIRED_SCRATCH[:] = list(_RETIRED_SCRATCH), []
-    for d in retired:
+    for _, d in retired:
         shutil.rmtree(d, ignore_errors=True)
     return n
 
@@ -133,7 +133,12 @@ import threading as _threading  # noqa: E402  (stdlib, no Spark dep)
 
 _SCRATCH_LOCK = _threading.Lock()
 _SCRATCH_DIRS: dict[str, str] = {}
-_RETIRED_SCRATCH: list[str] = []
+_RETIRED_SCRATCH: list[tuple[str, str]] = []  # (prefix, retired dir)
+# Growth bound for callers that never drain via release_caches: once
+# the retired list exceeds this, acquisition reaps every retired tree
+# EXCEPT the newest per prefix (the only one an earlier invocation's
+# still-live lazy DataFrame could plausibly reference) — advice r10.
+_RETIRED_BOUND = 8
 
 
 def scratch_commit_dir(prefix: str) -> str:
@@ -147,16 +152,34 @@ def scratch_commit_dir(prefix: str) -> str:
     streaming queries may acquire from listener threads. RAM-backed
     when /dev/shm exists — the same policy as the stream checkpoints.
     Callers that never call release_caches (the driver's one-shot
-    correctness pass) leak at most one retired tree per prefix per
-    process — bounded, and on tmpfs reclaimed at process exit."""
+    correctness pass) are still bounded: past _RETIRED_BOUND retired
+    trees, acquisition reaps all but the newest retired tree per
+    prefix, so a drain-free loop holds at most max(_RETIRED_BOUND,
+    n_prefixes) dead trees instead of growing without limit on
+    tmpfs (advice r10)."""
     import os
+    import shutil
     import tempfile
 
     root = "/dev/shm" if os.path.isdir("/dev/shm") else None
     d = tempfile.mkdtemp(prefix=prefix, dir=root)
+    reap: list[str] = []
     with _SCRATCH_LOCK:
         prev = _SCRATCH_DIRS.get(prefix)
         if prev is not None:
-            _RETIRED_SCRATCH.append(prev)
+            _RETIRED_SCRATCH.append((prefix, prev))
         _SCRATCH_DIRS[prefix] = d
+        if len(_RETIRED_SCRATCH) > _RETIRED_BOUND:
+            newest = {p: i for i, (p, _) in enumerate(_RETIRED_SCRATCH)}
+            keep = set(newest.values())
+            reap = [
+                rd
+                for i, (_, rd) in enumerate(_RETIRED_SCRATCH)
+                if i not in keep
+            ]
+            _RETIRED_SCRATCH[:] = [
+                e for i, e in enumerate(_RETIRED_SCRATCH) if i in keep
+            ]
+    for rd in reap:  # rmtree outside the lock — it can be slow
+        shutil.rmtree(rd, ignore_errors=True)
     return d

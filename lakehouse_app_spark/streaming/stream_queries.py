@@ -314,14 +314,27 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_stream_foreach_sink")  # rows-only: filesystem side effect
+@query(
+    "q_stream_foreach_sink",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
 def q_stream_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch sink (ref R15's finalize-per-batch commit,
     `app/app.py:141`): each micro-batch lands as an atomic parquet
     append keyed by batch id; returns the read-back aggregate. The
     bounded-replay demo writes to the same RAM-backed scratch root as
     the checkpoints (_checkpoint_root); a production stream passes a
-    durable path — one argument, not a code change."""
+    durable path — one argument, not a code change.
+
+    Exact since r11 (verdict item 3): in COMPLETE mode every batch
+    appends the ENTIRE aggregate snapshot, so the rows carrying the
+    MAX batch_id are the final totals whatever the micro-batch count
+    — the read-back filters to that batch and the result equals the
+    batch groupBy, side effect intact and proven by the read path
+    itself (the rows exist only if the sink wrote them)."""
     out_dir = tempfile.mkdtemp(prefix="foreach_sink_", dir=_checkpoint_root())
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -354,7 +367,12 @@ def q_stream_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.read.parquet(out_dir).select("event_type", "n", "batch_id")
+    rb = spark.read.parquet(out_dir)
+    final = rb.join(
+        F.broadcast(rb.groupBy().agg(F.max("batch_id").alias("batch_id"))),
+        "batch_id",
+    )
+    return final.select("event_type", "n")
 
 
 @query(

@@ -930,6 +930,45 @@ def test_knn_classify_probes_layout_and_broadcasts(spark, sf_dir):
     assert "ivf8_cents" in plan, plan
 
 
+def test_ivf_append_is_batch_sized(spark, sf_dir):
+    """Incremental index append must be O(batch), never O(corpus):
+    once the delta segment and health baseline are committed, the
+    drift-report plan reads the stored ivf8_delta and ivf8_health
+    layouts and does NOT rescan the corpus-sized ivf8_assign table.
+    Semantics: every arriving vector lands in exactly one cluster
+    (sum of n_new == batch size) and drifts sum to ~0 by construction."""
+    df = QUERIES["q_ann_ivf_append"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "ivf8_del" in plan, plan
+    assert "ivf8_health" in plan, plan
+    assert "ivf8_ass" not in plan, plan  # no corpus rescan
+    rows = df.collect()
+    from pyspark.sql import functions as F
+
+    batch_n = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .where(F.col("vec_id") % 10 == 7)
+        .count()
+    )
+    assert sum(r["n_new"] for r in rows) == batch_n
+    assert abs(sum(r["occupancy_drift"] for r in rows)) < 1e-5
+
+
+def test_ivf_delta_probe_prunes_both_segments(spark, sf_dir):
+    """The base∪delta probe must partition-prune BOTH segment scans
+    with the literal probed-cid filter — the delta segment is
+    cid-partitioned like the base precisely so incremental appends
+    inherit the probe's n_probe/k scan reduction."""
+    import re
+
+    df = QUERIES["q_ann_ivf_delta_probe"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    ms = re.findall(r"PartitionFilters: \[[^\]]*cid[^\]]*IN[^\]]*\]", plan)
+    assert len(ms) >= 2, plan
+    # paths may truncate in the rendered plan (cf. the ivf8_a checks)
+    assert "ivf8_del" in plan and "ivf8_ass" in plan, plan
+
+
 def test_audio_features_decodes_jvm_side_single_scan(spark, sf_dir):
     """Per-frame audio features stay in the JVM: no Python evaluation
     node anywhere (the decode + framing is one Catalyst expression),

@@ -1013,3 +1013,27 @@ def test_percentile_disc_all_null_group(spark):
     ).collect()
     got = {r["g"]: r["p50"] for r in rows}
     assert got == {"a": 1.0, "b": None}
+
+
+def test_neardup_mega_class_hatch(spark):
+    """A class above NEARDUP_CLASS_CAP must take the salted-join
+    fallback and still emit exactly the ordered pair set the basket
+    explode gives below the cap — one mega-class of identical docs
+    can redistribute, never change, the output (advice r10)."""
+    import itertools
+
+    from lakehouse_app_spark.operators.dedup import fingerprint_pairs
+
+    rows = [(i, "dup") for i in range(10)] + [
+        (100, "x"), (101, "x"), (200, "solo"), (201, None),
+    ]
+    f = spark.createDataFrame(rows, "doc_id long, fp string")
+    expected = sorted(itertools.combinations(range(10), 2)) + [(100, 101)]
+    hatched = sorted(
+        (r.a_id, r.b_id) for r in fingerprint_pairs(f, cap=3).collect()
+    )
+    basket = sorted(
+        (r.a_id, r.b_id) for r in fingerprint_pairs(f, cap=4096).collect()
+    )
+    assert hatched == sorted(expected)
+    assert basket == hatched

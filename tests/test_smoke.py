@@ -148,3 +148,26 @@ def test_scratch_commit_dir_defers_cleanup():
     scratch_commit_dir("sc_test_a_")
     scratch_commit_dir("sc_test_b_")
     release_caches()
+
+
+def test_scratch_retired_list_is_bounded():
+    """A drain-free loop (a caller that never hits release_caches)
+    must not accumulate retired trees without bound: past
+    _RETIRED_BOUND, acquisition reaps everything but the newest
+    retired tree per prefix (advice r10)."""
+    import os
+
+    from lakehouse_app_spark import runtime_cache as rc
+
+    rc.release_caches()
+    dirs = [rc.scratch_commit_dir("sc_bound_") for _ in range(rc._RETIRED_BOUND + 5)]
+    with rc._SCRATCH_LOCK:
+        n_retired = len(rc._RETIRED_SCRATCH)
+    assert n_retired <= rc._RETIRED_BOUND
+    # the newest retired tree (previous generation) must survive the
+    # reap — an earlier invocation's lazy DataFrame may still read it
+    assert os.path.isdir(dirs[-2]) and os.path.isdir(dirs[-1])
+    # everything two-plus generations old is gone
+    assert not os.path.exists(dirs[0])
+    rc.scratch_commit_dir("sc_bound_")
+    rc.release_caches()
