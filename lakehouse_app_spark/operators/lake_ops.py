@@ -928,12 +928,15 @@ def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair (J ≥ 0.9 — [[q_dedup_minhash]]'s gated tier), and the
     exact-duplication rate.
 
-    Plan: the exact tier reads the STORED ``dup_clusters`` layout
-    (built once per corpus by [[q_dedup_clusters]] — no text touched,
-    no components recomputed); the near-dup tier runs the banded
-    candidate join over the STORED 16-hash signature layout with
-    exact verification only on candidates, exactly q_dedup_minhash's
-    scale path. Both memberships broadcast onto one doc-metadata scan
+    Plan: BOTH tiers read stored ingest products — the exact tier the
+    ``dup_clusters`` layout (built once per corpus by
+    [[q_dedup_clusters]] — no text touched, no components recomputed),
+    the near-dup tier the ``nd_pairs_j09`` layout (the verified
+    J ≥ 0.9 pair set [[q_dedup_minhash]] computes; that key remains
+    the live algorithm run, this table is its committed product —
+    the same split as q_dedup_keep_best over dup_clusters, r11 A/B:
+    0.81 → ~0.4 s warm in-suite, report now touches no document text
+    at all). Both memberships broadcast onto one doc-metadata scan
     feeding a single per-source aggregate; clean sources report zeros
     rather than vanishing. The oracle re-derives both tiers from raw
     text — fingerprint classes AND the full shingle-Jaccard truth
@@ -945,7 +948,9 @@ def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = derived_table(
         spark, "dup_clusters", sf_dir, lambda: q_dedup_clusters(spark, sf_dir)
     )
-    nd_pairs = q_dedup_minhash(spark, sf_dir)
+    nd_pairs = derived_table(
+        spark, "nd_pairs_j09", sf_dir, lambda: q_dedup_minhash(spark, sf_dir)
+    )
     nd_docs = (
         nd_pairs.select(F.col("a_id").alias("doc_id"))
         .unionAll(nd_pairs.select(F.col("b_id").alias("doc_id")))

@@ -1,13 +1,20 @@
-"""Self-check a subset of queries() against oracle_sql() at sf0.01.
+"""Self-check a subset of queries() against oracle_sql() at one SF.
 
 Usage: python tools_sweep_subset.py [key ...]   (no args = _SHOWCASE window)
+Env:   SWEEP_SF=0.001|0.01|0.1   (default 0.01)
 """
+import os
 import sys
 sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession
 import duckdb, pandas as pd
 
-spark = SparkSession.builder.master("local[8]").appName("sweep-subset").getOrCreate()
+SF = os.environ.get("SWEEP_SF", "0.01")
+SF_DIR = f"/root/testdata/sf{SF}"
+
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.driver.memory", "8g")
+         .appName("sweep-subset").getOrCreate())
 
 import __spark_entry__ as e
 
@@ -17,7 +24,7 @@ keys = sys.argv[1:] or e._SHOWCASE
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('/root/testdata/sf0.01/{t}.parquet')")
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
 
 def norm(pdf):
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
@@ -30,7 +37,7 @@ def norm(pdf):
 fails = []
 for name in keys:
     try:
-        spdf = q[name](spark, "/root/testdata/sf0.01").toPandas()
+        spdf = q[name](spark, SF_DIR).toPandas()
     except Exception as ex:
         print(f"  {name:24s} ERROR {ex}")
         fails.append(name); continue
