@@ -46,7 +46,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-11 window: (a) the NEW keys — q_ann_ivf_append (incremental
 # IVF index maintenance: batch assigned to stored centroids, delta
 # segment layout, drift report vs the stored health baseline) and
-# q_ann_ivf_delta_probe (top-k over base∪delta, both cid-pruned); (b)
+# q_ann_ivf_delta_probe (top-k over base∪delta, both cid-pruned) and
+# q_stream_ivf_append (the same ingest as a live stream: foreachBatch
+# segment appends, exact read-back oracle); (b)
 # every plan or oracle this round touched — q_stream_foreach_sink
 # (upgraded rows-only → exact: max-batch_id read-back with a batch
 # groupBy oracle), q_stream_state_timers (cheap-frame construction
@@ -60,7 +62,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # r06 alphabet — oldest first.
 _SHOWCASE = [
     # (a) this round's NEW keys
-    "q_ann_ivf_append", "q_ann_ivf_delta_probe",
+    "q_ann_ivf_append", "q_ann_ivf_delta_probe", "q_stream_ivf_append",
     # (b) this round's changed paths
     "q_stream_foreach_sink", "q_stream_state_timers", "q_neardup_exact",
     "q_dedup_clusters", "q_dedup_report", "q_ivf_balance", "q_csv_ingest",
@@ -77,14 +79,14 @@ _SHOWCASE = [
     "q_derived_col", "q_embed_project", "q_entropy_kl", "q_fill_interp",
     "q_filter_pred", "q_hybrid_retrieve", "q_join_bloom_prune",
     "q_join_inner", "q_join_left", "q_join_multiway", "q_join_semi",
-    "q_json_extract", "q_lateral_topk", "q_markov_transitions",
+    "q_json_extract", "q_lateral_topk",
 ]
 
 # Keys that would rotate in next if the driver over-samples past 50:
 # the oldest-green cycle continues alphabetically through the
 # remaining r06 window.
 _NEXT_UP = [
-    "q_mode_per_group", "q_neardup_lsh", "q_ngram_containment", "q_ohlc",
+    "q_markov_transitions", "q_mode_per_group", "q_neardup_lsh", "q_ngram_containment", "q_ohlc",
     "q_pmi_collocations", "q_project", "q_quantiles", "q_recursive_cte",
     "q_regr_trend", "q_rolling_median", "q_sample_stratified",
     "q_scan_count", "q_skew_stats", "q_skyline", "q_sql_interface",

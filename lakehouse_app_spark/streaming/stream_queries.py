@@ -918,6 +918,131 @@ def q_stream_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------ streaming index append
+
+_VEC_STREAM_DIRS: dict[str, str] = {}
+
+
+def _staged_new_vectors_dir(spark: SparkSession, sf_dir: str) -> str:
+    """The arriving vector batch (vec_id % 10 = 7 stands in, same as
+    the batch key) staged as a parquet dir for bounded replay."""
+    if sf_dir not in _VEC_STREAM_DIRS:
+        from lakehouse_app_spark.operators.ann import (
+            _APPEND_MOD,
+            _APPEND_REM,
+        )
+
+        d = tempfile.mkdtemp(prefix="vecs_stream_")
+        (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .where(F.col("vec_id") % _APPEND_MOD == _APPEND_REM)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+        _VEC_STREAM_DIRS[sf_dir] = d
+    return _VEC_STREAM_DIRS[sf_dir]
+
+
+def _stream_ivf_append_oracle() -> str:
+    from lakehouse_app_spark.operators.ann import (
+        _APPEND_ID_OFFSET,
+        _APPEND_MOD,
+        _APPEND_REM,
+        KM_ITERS,
+        N_CENTROIDS,
+    )
+    from lakehouse_app_spark.operators.ann_index import lloyd_sql
+
+    chain, cents, _ = lloyd_sql(N_CENTROIDS, KM_ITERS)
+    return f"""
+    WITH {chain},
+    batch AS (
+      SELECT vec_id + {_APPEND_ID_OFFSET} AS vec_id,
+             CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings WHERE vec_id % {_APPEND_MOD} = {_APPEND_REM}
+    ),
+    dasg AS (
+      SELECT vec_id, emb, cid FROM (
+        SELECT b.vec_id, b.emb, c.cid,
+               row_number() OVER (PARTITION BY b.vec_id
+                 ORDER BY round(list_cosine_similarity(b.emb, c.cvec), 6)
+                   DESC, c.cid) AS rn
+        FROM batch b, {cents} c
+      ) WHERE rn = 1
+    )
+    SELECT d.cid, CAST(count(*) AS BIGINT) AS n_new,
+           CAST(SUM(CAST(round(list_cosine_similarity(d.emb, c.cvec), 6)
+                         AS DECIMAL(25,6))) AS DOUBLE) / count(*)
+             AS mean_sim_new,
+           round(min(round(list_cosine_similarity(d.emb, c.cvec), 6)), 6)
+             AS min_sim
+    FROM dasg d JOIN {cents} c ON c.cid = d.cid
+    GROUP BY d.cid
+    """
+
+
+@query("q_stream_ivf_append", oracle=_stream_ivf_append_oracle())
+def q_stream_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[[q_ann_ivf_append]]'s ingest topology as a LIVE stream — the
+    continuously-ingesting half of the reference's Delta-synced VS
+    index (`app/vector_search.py:24-27`): arriving vectors replay as
+    a bounded file stream; each micro-batch is assigned to the STORED
+    centroids by the same broadcast scan-local argmax the batch key
+    uses (``with_cid`` — stateless, no watermark, no state store) and
+    lands as a cid-partitioned parquet segment append via
+    foreachBatch, the [[q_stream_foreach_sink]] commit shape. Batch
+    cost is O(batch)+O(k) — the corpus is never touched; at 100 TB
+    this is Kafka-in, searchable-segment-out with only the source
+    line changing. Returns the per-cluster cohesion read-back of the
+    WRITTEN segment (rows exist only if the sink committed them); the
+    oracle replays codebook + argmax + decimal means from raw
+    embeddings — stream/table duality for index ingest."""
+    from lakehouse_app_spark.operators.ann import (
+        _APPEND_ID_OFFSET,
+        _ivf_cohesion,
+        KM_ITERS,
+        N_CENTROIDS,
+    )
+    from lakehouse_app_spark.operators.ann_index import ivf_index, with_cid
+    from lakehouse_app_spark.operators.vectors import as_double_array
+
+    cents, _ = ivf_index(spark, sf_dir, "ivf8", N_CENTROIDS, KM_ITERS)
+    vdir = _staged_new_vectors_dir(spark, sf_dir)
+    vschema = spark.read.parquet(vdir).schema
+    vstream = spark.readStream.schema(vschema).parquet(vdir)
+    seg_dir = tempfile.mkdtemp(prefix="ivf_seg_", dir=_checkpoint_root())
+
+    def append_segment(batch_df: DataFrame, batch_id: int) -> None:
+        assigned = with_cid(
+            batch_df.select(
+                (F.col("vec_id") + _APPEND_ID_OFFSET).alias("vec_id"),
+                as_double_array("embedding").alias("emb"),
+            ),
+            F.col("emb"),
+            cents,
+        ).select("vec_id", "emb", "cid")
+        assigned.write.mode("append").partitionBy("cid").parquet(seg_dir)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_ivf_append_", dir=_checkpoint_root())
+    try:
+        q = (
+            vstream.writeStream.foreachBatch(append_segment)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    segment = spark.read.parquet(seg_dir)
+    return _ivf_cohesion(cents, segment, "n_new", "mean_sim_new")
+
+
 # ------------------------------------------- streaming ingest dedup
 
 _DOC_STREAM_DIRS: dict[str, str] = {}
