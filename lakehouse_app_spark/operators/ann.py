@@ -958,8 +958,12 @@ def _ivf_cohesion(
 _APPEND_MOD = 10
 _APPEND_REM = 7
 # Arriving vectors get ids in a RESERVED namespace (base ids stay
-# below it): an O(1) literal, not a max(vec_id)+1 corpus probe, so
-# append stays O(batch) and the id rule is replayable in plain SQL.
+# below it at every test SF): an O(1) literal, not a max(vec_id)+1
+# corpus probe, so append stays O(batch) and the id rule is replayable
+# in plain SQL. This offset is the DEMO's id allocator only — a
+# production ingest's arrivals carry ids already unique by the
+# upstream allocator (uuid/snowflake), and nothing downstream depends
+# on the offset beyond non-collision.
 _APPEND_ID_OFFSET = 1_000_000
 
 

@@ -285,7 +285,12 @@ def fingerprint_pairs(
     a = big_ids.select(
         "fp",
         F.col("id").alias("a_id"),
-        (F.col("id") % _NEARDUP_SALTS).alias("salt"),
+        # pmod, not %: Spark's % follows the dividend's sign, so a
+        # NEGATIVE id would salt to a value the b-side's 0..S-1
+        # literals never carry and its pairs would silently vanish
+        # (r11 self-review; ids are caller-supplied, not guaranteed
+        # non-negative)
+        F.pmod(F.col("id"), F.lit(_NEARDUP_SALTS)).alias("salt"),
     )
     b = big_ids.select(
         "fp", F.col("id").alias("b_id"), F.explode(salts).alias("salt")

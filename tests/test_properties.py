@@ -1026,9 +1026,15 @@ def test_neardup_mega_class_hatch(spark):
 
     rows = [(i, "dup") for i in range(10)] + [
         (100, "x"), (101, "x"), (200, "solo"), (201, None),
+        # negative ids: % would salt these out of the join (pmod fix)
+        (-8, "neg"), (-3, "neg"), (-1, "neg"), (-2, "neg"), (-5, "neg"),
     ]
     f = spark.createDataFrame(rows, "doc_id long, fp string")
-    expected = sorted(itertools.combinations(range(10), 2)) + [(100, 101)]
+    expected = (
+        sorted(itertools.combinations(range(10), 2))
+        + [(100, 101)]
+        + sorted(itertools.combinations(sorted([-8, -3, -1, -2, -5]), 2))
+    )
     hatched = sorted(
         (r.a_id, r.b_id) for r in fingerprint_pairs(f, cap=3).collect()
     )
