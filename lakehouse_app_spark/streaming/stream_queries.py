@@ -1009,8 +1009,32 @@ def q_stream_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cents, _ = ivf_index(spark, sf_dir, "ivf8", N_CENTROIDS, KM_ITERS)
     vdir = _staged_new_vectors_dir(spark, sf_dir)
-    vschema = spark.read.parquet(vdir).schema
-    vstream = spark.readStream.schema(vschema).parquet(vdir)
+    segment = run_ivf_segment_append(spark, cents, vdir)
+    return _ivf_cohesion(cents, segment, "n_new", "mean_sim_new")
+
+
+def run_ivf_segment_append(
+    spark: SparkSession,
+    cents: DataFrame,
+    src_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Replay ``src_dir``'s (vec_id, embedding) files as a bounded
+    stream, assign each micro-batch to ``cents`` and append it to a
+    fresh cid-partitioned segment; return the segment read-back.
+    Module-level (like :func:`tumbling_agg`) so tests can drive a
+    MULTI-FILE staging and pin that the segment is batching-invariant
+    — per-batch assignment is stateless, so any file split must
+    produce the identical segment content."""
+    from lakehouse_app_spark.operators.ann import _APPEND_ID_OFFSET
+    from lakehouse_app_spark.operators.ann_index import with_cid
+    from lakehouse_app_spark.operators.vectors import as_double_array
+
+    vschema = spark.read.parquet(src_dir).schema
+    reader = spark.readStream.schema(vschema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    vstream = reader.parquet(src_dir)
     seg_dir = tempfile.mkdtemp(prefix="ivf_seg_", dir=_checkpoint_root())
 
     def append_segment(batch_df: DataFrame, batch_id: int) -> None:
@@ -1039,8 +1063,7 @@ def q_stream_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(ckpt, ignore_errors=True)
-    segment = spark.read.parquet(seg_dir)
-    return _ivf_cohesion(cents, segment, "n_new", "mean_sim_new")
+    return spark.read.parquet(seg_dir)
 
 
 # ------------------------------------------- streaming ingest dedup

@@ -850,3 +850,52 @@ def test_timer_sessionize_random_matches_reference(spark, tmp_path):
                 "timer" if final else "gap",
             ))
     assert got == want, (got - want, want - got)
+
+
+def test_ivf_segment_append_batching_invariant(spark, tmp_path):
+    """Streaming index ingest is stateless per batch, so the written
+    segment must be IDENTICAL however the arriving files are split
+    into micro-batches — and must equal the static (batch-mode)
+    assignment of the same vectors to the same codebook."""
+    from lakehouse_app_spark.operators.ann import _APPEND_ID_OFFSET
+    from lakehouse_app_spark.operators.ann_index import with_cid
+    from lakehouse_app_spark.operators.vectors import as_double_array
+    from lakehouse_app_spark.streaming.stream_queries import (
+        run_ivf_segment_append,
+    )
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "cid int, cvec array<double>",
+    )
+    vecs = spark.createDataFrame(
+        [
+            (i, [float(i % 3), float((i + 1) % 2), 0.25 * i, 1.0])
+            for i in range(12)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    src = str(tmp_path / "arriving")
+    vecs.repartition(3).write.parquet(src)
+
+    def rows(df):
+        return sorted(
+            (r["vec_id"], r["cid"], tuple(r["emb"])) for r in df.collect()
+        )
+
+    multi = rows(
+        run_ivf_segment_append(spark, cents, src, max_files_per_trigger=1)
+    )
+    single = rows(run_ivf_segment_append(spark, cents, src))
+    static = rows(
+        with_cid(
+            spark.read.parquet(src).select(
+                (F.col("vec_id") + _APPEND_ID_OFFSET).alias("vec_id"),
+                as_double_array("embedding").alias("emb"),
+            ),
+            F.col("emb"),
+            cents,
+        ).select("vec_id", "emb", "cid")
+    )
+    assert multi == single == static
+    assert len(multi) == 12
