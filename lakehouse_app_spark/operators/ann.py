@@ -1178,6 +1178,162 @@ def q_ann_ivf_delta_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Tombstoned deletes folded at merge time: ~4% of BASE members (a
+# replayable id predicate stands in for an upstream delete feed; the
+# vec_id < offset guard scopes it to the base namespace so arriving
+# ids can never be swept by a base retention rule).
+_MERGE_TOMB_MOD = 25
+_MERGE_TOMB_REM = 11
+
+
+@query(
+    "q_ann_ivf_merge",
+    oracle=f"""
+    WITH {_IVF_CHAIN},
+    batch AS (
+      SELECT vec_id + {_APPEND_ID_OFFSET} AS vec_id,
+             CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings WHERE vec_id % {_APPEND_MOD} = {_APPEND_REM}
+    ),
+    dasg AS (
+      SELECT vec_id, emb, cid FROM (
+        SELECT b.vec_id, b.emb, c.cid,
+               row_number() OVER (PARTITION BY b.vec_id
+                 ORDER BY round(list_cosine_similarity(b.emb, c.cvec), 6)
+                   DESC, c.cid) AS rn
+        FROM batch b, {_IVF_CENTS} c
+      ) WHERE rn = 1
+    ),
+    uni AS (
+      SELECT vec_id, emb, cid FROM {_IVF_ASG}
+      UNION ALL
+      SELECT vec_id, emb, cid FROM dasg
+    ),
+    merged AS (
+      SELECT * FROM uni
+      WHERE NOT (vec_id % {_MERGE_TOMB_MOD} = {_MERGE_TOMB_REM}
+                 AND vec_id < {_APPEND_ID_OFFSET})
+    ),
+    agg AS (
+      SELECT m.cid,
+             CAST(count(*) AS BIGINT) AS n_total,
+             CAST(SUM(CASE WHEN m.vec_id >= {_APPEND_ID_OFFSET}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_from_delta,
+             CAST(SUM(m.vec_id) AS BIGINT) AS id_sum,
+             CAST(SUM(CAST(round(list_cosine_similarity(m.emb, c.cvec), 6)
+                           AS DECIMAL(25,6))) AS DOUBLE) / count(*)
+               AS mean_sim
+      FROM merged m JOIN {_IVF_CENTS} c ON c.cid = m.cid
+      GROUP BY m.cid
+    ),
+    dels AS (
+      SELECT cid, CAST(count(*) AS BIGINT) AS n_deleted
+      FROM {_IVF_ASG}
+      WHERE vec_id % {_MERGE_TOMB_MOD} = {_MERGE_TOMB_REM}
+      GROUP BY cid
+    )
+    SELECT a.cid,
+           CAST(1 AS BIGINT) AS n_files,
+           a.n_total, a.n_from_delta,
+           CAST(COALESCE(d.n_deleted, 0) AS BIGINT) AS n_deleted,
+           a.id_sum, a.mean_sim
+    FROM agg a LEFT JOIN dels d ON d.cid = a.cid
+    """,
+)
+def q_ann_ivf_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index maintenance MERGE — the step that RETIRES the delta
+    segment and applies tombstoned deletes, completing the lifecycle
+    [[q_ann_ivf]] build → [[q_ann_ivf_append]] append →
+    [[q_ann_ivf_delta_probe]] base∪delta probe → **merge, here** (the
+    OPTIMIZE analog [[q_compact_roundtrip]] performs for the fact
+    table, applied to the vector index; the reference's Delta-synced
+    VS index, `app/vector_search.py:24-27`, runs this fold
+    continuously server-side).
+
+    base ∪ delta minus the tombstone set (a replayable base-namespace
+    id predicate standing in for an upstream delete feed) is
+    committed as a NEW cid-partitioned generation with exactly ONE
+    file per cluster — after a merge, a probe touching P clusters
+    opens P files instead of P×(1+segments). The report reads the
+    WRITTEN generation back and pins, per cluster: the physical file
+    count (countDistinct over ``_metadata.file_path`` vs the oracle's constant
+    1 — the [[q_compact_roundtrip]] treatment, so the match fails
+    unless each cluster really folded to one file), membership
+    (n_total/id_sum — a row lost or doubled in the rewrite
+    hash-mismatches), provenance (n_from_delta via the reserved id
+    namespace), the deletes applied (n_deleted, recomputed from the
+    base layout), and post-merge cohesion (decimal-exact mean
+    member→centroid cosine, the [[q_ivf_balance]] arithmetic).
+
+    At 100 TB: the merge reads only base+delta assignment layouts
+    (never raw text/embeddings beyond the stored vectors), shuffles
+    ONCE on cid (each output file written by one task), and the
+    tombstone anti-join is a broadcast at realistic delete-feed
+    sizes. Cost is O(index), amortized across the appends it folds —
+    and probes never pay a per-segment penalty again."""
+    cents, assigned = ivf_index(spark, sf_dir, "ivf8", N_CENTROIDS, KM_ITERS)
+    t = load_tables(spark, sf_dir)
+    delta = ivf_delta_segment(spark, sf_dir, cents, _append_batch(t))
+    tombstoned = (
+        F.pmod(F.col("vec_id"), F.lit(_MERGE_TOMB_MOD)) == _MERGE_TOMB_REM
+    )
+
+    def build() -> DataFrame:
+        uni = assigned.select("vec_id", "emb", "cid").unionByName(
+            delta.select("vec_id", "emb", "cid")
+        )
+        keep = uni.where(
+            ~(tombstoned & (F.col("vec_id") < _APPEND_ID_OFFSET))
+        )
+        # strict hash repartition on cid: every cluster lands wholly
+        # in one task, so partitionBy(cid) commits ONE file per
+        # cluster (AQE may coalesce tasks but never splits a key)
+        return keep.repartition(F.col("cid"))
+
+    merged = derived_table(
+        spark,
+        f"ivf8_merged_m{_APPEND_MOD}r{_APPEND_REM}"
+        f"_t{_MERGE_TOMB_MOD}r{_MERGE_TOMB_REM}",
+        sf_dir,
+        build,
+        partition_by=["cid"],
+    )
+    agg = (
+        merged.withColumn("fpath", F.col("_metadata.file_path"))
+        .join(F.broadcast(cents), "cid")
+        .groupBy("cid")
+        .agg(
+            F.countDistinct("fpath").alias("n_files"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(
+                (F.col("vec_id") >= _APPEND_ID_OFFSET).cast("long")
+            ).alias("n_from_delta"),
+            F.sum("vec_id").cast("long").alias("id_sum"),
+            (
+                F.sum(
+                    F.round(cosine_sim(F.col("emb"), F.col("cvec")), 6)
+                    .cast("decimal(25,6)")
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_sim"),
+        )
+    )
+    dels = (
+        assigned.where(tombstoned)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_deleted"))
+    )
+    return agg.join(dels, "cid", "left").select(
+        "cid",
+        "n_files",
+        "n_total",
+        "n_from_delta",
+        F.coalesce("n_deleted", F.lit(0)).cast("long").alias("n_deleted"),
+        "id_sum",
+        "mean_sim",
+    )
+
+
 # ---------------------------------------- hyperplane (cosine) LSH
 
 HP_BITS = 16

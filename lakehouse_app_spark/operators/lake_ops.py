@@ -1068,3 +1068,110 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_chars",
         F.col("n_archived").cast("long").alias("n_archived"),
     )
+
+
+@query(
+    "q_vacuum",
+    oracle="""
+    WITH batch AS (
+      SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 10 = 6
+    ),
+    v1 AS (SELECT * FROM batch WHERE NOT (n_chars < 100)),
+    v2 AS (SELECT doc_id,
+                  CASE WHEN n_chars >= 400 THEN 'archived' ELSE source END
+                    AS source,
+                  n_chars
+           FROM v1)
+    SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN source = 'archived' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_archived,
+           CAST(2 AS BIGINT) AS n_live,
+           CAST(1 AS BIGINT) AS n_expired,
+           TRUE AS expired_gone
+    FROM v1
+    UNION ALL
+    SELECT 2, CAST(count(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT),
+           CAST(SUM(CASE WHEN source = 'archived' THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(2 AS BIGINT), CAST(1 AS BIGINT), TRUE
+    FROM v2
+    """,
+)
+def q_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention EXECUTED on the snapshot layer — the VACUUM /
+    `expireSnapshots` half that [[q_time_travel]]'s unbounded-history
+    guarantee needs to be deployable (every version is a full COW
+    copy here, so without retention storage grows per mutation).
+    Same three-commit lineage as q_time_travel on a disjoint doc
+    slice (base v0 → COW DELETE v1 → COW UPDATE v2), then
+    ``expire_snapshots(keep_last=2)`` drops v0: manifest deleted
+    FIRST (the version becomes invisible at that instant — the
+    inverse of the manifest-last commit), data directory second, so
+    a crash mid-vacuum leaves unreferenced files, never a readable
+    half-deleted version.
+
+    The report pins all three retention claims in one hash: the
+    SURVIVORS (exactly the rows for versions 1 and 2, re-read from
+    disk with their content aggregates — so the vacuum must not have
+    touched live data), the LOG (n_live=2 from the manifest listing,
+    n_expired=1 from expire's return), and the PHYSICAL reclaim
+    (expired_gone is a literal filesystem check that v0's manifest
+    AND data directory are absent — the oracle's constant TRUE fails
+    the match if either survived). Like q_time_travel, structurally
+    asymmetric in the conservative direction: Spark performs the
+    writes, the vacuum, and the read-backs; the oracle recomputes the
+    two end states.
+
+    At 100 TB: expire touches manifests (KB-sized) and issues
+    directory deletes — O(expired versions), never a data scan; the
+    orphan sweep's mtime grace window is the same writer-vs-vacuum
+    race guard as Delta VACUUM's retention horizon."""
+    import os
+
+    from lakehouse_app_spark.runtime_cache import scratch_commit_dir
+    from lakehouse_app_spark.sources.sinks import (
+        delete_where,
+        expire_snapshots,
+        read_snapshot,
+        snapshot_history,
+        update_where,
+        write_snapshot,
+    )
+
+    t = load_tables(spark, sf_dir)
+    batch = t.documents.where(F.col("doc_id") % 10 == 6).select(
+        "doc_id", "source", "n_chars"
+    )
+    path = scratch_commit_dir("vacuum_")
+    v0 = write_snapshot(batch, path, note="base")
+    v1 = delete_where(spark, path, F.col("n_chars") < 100)
+    v2 = update_where(
+        spark,
+        path,
+        F.col("n_chars") >= 400,
+        {"source": F.lit("archived")},
+    )
+    expired = expire_snapshots(path, keep_last=2)
+    n_live = len(snapshot_history(path))
+    expired_gone = all(
+        not os.path.exists(os.path.join(path, f"_v{v}.json"))
+        and not os.path.exists(os.path.join(path, f"v={v}"))
+        for v in expired
+    )
+    frames = []
+    for ver in (v1, v2):
+        frames.append(
+            read_snapshot(spark, path, ver).agg(
+                F.lit(ver).cast("int").alias("version"),
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("total_chars"),
+                F.count_if(F.col("source") == "archived")
+                .cast("long")
+                .alias("n_archived"),
+                F.lit(n_live).cast("long").alias("n_live"),
+                F.lit(len(expired)).cast("long").alias("n_expired"),
+                F.lit(bool(expired_gone)).alias("expired_gone"),
+            )
+        )
+    return frames[0].unionAll(frames[1])

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lakehouse_app_spark.operators.dedup import spread
 from lakehouse_app_spark.registry import query
 from lakehouse_app_spark.runtime_cache import scoped_persist
 from lakehouse_app_spark.sources.tables import load_tables
@@ -313,7 +314,6 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, never the corpus. The oracle is the SAME recurrence
     unrolled as SQL, with each iteration's mass sum decimal-exact so
     accumulation order can't diverge between engines."""
-    from lakehouse_app_spark.operators.dedup import spread
     from lakehouse_app_spark.sources.layout import derived_table
 
     t = load_tables(spark, sf_dir)
