@@ -983,3 +983,29 @@ def test_audio_features_decodes_jvm_side_single_scan(spark, sf_dir):
     # one scan NODE (formatted plans print each node twice: tree + detail)
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     assert "Exchange" not in plan, plan
+
+
+def test_ivf_merge_reads_layouts_and_folds_one_file_per_cluster(
+    spark, sf_dir
+):
+    """The maintenance merge must be O(index): its report plan reads
+    the merged generation, the base assignment layout (for the
+    n_deleted arm), and the broadcast centroids — never the raw
+    embeddings table (no corpus rescan, no re-derived vectors).
+    Physically, the fold is ONE file per cluster (n_files == 1 on
+    every row — also oracle-pinned, re-asserted here so the plan test
+    fails standalone), and membership reconciles exactly: n_total ==
+    base − deletes + delta per cluster."""
+    df = QUERIES["q_ann_ivf_merge"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "ivf8_merged" in plan, plan
+    assert "embeddings.parquet" not in plan, plan  # no corpus rescan
+    rows = df.collect()
+    assert rows and all(r["n_files"] == 1 for r in rows), rows
+    base = QUERIES["q_ivf_balance"](spark, sf_dir).collect()
+    base_n = {r["cid"]: r["n_vectors"] for r in base}
+    for r in rows:
+        assert (
+            r["n_total"]
+            == base_n[r["cid"]] - r["n_deleted"] + r["n_from_delta"]
+        ), (r, base_n)
