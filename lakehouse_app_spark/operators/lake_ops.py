@@ -1071,6 +1071,70 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_schema_evolution",
+    oracle="""
+    WITH unified AS (
+      SELECT doc_id, source, n_chars, NULL AS lang
+      FROM documents WHERE doc_id % 10 = 1
+      UNION ALL
+      SELECT doc_id, source, n_chars, lang
+      FROM documents WHERE doc_id % 10 = 2
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(lang) AS BIGINT) AS n_with_lang,
+           CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pre_evolution,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM unified GROUP BY source
+    """,
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution EXECUTED at the storage layer — the
+    add-a-column-without-rewriting-history capability every long-lived
+    lake table needs (Delta's mergeSchema / Iceberg's add-column;
+    previously unit-test-only, promoted to a driver-witnessed key).
+    Generation 1 lands WITHOUT the ``lang`` column (the table's
+    original shape); generation 2 lands WITH it; ONE
+    ``mergeSchema=true`` read unifies both file schemas, old files
+    surfacing ``lang`` as NULL — no rewrite of generation 1, which is
+    the entire point. The per-source report pins the unified read:
+    n_with_lang counts only generation-2 rows and n_pre_evolution only
+    generation-1 rows, so the hash fails if the merge dropped the new
+    column, backfilled old files, or lost rows on either side of the
+    schema boundary. The oracle replays the union with an explicit
+    NULL lang for the pre-evolution generation.
+
+    At 100 TB: evolution is a metadata act — new files carry the new
+    schema, old files are untouched (zero rewrite I/O), and the read
+    pays one footer-schema union across file groups. Parquet column
+    pruning still applies per file; old files simply have no chunk
+    for the new column."""
+    import os
+
+    from lakehouse_app_spark.runtime_cache import scratch_commit_dir
+
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select("doc_id", "source", "n_chars", "lang")
+    root = scratch_commit_dir("schema_evo_")
+    gen1 = base.where(F.col("doc_id") % 10 == 1).drop("lang")
+    gen2 = base.where(F.col("doc_id") % 10 == 2)
+    gen1.write.mode("overwrite").parquet(os.path.join(root, "gen=1"))
+    gen2.write.mode("overwrite").parquet(os.path.join(root, "gen=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "gen=1"), os.path.join(root, "gen=2")
+    )
+    return merged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("lang").alias("n_with_lang"),
+        F.count_if(F.col("lang").isNull()).alias("n_pre_evolution"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+@query(
     "q_vacuum",
     oracle="""
     WITH batch AS (
