@@ -980,6 +980,28 @@ def _append_batch(t) -> DataFrame:
     )
 
 
+# The arriving batch + its argmax assignment as oracle SQL — ONE
+# definition shared by every oracle that replays the delta segment
+# (q_ann_ivf_delta_probe, q_ann_ivf_merge, q_stream_ivf_append), so
+# a change to the assignment rule (rounding, tie-break, offset) can
+# never desynchronize one key's oracle from the Spark-side
+# _append_batch/ivf_delta_segment pair it mirrors (review r11).
+_APPEND_BATCH_CTES = f"""batch AS (
+      SELECT vec_id + {_APPEND_ID_OFFSET} AS vec_id,
+             CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings WHERE vec_id % {_APPEND_MOD} = {_APPEND_REM}
+    ),
+    dasg AS (
+      SELECT vec_id, emb, cid FROM (
+        SELECT b.vec_id, b.emb, c.cid,
+               row_number() OVER (PARTITION BY b.vec_id
+                 ORDER BY round(list_cosine_similarity(b.emb, c.cvec), 6)
+                   DESC, c.cid) AS rn
+        FROM batch b, {_IVF_CENTS} c
+      ) WHERE rn = 1
+    )"""
+
+
 def ivf_delta_segment(
     spark: SparkSession, sf_dir: str, cents: DataFrame, batch: DataFrame
 ) -> DataFrame:
@@ -1120,20 +1142,7 @@ def q_ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
       ORDER BY round(list_cosine_similarity(c.cvec, q.qv), 6) DESC, c.cid
       LIMIT {N_PROBE}
     ),
-    batch AS (
-      SELECT vec_id + {_APPEND_ID_OFFSET} AS vec_id,
-             CAST(embedding AS DOUBLE[]) AS emb
-      FROM embeddings WHERE vec_id % {_APPEND_MOD} = {_APPEND_REM}
-    ),
-    dasg AS (
-      SELECT vec_id, emb, cid FROM (
-        SELECT b.vec_id, b.emb, c.cid,
-               row_number() OVER (PARTITION BY b.vec_id
-                 ORDER BY round(list_cosine_similarity(b.emb, c.cvec), 6)
-                   DESC, c.cid) AS rn
-        FROM batch b, {_IVF_CENTS} c
-      ) WHERE rn = 1
-    ),
+    {_APPEND_BATCH_CTES},
     uni AS (
       SELECT vec_id, emb, cid FROM {_IVF_ASG}
       UNION ALL
@@ -1190,20 +1199,7 @@ _MERGE_TOMB_REM = 11
     "q_ann_ivf_merge",
     oracle=f"""
     WITH {_IVF_CHAIN},
-    batch AS (
-      SELECT vec_id + {_APPEND_ID_OFFSET} AS vec_id,
-             CAST(embedding AS DOUBLE[]) AS emb
-      FROM embeddings WHERE vec_id % {_APPEND_MOD} = {_APPEND_REM}
-    ),
-    dasg AS (
-      SELECT vec_id, emb, cid FROM (
-        SELECT b.vec_id, b.emb, c.cid,
-               row_number() OVER (PARTITION BY b.vec_id
-                 ORDER BY round(list_cosine_similarity(b.emb, c.cvec), 6)
-                   DESC, c.cid) AS rn
-        FROM batch b, {_IVF_CENTS} c
-      ) WHERE rn = 1
-    ),
+    {_APPEND_BATCH_CTES},
     uni AS (
       SELECT vec_id, emb, cid FROM {_IVF_ASG}
       UNION ALL
@@ -1274,8 +1270,13 @@ def q_ann_ivf_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents, assigned = ivf_index(spark, sf_dir, "ivf8", N_CENTROIDS, KM_ITERS)
     t = load_tables(spark, sf_dir)
     delta = ivf_delta_segment(spark, sf_dir, cents, _append_batch(t))
+    # plain %, NOT pmod: the predicate must mirror the ORACLE's %,
+    # and Spark's and DuckDB's % share sign-following semantics — a
+    # pmod here would silently diverge on negative ids (the
+    # fingerprint_pairs salt went the other way because it is
+    # engine-internal with no oracle twin)
     tombstoned = (
-        F.pmod(F.col("vec_id"), F.lit(_MERGE_TOMB_MOD)) == _MERGE_TOMB_REM
+        F.col("vec_id") % _MERGE_TOMB_MOD == _MERGE_TOMB_REM
     )
 
     def build() -> DataFrame:

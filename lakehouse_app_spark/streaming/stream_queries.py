@@ -920,13 +920,21 @@ def q_stream_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------ streaming index append
 
-_VEC_STREAM_DIRS: dict[str, str] = {}
+_VEC_STREAM_DIRS: dict[tuple[str, str], str] = {}
 
 
 def _staged_new_vectors_dir(spark: SparkSession, sf_dir: str) -> str:
     """The arriving vector batch (vec_id % 10 = 7 stands in, same as
-    the batch key) staged as a parquet dir for bounded replay."""
-    if sf_dir not in _VEC_STREAM_DIRS:
+    the batch key) staged as a parquet dir for bounded replay. The
+    memo key embeds the corpus CONTENT fingerprint (the
+    _COMPACT_LO_CACHE treatment, review r11): an in-session corpus
+    regeneration re-stages fresh vectors instead of serving a stale
+    batch the oracle no longer reads; superseded stagings are one
+    bounded dir per regeneration."""
+    from lakehouse_app_spark.sources.layout import corpus_fingerprint
+
+    key = (sf_dir, corpus_fingerprint(sf_dir))
+    if key not in _VEC_STREAM_DIRS:
         from lakehouse_app_spark.operators.ann import (
             _APPEND_MOD,
             _APPEND_REM,
@@ -940,15 +948,13 @@ def _staged_new_vectors_dir(spark: SparkSession, sf_dir: str) -> str:
             .write.mode("overwrite")
             .parquet(d)
         )
-        _VEC_STREAM_DIRS[sf_dir] = d
-    return _VEC_STREAM_DIRS[sf_dir]
+        _VEC_STREAM_DIRS[key] = d
+    return _VEC_STREAM_DIRS[key]
 
 
 def _stream_ivf_append_oracle() -> str:
     from lakehouse_app_spark.operators.ann import (
-        _APPEND_ID_OFFSET,
-        _APPEND_MOD,
-        _APPEND_REM,
+        _APPEND_BATCH_CTES,
         KM_ITERS,
         N_CENTROIDS,
     )
@@ -957,20 +963,7 @@ def _stream_ivf_append_oracle() -> str:
     chain, cents, _ = lloyd_sql(N_CENTROIDS, KM_ITERS)
     return f"""
     WITH {chain},
-    batch AS (
-      SELECT vec_id + {_APPEND_ID_OFFSET} AS vec_id,
-             CAST(embedding AS DOUBLE[]) AS emb
-      FROM embeddings WHERE vec_id % {_APPEND_MOD} = {_APPEND_REM}
-    ),
-    dasg AS (
-      SELECT vec_id, emb, cid FROM (
-        SELECT b.vec_id, b.emb, c.cid,
-               row_number() OVER (PARTITION BY b.vec_id
-                 ORDER BY round(list_cosine_similarity(b.emb, c.cvec), 6)
-                   DESC, c.cid) AS rn
-        FROM batch b, {cents} c
-      ) WHERE rn = 1
-    )
+    {_APPEND_BATCH_CTES}
     SELECT d.cid, CAST(count(*) AS BIGINT) AS n_new,
            CAST(SUM(CAST(round(list_cosine_similarity(d.emb, c.cvec), 6)
                          AS DECIMAL(25,6))) AS DOUBLE) / count(*)
@@ -999,13 +992,11 @@ def q_stream_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays codebook + argmax + decimal means from raw
     embeddings — stream/table duality for index ingest."""
     from lakehouse_app_spark.operators.ann import (
-        _APPEND_ID_OFFSET,
         _ivf_cohesion,
         KM_ITERS,
         N_CENTROIDS,
     )
-    from lakehouse_app_spark.operators.ann_index import ivf_index, with_cid
-    from lakehouse_app_spark.operators.vectors import as_double_array
+    from lakehouse_app_spark.operators.ann_index import ivf_index
 
     cents, _ = ivf_index(spark, sf_dir, "ivf8", N_CENTROIDS, KM_ITERS)
     vdir = _staged_new_vectors_dir(spark, sf_dir)
@@ -1035,7 +1026,15 @@ def run_ivf_segment_append(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     vstream = reader.parquet(src_dir)
-    seg_dir = tempfile.mkdtemp(prefix="ivf_seg_", dir=_checkpoint_root())
+    # scratch_commit_dir, not a bare mkdtemp: the segment outlives
+    # this function (the returned read-back is lazy), so cleanup must
+    # be the DEFERRED bounded-retirement protocol — a superseded
+    # segment is retired at the next acquisition and reaped at the
+    # harness drain (or past the retirement bound), never leaked one
+    # RAM-backed tree per invocation (review r11)
+    from lakehouse_app_spark.runtime_cache import scratch_commit_dir
+
+    seg_dir = os.path.join(scratch_commit_dir("ivf_seg_"), "segment")
 
     def append_segment(batch_df: DataFrame, batch_id: int) -> None:
         assigned = with_cid(

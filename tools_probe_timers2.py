@@ -82,10 +82,6 @@ def main() -> None:
     # run_to_memory awaits termination; grab progress from the query
     # object is not possible post-factum here, so re-run with a kept
     # handle below instead:
-    fresh = {
-        p: v for p, v in SEEN.items()
-        if p not in baseline_pids and "pyspark" in v[2] or "daemon" in v[2]
-    }
     print(f"fresh python procs during run: {len([p for p in SEEN if p not in baseline_pids])}")
     for p, (t_first, t_last, cmd) in sorted(SEEN.items()):
         if p in baseline_pids:
