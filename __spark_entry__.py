@@ -63,7 +63,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _SHOWCASE = [
     # (a) this round's NEW keys
     "q_ann_ivf_append", "q_ann_ivf_delta_probe", "q_stream_ivf_append",
-    "q_ann_ivf_merge", "q_vacuum", "q_schema_evolution",
+    "q_ann_ivf_merge", "q_vacuum", "q_schema_evolution", "q_join_dpp",
     # (b) this round's changed paths
     "q_stream_foreach_sink", "q_stream_state_timers", "q_neardup_exact",
     "q_dedup_clusters", "q_dedup_report", "q_ivf_balance", "q_csv_ingest",
@@ -80,14 +80,13 @@ _SHOWCASE = [
     "q_bm25", "q_chunk_documents", "q_contamination", "q_dataset_card",
     "q_derived_col", "q_embed_project", "q_entropy_kl", "q_fill_interp",
     "q_filter_pred", "q_hybrid_retrieve", "q_join_bloom_prune",
-    "q_join_inner",
 ]
 
 # Keys that would rotate in next if the driver over-samples past 50:
 # the oldest-green cycle continues alphabetically through the
 # remaining r06 window.
 _NEXT_UP = [
-    "q_join_left", "q_join_multiway", "q_join_semi", "q_json_extract",
+    "q_join_inner", "q_join_left", "q_join_multiway", "q_join_semi", "q_json_extract",
     "q_lateral_topk",
     "q_markov_transitions", "q_mode_per_group", "q_neardup_lsh", "q_ngram_containment", "q_ohlc",
     "q_pmi_collocations", "q_project", "q_quantiles", "q_recursive_cte",

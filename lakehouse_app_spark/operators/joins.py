@@ -622,3 +622,140 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select("dirty_id", "clean_id", dist.alias("dist")).where(
         F.col("dist") <= 1
     )
+
+
+# ------------------------------ dynamic partition pruning (DPP)
+
+# The dim filter is corpus-anchored (first quarter of the corpus's
+# SECOND ship year — the q_compact_roundtrip regeneration-proofing
+# policy applied to the star-schema filter), memoized per (session,
+# corpus content).
+_DPP_YEAR_CACHE: dict = {}
+
+
+@query(
+    "q_join_dpp",
+    oracle="""
+    WITH lo AS (
+      SELECT CAST(strftime(min(CAST(l_shipdate AS DATE)), '%Y') AS INT) + 1
+               AS y
+      FROM lineitem
+    ),
+    fact AS (
+      SELECT l_orderkey, l_quantity, l_extendedprice,
+             strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS ship_month
+      FROM lineitem
+    ),
+    dim AS (
+      SELECT DISTINCT ship_month,
+             CAST(strftime(CAST(ship_month || '-01' AS DATE), '%Y') AS INT)
+               AS yy,
+             ((CAST(strftime(CAST(ship_month || '-01' AS DATE), '%m') AS INT)
+               - 1) // 3) + 1 AS qq
+      FROM fact
+    )
+    SELECT f.ship_month,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(f.l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+           CAST(SUM(CAST(CAST(f.l_extendedprice AS DECIMAL(25,2)) * 100
+                         AS BIGINT)) AS DOUBLE) / 100.0 AS price_sum
+    FROM fact f JOIN dim d ON d.ship_month = f.ship_month, lo
+    WHERE d.yy = lo.y AND d.qq = 1
+    GROUP BY f.ship_month
+    """,
+)
+def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema join with DYNAMIC PARTITION PRUNING — the runtime
+    optimization that makes dimensional filtering affordable at
+    100 TB: the fact table is stored partitioned on the join key
+    (``ship_month``, the [[q_ann_ivf]] cluster-layout idea applied to
+    a time dimension), the month-dim carries the filterable
+    attributes (year, quarter), and Spark prunes the fact SCAN at
+    runtime with the surviving dim keys — the filter lives only on
+    the dim, yet ~80 of 83 month partitions are never read
+    (`PartitionFilters: [... dynamicpruningexpression(ship_month IN
+    dynamicpruning#N)]`, pinned by the plan-shape test). This is the
+    one scan-reduction lever the suite's static pruning keys
+    (q_stats_prune, q_join_bloom_prune, the IVF literal probes) could
+    not show: the pruning values are not known until the dim filter
+    runs.
+
+    The dim filter is corpus-anchored (Q1 of the corpus's second ship
+    year — a regenerated corpus with a shifted era still selects a
+    populated quarter in both engines). The oracle replays fact,
+    dim, anchor, join, and the cents-exact aggregate from raw
+    lineitem; the Spark side reads the stored month-partitioned
+    layout, so content identity across the layout write is in the
+    same hash.
+
+    At 100 TB: the fact layout is exactly how warehouses land fact
+    tables (date-partitioned); the dim broadcast is KB-sized; the
+    scan cost is O(selected partitions) regardless of corpus size —
+    and unlike a literal filter, it composes with ANY dim predicate
+    (holiday flags, fiscal calendars) without re-deriving fact
+    filters."""
+    from lakehouse_app_spark.runtime_cache import session_key
+    from lakehouse_app_spark.sources.layout import (
+        corpus_fingerprint,
+        derived_table,
+    )
+
+    t = load_tables(spark, sf_dir)
+    month = F.date_format(F.to_date("l_shipdate"), "yyyy-MM")
+
+    def build_fact() -> DataFrame:
+        # one task per month -> one file per month partition
+        return t.lineitem.select(
+            "l_orderkey",
+            "l_quantity",
+            "l_extendedprice",
+            month.alias("ship_month"),
+        ).repartition(F.col("ship_month"))
+
+    fact = derived_table(
+        spark,
+        "lineitem_by_month",
+        sf_dir,
+        build_fact,
+        partition_by=["ship_month"],
+    )
+
+    def build_dim() -> DataFrame:
+        first = F.to_date(F.concat(F.col("ship_month"), F.lit("-01")))
+        return (
+            t.lineitem.select(month.alias("ship_month"))
+            .distinct()
+            .select(
+                "ship_month",
+                F.year(first).alias("yy"),
+                F.quarter(first).alias("qq"),
+            )
+        )
+
+    dim = derived_table(spark, "month_dim", sf_dir, build_dim)
+
+    ck = (session_key(spark), sf_dir, corpus_fingerprint(sf_dir))
+    y = _DPP_YEAR_CACHE.get(ck)
+    if y is None:
+        y = (
+            t.lineitem.agg(
+                (F.year(F.min(F.to_date("l_shipdate"))) + 1).alias("y")
+            ).collect()[0]["y"]
+        )
+        _DPP_YEAR_CACHE[ck] = y
+    filtered_dim = dim.where((F.col("yy") == y) & (F.col("qq") == 1))
+    return (
+        fact.join(F.broadcast(filtered_dim), "ship_month")
+        .groupBy("ship_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("long")).alias("qty_sum"),
+            (
+                F.sum(
+                    (F.col("l_extendedprice").cast("decimal(25,2)") * 100)
+                    .cast("long")
+                ).cast("double")
+                / 100.0
+            ).alias("price_sum"),
+        )
+    )

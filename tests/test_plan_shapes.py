@@ -1009,3 +1009,18 @@ def test_ivf_merge_reads_layouts_and_folds_one_file_per_cluster(
             r["n_total"]
             == base_n[r["cid"]] - r["n_deleted"] + r["n_from_delta"]
         ), (r, base_n)
+
+
+def test_join_dpp_prunes_fact_scan_at_runtime(spark, sf_dir):
+    """The star-schema join must carry DYNAMIC partition pruning: the
+    filter lives only on the month-dim, so the fact scan's partition
+    filter must be the runtime dynamicpruning subquery (a static
+    literal filter would defeat the operator's point), and only the
+    anchored quarter's three months survive."""
+    df = QUERIES["q_join_dpp"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    rows = df.collect()
+    assert len(rows) == 3, rows
+    months = sorted(r["ship_month"] for r in rows)
+    assert [m[5:] for m in months] == ["01", "02", "03"], months
