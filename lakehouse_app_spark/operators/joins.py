@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from lakehouse_app_spark.functions.compat import fpsum
+from lakehouse_app_spark.functions.compat import fpsum, fpsum_sql
 from lakehouse_app_spark.registry import query
 from lakehouse_app_spark.sources.tables import load_tables
 
@@ -628,14 +628,13 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The dim filter is corpus-anchored (first quarter of the corpus's
 # SECOND ship year — the q_compact_roundtrip regeneration-proofing
-# policy applied to the star-schema filter), memoized per (session,
-# corpus content).
-_DPP_YEAR_CACHE: dict = {}
+# policy applied to the star-schema filter), memoized via
+# layout.corpus_scalar.
 
 
 @query(
     "q_join_dpp",
-    oracle="""
+    oracle=f"""
     WITH lo AS (
       SELECT CAST(strftime(min(CAST(l_shipdate AS DATE)), '%Y') AS INT) + 1
                AS y
@@ -656,7 +655,7 @@ _DPP_YEAR_CACHE: dict = {}
     )
     SELECT f.ship_month,
            CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(SUM(CAST(f.l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+           {fpsum_sql("f.l_quantity", "qty_sum", 100)},
            CAST(SUM(CAST(CAST(f.l_extendedprice AS DECIMAL(25,2)) * 100
                          AS BIGINT)) AS DOUBLE) / 100.0 AS price_sum
     FROM fact f JOIN dim d ON d.ship_month = f.ship_month, lo
@@ -694,9 +693,8 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     and unlike a literal filter, it composes with ANY dim predicate
     (holiday flags, fiscal calendars) without re-deriving fact
     filters."""
-    from lakehouse_app_spark.runtime_cache import session_key
     from lakehouse_app_spark.sources.layout import (
-        corpus_fingerprint,
+        corpus_scalar,
         derived_table,
     )
 
@@ -734,22 +732,26 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dim = derived_table(spark, "month_dim", sf_dir, build_dim)
 
-    ck = (session_key(spark), sf_dir, corpus_fingerprint(sf_dir))
-    y = _DPP_YEAR_CACHE.get(ck)
-    if y is None:
-        y = (
-            t.lineitem.agg(
-                (F.year(F.min(F.to_date("l_shipdate"))) + 1).alias("y")
-            ).collect()[0]["y"]
-        )
-        _DPP_YEAR_CACHE[ck] = y
+    y = corpus_scalar(
+        spark,
+        sf_dir,
+        "dpp_anchor_year",
+        lambda: t.lineitem.agg(
+            (F.year(F.min(F.to_date("l_shipdate"))) + 1).alias("y")
+        ).collect()[0]["y"],
+    )
     filtered_dim = dim.where((F.col("yy") == y) & (F.col("qq") == 1))
     return (
         fact.join(F.broadcast(filtered_dim), "ship_month")
         .groupBy("ship_month")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.col("l_quantity").cast("long")).alias("qty_sum"),
+            # fpsum, not cast('long'): Spark's cast truncates while
+            # the oracle's CAST AS BIGINT rounds — identical on the
+            # integral quantities generated today, divergent on any
+            # regenerated corpus with fractional quantities (review
+            # r11); the scaled-long recipe is exact on both engines
+            fpsum("l_quantity", "qty_sum", 100),
             (
                 F.sum(
                     (F.col("l_extendedprice").cast("decimal(25,2)") * 100)

@@ -713,7 +713,8 @@ def q_compact_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engines — the q_dedup_minhash regeneration-proofing policy applied
 # to dates (r10)
 _COMPACT_DAYS = 19  # inclusive span: lo .. lo + 19 = 20 day-files
-_COMPACT_LO_CACHE: dict = {}
+# anchor memoization lives in sources/layout.py::corpus_scalar
+# (ONE copy of the corpus-anchored-scalar recipe, review r11)
 
 
 @query(
@@ -782,28 +783,25 @@ def q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
-    from lakehouse_app_spark.runtime_cache import (
-        scratch_commit_dir,
-        session_key,
-    )
+    from lakehouse_app_spark.runtime_cache import scratch_commit_dir
 
     t = load_tables(spark, sf_dir)
     # corpus-anchored window bound: a 1-row min aggregate (bounded
     # scalar collect, the _probe_ids class), memoized per (session,
-    # corpus CONTENT) — the key embeds the layout catalog's corpus
-    # fingerprint (file sizes/mtimes), so an in-session regeneration
-    # with a shifted date era re-derives the bound instead of serving
-    # a stale window (review r10); repeat invocations on the same
-    # corpus still skip the scan
-    from lakehouse_app_spark.sources.layout import corpus_fingerprint
+    # corpus CONTENT) via layout.corpus_scalar — an in-session
+    # regeneration with a shifted date era re-derives the bound
+    # instead of serving a stale window (review r10); repeat
+    # invocations on the same corpus still skip the scan
+    from lakehouse_app_spark.sources.layout import corpus_scalar
 
-    ck = (session_key(spark), sf_dir, corpus_fingerprint(sf_dir))
-    lo = _COMPACT_LO_CACHE.get(ck)
-    if lo is None:
-        lo = t.lineitem.agg(
+    lo = corpus_scalar(
+        spark,
+        sf_dir,
+        "compact_lo_date",
+        lambda: t.lineitem.agg(
             F.min(F.to_date("l_shipdate")).alias("d")
-        ).collect()[0]["d"]
-        _COMPACT_LO_CACHE[ck] = lo
+        ).collect()[0]["d"],
+    )
     sub = t.lineitem.where(
         F.to_date("l_shipdate").between(
             F.lit(lo), F.date_add(F.lit(lo), _COMPACT_DAYS)

@@ -227,6 +227,30 @@ def _commit_build(
     return version
 
 
+# (session, sf_dir, corpus fingerprint, tag) -> computed scalar.
+# ONE copy of the corpus-anchored-scalar recipe (review r11; was
+# duplicated as _COMPACT_LO_CACHE in lake_ops and _DPP_YEAR_CACHE in
+# joins): the key embeds the corpus CONTENT fingerprint, so an
+# in-session regeneration re-derives the anchor instead of serving a
+# stale one, while repeat invocations on the same corpus skip the
+# scan. Values are tiny (a date, an int); the dict is bounded by
+# (sessions × corpora × tags) in practice.
+_CORPUS_SCALARS: dict = {}
+
+
+def corpus_scalar(spark: SparkSession, sf_dir: str, tag: str, compute):
+    """Memoized corpus-anchored scalar (a bounded 1-row aggregate —
+    the _probe_ids collect class): ``compute()`` runs once per
+    (session, corpus content, tag) and its value is replayed for
+    every later invocation on the same corpus."""
+    from lakehouse_app_spark.runtime_cache import session_key
+
+    ck = (session_key(spark), sf_dir, corpus_fingerprint(sf_dir), tag)
+    if ck not in _CORPUS_SCALARS:
+        _CORPUS_SCALARS[ck] = compute()
+    return _CORPUS_SCALARS[ck]
+
+
 def layout_path(name: str, sf_dir: str) -> str | None:
     """Committed data path for a layout (None if never built). Unlike
     the pre-round-6 tempdir scheme this answers from the durable
