@@ -914,3 +914,32 @@ def test_csv_ingest_roundtrips_embedded_newlines(spark, tmp_path):
     got = sorted((r["doc_id"], r["text"]) for r in back.collect())
     assert got == sorted((d, t) for d, _, t, _ in rows), got
     assert back.count() == len(rows)
+
+
+def test_corpus_scalar_memoizes_and_invalidates_on_regeneration(
+    spark, tmp_path
+):
+    """The shared corpus-anchored-scalar recipe: compute runs ONCE per
+    (session, corpus content, tag), is replayed on repeat calls, and a
+    regenerated corpus (same path, new bytes) re-derives the value
+    instead of serving the stale anchor."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lakehouse_app_spark.sources.layout import corpus_scalar
+
+    d = tmp_path / "sfY"
+    d.mkdir()
+    pq.write_table(pa.table({"a": [1, 2, 3]}), str(d / "t.parquet"))
+    calls = []
+
+    def compute():
+        calls.append(1)
+        return len(calls)
+
+    v1 = corpus_scalar(spark, str(d), "probe", compute)
+    v2 = corpus_scalar(spark, str(d), "probe", compute)
+    assert v1 == v2 == 1 and len(calls) == 1  # memoized
+    assert corpus_scalar(spark, str(d), "other", compute) == 2  # per-tag
+    pq.write_table(pa.table({"a": [9, 9, 9, 9]}), str(d / "t.parquet"))
+    assert corpus_scalar(spark, str(d), "probe", compute) == 3  # re-derived
