@@ -559,20 +559,25 @@ HAMMING_MAX = 8
 _SH_PARAMS = [(1610612741, 19), (805306457, 23)]
 
 
-def _portable_token_hash() -> Column:
-    """62-bit cross-engine token hash over the Karp-Rabin fingerprint
+def _with_token_hash(df: DataFrame, out: str = "th") -> DataFrame:
+    """(doc_id, <out>) from a (doc_id, token) frame — the 62-bit
+    cross-engine token hash over the Karp-Rabin fingerprint
     ([[q_minhash_sig]]'s portability recipe, widened): two affine
     universal hashes mod 2^31-1, concatenated. Pure integer
     arithmetic — bit-identical in Spark and DuckDB, which is what
     upgraded q_dedup_simhash from rows-only to an exact oracle (r6
-    verdict item 3)."""
+    verdict item 3). The per-character fold is projected ONCE into an
+    intermediate column; h1/h2 derive from it (r12 codegen-size
+    audit: the inlined form folded every character twice)."""
     from lakehouse_app_spark.operators.corpus_prep import _FP_SPARK, _MH_P
 
     fp = F.expr(_FP_SPARK.format(w="token"))
     (a1, b1), (a2, b2) = _SH_PARAMS
-    h1 = (F.lit(a1) * fp + F.lit(b1)) % F.lit(_MH_P)
-    h2 = (F.lit(a2) * fp + F.lit(b2)) % F.lit(_MH_P)
-    return h1 * F.lit(1 << 31) + h2
+    h1 = (F.lit(a1) * F.col("_fp") + F.lit(b1)) % F.lit(_MH_P)
+    h2 = (F.lit(a2) * F.col("_fp") + F.lit(b2)) % F.lit(_MH_P)
+    return df.select("doc_id", fp.alias("_fp")).select(
+        "doc_id", (h1 * F.lit(1 << 31) + h2).alias(out)
+    )
 
 
 def simhash(df: DataFrame) -> DataFrame:
@@ -594,9 +599,10 @@ def simhash(df: DataFrame) -> DataFrame:
     # shingles/doc; word-shingled docs are orders of magnitude below.
     lanes = 4
     nlongs = (SIMHASH_BITS + lanes - 1) // lanes
-    tok_h = df.select(
-        "doc_id", F.explode(word_shingles(3)).alias("token")
-    ).select("doc_id", _portable_token_hash().alias("th"))
+    tok_h = _with_token_hash(
+        df.select("doc_id", F.explode(word_shingles(3)).alias("token")),
+        out="th",
+    )
 
     def packed(g: int):
         parts = [
@@ -704,7 +710,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes ~n/2^16, which is what keeps the join linear at 100 TB
     (7-bit chunks for a guaranteed radius 8 would put ~n/128 docs in
     every bucket: quadratic). Exact oracle since r7: tokens are
-    hashed by the portable 62-bit recipe (:func:`_portable_token_hash`)
+    hashed by the portable 62-bit recipe (:func:`_with_token_hash`)
     instead of engine-private xxhash64, so DuckDB replays signatures
     bit-for-bit from raw text.
     """

@@ -27,8 +27,8 @@ from pyspark.sql import functions as F
 
 from lakehouse_app_spark.operators.ann_index import ivf_index, lloyd_sql
 from lakehouse_app_spark.operators.corpus_prep import (
-    _FP_SPARK,
-    _MH_P,
+    _fps_col,
+    _mh_cols_from_fps,
     _MH_PARAMS,
     mh_sig_cte_sql,
 )
@@ -472,17 +472,16 @@ def q_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------- dedup from the stored layout
 
 
-def _mh_sig_cols() -> list:
-    """The exact-parity MinHash signature columns ([[q_minhash_audit]]
-    recipe): 4 seeded affine hashes over the char-fold fingerprint of
-    each word-trigram shingle."""
-    return [
-        F.expr(
-            f"array_min(transform(toks, w -> "
-            f"({a} * {_FP_SPARK.format(w='w')} + {b}) % {_MH_P}))"
-        ).alias(f"mh{i}")
-        for i, (a, b) in enumerate(_MH_PARAMS)
-    ]
+def _with_mh_sig(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, mh0..mh3) from an (id, toks) frame — the exact-parity
+    MinHash signature ([[q_minhash_audit]] recipe): ONE char-fold
+    fingerprint pass over the shingles into an `fps` array, then 4
+    seeded affine hashes as cheap `array_min`s. Two projections so the
+    fold is code-generated once, not once per hash function (r11
+    verdict: the inlined form compiled a ~6 s codegen unit)."""
+    return df.select(id_col, _fps_col()).select(
+        id_col, *_mh_cols_from_fps()
+    )
 
 
 def minhash_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -496,12 +495,11 @@ def minhash_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         t = load_tables(spark, sf_dir)
-        return (
+        return _with_mh_sig(
             spread(t.documents)
             .select("doc_id", F.lower(F.col("text")).alias("text"))
             .select("doc_id", word_shingles(3).alias("toks"))
             .where(F.size("toks") > 0)
-            .select("doc_id", *_mh_sig_cols())
         )
 
     return derived_table(spark, "mh_sig", sf_dir, build)
@@ -675,14 +673,14 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the new batch is signed FRESH from text — at ingest time the
     # batch has no stored layout yet (that write happens on commit)
     t = load_tables(spark, sf_dir)
-    new = (
+    new = _with_mh_sig(
         spread(t.documents.where(F.col("doc_id") % 10 == 7))
         .select("doc_id", F.lower(F.col("text")).alias("text"))
         .select("doc_id", word_shingles(3).alias("toks"))
         .where(F.size("toks") > 0)
-        .select(F.col("doc_id").alias("new_id"), *_mh_sig_cols())
-        .withColumnsRenamed({f"mh{i}": f"n_mh{i}" for i in range(_N_MH)})
-    )
+        .select(F.col("doc_id").alias("new_id"), "toks"),
+        id_col="new_id",
+    ).withColumnsRenamed({f"mh{i}": f"n_mh{i}" for i in range(_N_MH)})
     # single-scan posexplode banding on BOTH sides (band k =
     # (mh{2k}, mh{2k+1}) via the shared _band_structs layout) → one
     # equi-join on the band key; a per-band join pair would re-sign

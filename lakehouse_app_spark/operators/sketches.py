@@ -242,17 +242,19 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
     )
     counts = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    fp = F.expr(_FP_SPARK.format(w="w"))
     # persist: the char-fold fingerprint per distinct word is the
     # dominant cost and keyed feeds CMS_D sketch builds + the
     # estimate probe — without the pin each consumer re-folds the
-    # vocabulary (review r6)
+    # vocabulary (review r6). The fold itself is projected once and
+    # the CMS_D column hashes derive from it (r12 codegen audit).
     keyed = scoped_persist(
         counts.select(
+            "w", "c", F.expr(_FP_SPARK.format(w="w")).alias("fp")
+        ).select(
             "w",
             "c",
             *[
-                (((a * fp + b) % _P) % CMS_W).alias(f"col{r}")
+                (((a * F.col("fp") + b) % _P) % CMS_W).alias(f"col{r}")
                 for r, (a, b) in enumerate(_CMS_PARAMS)
             ],
         )

@@ -568,7 +568,7 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     incrementally (the [[q_dedup_incremental]] topology applied to
     shingle provenance)."""
     from lakehouse_app_spark.operators.dedup import (
-        _portable_token_hash,
+        _with_token_hash,
         spread,
         word_shingles,
     )
@@ -576,11 +576,11 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         t = load_tables(spark, sf_dir)
-        return (
+        return _with_token_hash(
             spread(t.documents)
             .select("doc_id", F.lower(F.col("text")).alias("text"))
-            .select("doc_id", F.explode(word_shingles(3)).alias("token"))
-            .select("doc_id", _portable_token_hash().alias("s"))
+            .select("doc_id", F.explode(word_shingles(3)).alias("token")),
+            out="s",
         )
 
     sh = derived_table(spark, "shingle_fps", sf_dir, build)

@@ -1115,8 +1115,8 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_app_spark.operators.dedup_ext import (
         _N_MH,
         _band_structs,
-        _mh_sig_cols,
         _sig_est,
+        _with_mh_sig,
         minhash_sig_table,
     )
 
@@ -1130,15 +1130,15 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # mh0..mh3 and would silently break on a width change)
         return _band_structs(lambda i: f"{pfx}mh{i}")
 
-    new_sig = (
+    new_sig = _with_mh_sig(
         spark.readStream.schema(schema)
         .parquet(staged)
         .select("doc_id", F.lower(F.col("text")).alias("text"))
         .select("doc_id", word_shingles(3).alias("toks"))
         .where(F.size("toks") > 0)
-        .select(F.col("doc_id").alias("new_id"), *_mh_sig_cols())
-        .withColumnsRenamed({f"mh{i}": f"n_mh{i}" for i in range(n_mh)})
-    )
+        .select(F.col("doc_id").alias("new_id"), "toks"),
+        id_col="new_id",
+    ).withColumnsRenamed({f"mh{i}": f"n_mh{i}" for i in range(n_mh)})
     nb = new_sig.select(
         "new_id",
         *[f"n_mh{i}" for i in range(n_mh)],

@@ -175,6 +175,21 @@ def test_minhash_sig_is_scan_local(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
 
 
+def test_minhash_sig_folds_each_char_once(spark, sf_dir):
+    """The Karp-Rabin per-character fold must appear exactly ONCE in
+    the optimized plan (projected into an `fps` array the 4 affine
+    hashes consume) — the r11 inlined form carried it 4x, which both
+    quadrupled per-char work and produced a whole-stage-codegen unit
+    that cost ~6 s to compile (the single row that pushed BENCH_r11
+    to 1.914x). CollapseProject must NOT re-inline the fold."""
+    df = QUERIES["q_minhash_sig"](spark, sf_dir)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    # the fold is the only aggregate() lambda in this query
+    assert optimized.count("aggregate(") == 1, optimized
+    plan = formatted_plan(df)
+    assert plan.count("aggregate(") <= 2, plan  # tree + detail sections
+
+
 def test_corpus_gate_is_scan_local(spark, sf_dir):
     """Keep/drop gating is pure map work — zero shuffle at any scale."""
     plan = formatted_plan(QUERIES["q_corpus_gate"](spark, sf_dir))
