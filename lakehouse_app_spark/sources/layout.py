@@ -25,6 +25,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import threading as _threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -236,6 +237,12 @@ def _commit_build(
 # scan. Values are tiny (a date, an int); the dict is bounded by
 # (sessions × corpora × tags) in practice.
 _CORPUS_SCALARS: dict = {}
+# streaming queries acquire corpus scalars from listener threads too
+# (same threading reality as runtime_cache's scratch registry), so the
+# memo is lock-guarded like _SCRATCH_LOCK — an unguarded check-then-set
+# could run compute() twice concurrently (advice r11). RLock: compute()
+# is allowed to resolve a DIFFERENT tag's scalar reentrantly.
+_CORPUS_SCALARS_LOCK = _threading.RLock()
 
 
 def corpus_scalar(spark: SparkSession, sf_dir: str, tag: str, compute):
@@ -246,9 +253,10 @@ def corpus_scalar(spark: SparkSession, sf_dir: str, tag: str, compute):
     from lakehouse_app_spark.runtime_cache import session_key
 
     ck = (session_key(spark), sf_dir, corpus_fingerprint(sf_dir), tag)
-    if ck not in _CORPUS_SCALARS:
-        _CORPUS_SCALARS[ck] = compute()
-    return _CORPUS_SCALARS[ck]
+    with _CORPUS_SCALARS_LOCK:
+        if ck not in _CORPUS_SCALARS:
+            _CORPUS_SCALARS[ck] = compute()
+        return _CORPUS_SCALARS[ck]
 
 
 def layout_path(name: str, sf_dir: str) -> str | None:

@@ -939,6 +939,7 @@ def _staged_new_vectors_dir(spark: SparkSession, sf_dir: str) -> str:
             _APPEND_MOD,
             _APPEND_REM,
         )
+        from lakehouse_app_spark.runtime_cache import retire_scratch_dir
 
         d = tempfile.mkdtemp(prefix="vecs_stream_")
         (
@@ -948,6 +949,13 @@ def _staged_new_vectors_dir(spark: SparkSession, sf_dir: str) -> str:
             .write.mode("overwrite")
             .parquet(d)
         )
+        # a regeneration superseded the old fingerprint's staging:
+        # retire it through the deferred scratch protocol (removed at
+        # the next release_caches drain, never yanked from under a
+        # still-live replay) instead of leaking one dir per
+        # regeneration (advice r11)
+        for old in [k for k in _VEC_STREAM_DIRS if k[0] == sf_dir]:
+            retire_scratch_dir("vecs_stream_", _VEC_STREAM_DIRS.pop(old))
         _VEC_STREAM_DIRS[key] = d
     return _VEC_STREAM_DIRS[key]
 
@@ -1426,6 +1434,211 @@ def session_timeout_transform(spark: SparkSession, stream: DataFrame) -> DataFra
             outputMode="Update",
             timeMode="EventTime",
         )
+    )
+
+
+# ------------------- stream-static partition-pruned fact ingest
+
+_LI_STREAM_DIRS: dict[tuple[str, str], str] = {}
+_PRUNE_MOD = 10
+_PRUNE_REM = 7
+
+
+def _anchor_month(spark: SparkSession, sf_dir: str) -> str:
+    """First month of the arriving window: the corpus's LAST TWO ship
+    months (corpus-anchored via the shared corpus_scalar recipe, so a
+    regenerated corpus with a shifted era still selects a populated
+    window in both engines)."""
+    from lakehouse_app_spark.sources.layout import corpus_scalar
+
+    def compute() -> str:
+        t = load_tables(spark, sf_dir)
+        return t.lineitem.agg(
+            F.date_format(
+                F.add_months(
+                    F.date_trunc("month", F.max(F.to_date("l_shipdate"))), -1
+                ),
+                "yyyy-MM",
+            ).alias("m0")
+        ).collect()[0]["m0"]
+
+    return corpus_scalar(spark, sf_dir, "pruned_join_anchor_month", compute)
+
+
+def _staged_new_lineitem_dir(spark: SparkSession, sf_dir: str) -> str:
+    """The arriving fact batch — the corpus's last-two-months rows
+    with ``l_orderkey % 10 = 7`` (time-localized like a real ingest
+    batch: pruning only matters when arrivals touch few partitions) —
+    staged for bounded replay. Fingerprint-keyed with deferred
+    retirement, the _staged_new_vectors_dir protocol."""
+    from lakehouse_app_spark.runtime_cache import retire_scratch_dir
+    from lakehouse_app_spark.sources.layout import corpus_fingerprint
+
+    key = (sf_dir, corpus_fingerprint(sf_dir))
+    if key not in _LI_STREAM_DIRS:
+        m0 = _anchor_month(spark, sf_dir)
+        d = tempfile.mkdtemp(prefix="li_stream_")
+        t = load_tables(spark, sf_dir)
+        (
+            t.lineitem.where(
+                (F.col("l_orderkey") % _PRUNE_MOD == _PRUNE_REM)
+                & (
+                    F.date_format(F.to_date("l_shipdate"), "yyyy-MM")
+                    >= F.lit(m0)
+                )
+            )
+            .select("l_orderkey", "l_quantity", "l_shipdate")
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+        for old in [k for k in _LI_STREAM_DIRS if k[0] == sf_dir]:
+            retire_scratch_dir("li_stream_", _LI_STREAM_DIRS.pop(old))
+        _LI_STREAM_DIRS[key] = d
+    return _LI_STREAM_DIRS[key]
+
+
+def pruned_month_enrich(
+    spark: SparkSession, sf_dir: str, batch_df: DataFrame
+) -> DataFrame:
+    """The per-micro-batch stream-static join body, module-level so
+    the plan test can pin it: collect the batch's DISTINCT ship
+    months (bounded — O(partitions touched by the batch), the
+    _probe_ids collect class) and prune the static month-partitioned
+    fact layout with the literal key set before aggregating. This is
+    [[q_join_dpp]]'s runtime pruning carried onto the streaming path
+    by hand: Spark's own dynamicpruningexpression cannot cross the
+    micro-batch boundary, but the batch's key set is known at trigger
+    time, so the static scan gets `PartitionFilters: [ship_month
+    IN (...)]` and reads O(batch months), not O(history)."""
+    from lakehouse_app_spark.functions.compat import fpsum
+    from lakehouse_app_spark.operators.joins import month_fact_layout
+
+    months = [
+        r["ship_month"]
+        for r in batch_df.select("ship_month").distinct().collect()
+    ]
+    fact = month_fact_layout(spark, sf_dir)
+    base = (
+        fact.where(F.col("ship_month").isin(months))
+        .groupBy("ship_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_base"),
+            fpsum("l_quantity", "base_qty", 100),
+        )
+    )
+    new = batch_df.groupBy("ship_month").agg(
+        F.count(F.lit(1)).alias("n_new"),
+        fpsum("l_quantity", "new_qty", 100),
+    )
+    return new.join(base, "ship_month")
+
+
+def _pruned_join_oracle() -> str:
+    from lakehouse_app_spark.functions.compat import fpsum_sql
+
+    return f"""
+    WITH anchor AS (
+      SELECT strftime(date_trunc('month', MAX(CAST(l_shipdate AS DATE)))
+                      - INTERVAL 1 MONTH, '%Y-%m') AS m0
+      FROM lineitem
+    ),
+    batch AS (
+      SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS ship_month,
+             l_quantity
+      FROM lineitem, anchor
+      WHERE l_orderkey % {_PRUNE_MOD} = {_PRUNE_REM}
+        AND strftime(CAST(l_shipdate AS DATE), '%Y-%m') >= m0
+    ),
+    new AS (
+      SELECT ship_month, CAST(count(*) AS BIGINT) AS n_new,
+             {fpsum_sql("l_quantity", "new_qty", 100)}
+      FROM batch GROUP BY ship_month
+    ),
+    base AS (
+      SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS ship_month,
+             CAST(count(*) AS BIGINT) AS n_base,
+             {fpsum_sql("l_quantity", "base_qty", 100)}
+      FROM lineitem GROUP BY ship_month
+    )
+    SELECT n.ship_month, n.n_new, n.new_qty, b.n_base, b.base_qty
+    FROM new n JOIN base b ON b.ship_month = n.ship_month
+    """
+
+
+@query("q_stream_pruned_join", oracle=_pruned_join_oracle())
+def q_stream_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming fact ingest with a PARTITION-PRUNED stream-static
+    join — [[q_join_dpp]]'s scan-reduction lever on the streaming
+    path (verdict r11 item 7): arriving fact rows (the corpus's last
+    two ship months, the time-locality every real ingest batch has)
+    are enriched per micro-batch against the stored month-partitioned
+    fact layout, and the static side's scan is pruned AT TRIGGER TIME
+    to exactly the partitions the batch touches
+    (:func:`pruned_month_enrich` — the batch's distinct key set
+    becomes literal PartitionFilters, because Spark's own DPP cannot
+    reach across the micro-batch boundary). Output per arriving
+    month: batch volume vs stored-history volume, the
+    drift/reconciliation gauge an ingest pipeline reviews before
+    commit.
+
+    At 100 TB: the static layout holds the full history, but each
+    trigger reads O(months in the batch) partitions — without the
+    pruning the stream-static join rescans the entire fact table
+    EVERY micro-batch, which is the canonical way streaming joins
+    fall over at scale. The per-batch key collect is bounded by the
+    batch's partition count, and the layout is broadcast-side-free
+    (both aggregates are partial/map-side combined, one shuffle on
+    ship_month each).
+
+    Exact batch-duality oracle: anchor, batch, and both aggregates
+    replay in plain SQL over raw lineitem (fpsum fixed-point sums);
+    the declared single-data-batch bounded replay is the module's
+    determinism contract, same as [[q_stream_incremental_dedup]]."""
+    ensure_runtime_confs(spark)
+    staged = _staged_new_lineitem_dir(spark, sf_dir)
+    schema = spark.read.parquet(staged).schema
+    out_dir = tempfile.mkdtemp(prefix="pruned_join_", dir=_checkpoint_root())
+
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(staged)
+        .select(
+            F.date_format(F.to_date("l_shipdate"), "yyyy-MM").alias(
+                "ship_month"
+            ),
+            "l_quantity",
+        )
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            pruned_month_enrich(spark, sf_dir, batch_df)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    # few-key month aggregates want few shuffle partitions (the
+    # foreachBatch body runs under session confs, the
+    # q_stream_foreach_sink treatment)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_pruned_join_", dir=_checkpoint_root())
+    try:
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.parquet(out_dir).select(
+        "ship_month", "n_new", "new_qty", "n_base", "base_qty"
     )
 
 

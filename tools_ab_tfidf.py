@@ -1,7 +1,9 @@
 """Interleaved A/B: q_tfidf_top_terms current plan vs single-pass
-(lang,term) aggregate + term-window df. Run: python tools_ab_tfidf.py"""
-import sys, time
-sys.path.insert(0, "/root/repo")
+(lang,term) aggregate + term-window df. Run: python tools_ab_tfidf.py
+(paths derive from this file's location and $SPARK_GRAFT_SF_DIR, like
+the other tools_ scripts — advice r11)."""
+import os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -10,7 +12,7 @@ spark = (SparkSession.builder.master("local[32]")
          .config("spark.sql.adaptive.enabled","true")
          .config("spark.sql.session.timeZone","UTC")
          .getOrCreate())
-SF = "/root/testdata/sf0.1"
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 from lakehouse_app_spark.sources.tables import load_tables
 from lakehouse_app_spark.operators.text import tokens
 from lakehouse_app_spark import QUERIES
@@ -54,7 +56,6 @@ cur = lambda: QUERIES["q_tfidf_top_terms"](spark, SF)
 new = lambda: v1(spark, SF)
 
 # hash equality first
-import pandas as pd
 a = cur().toPandas().sort_values(["lang","rank"]).reset_index(drop=True)
 b = new().toPandas().sort_values(["lang","rank"]).reset_index(drop=True)
 print("identical:", a.equals(b))
