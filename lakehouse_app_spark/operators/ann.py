@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from lakehouse_app_spark.operators.ann_index import (
     ivf_index,
+    lloyd_means,
     lloyd_sql,
     with_cid,
 )
@@ -1332,6 +1333,128 @@ def q_ann_ivf_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_deleted", F.lit(0)).cast("long").alias("n_deleted"),
         "id_sum",
         "mean_sim",
+    )
+
+
+# ------------------------------------------- centroid re-train
+
+# Occupancy-skew gate: retrain fires when the hottest cluster holds
+# ≥ RETRAIN_RATIO × the mean occupancy (max_n · k ≥ ratio · total).
+# 1.03 trips on the test corpora (measured 1.04–1.15 across
+# sf0.001–0.1); a perfectly balanced index yields an empty moved set
+# in BOTH engines — the gate arithmetic rides in-band and the oracle
+# replays it, so the key stays exact either way.
+RETRAIN_RATIO = 1.03
+
+_RETRAIN_CHAIN, _RETRAIN_CENTS, _RETRAIN_ASG = lloyd_sql(
+    N_CENTROIDS, KM_ITERS + 1
+)
+
+
+@query(
+    "q_ann_ivf_retrain",
+    oracle=f"""
+    WITH {_RETRAIN_CHAIN},
+    occ AS (
+      SELECT cid, CAST(count(*) AS BIGINT) AS n
+      FROM {_IVF_ASG} GROUP BY cid
+    ),
+    gate AS (
+      SELECT max(n) * {N_CENTROIDS} >= {RETRAIN_RATIO} * SUM(n) AS fires
+      FROM occ
+    )
+    SELECT o.vec_id, o.cid AS old_cid, n.cid AS new_cid,
+           round(list_cosine_similarity(o.emb, co.cvec), 6) AS sim_old,
+           round(list_cosine_similarity(o.emb, cn.cvec), 6) AS sim_new
+    FROM {_IVF_ASG} o
+    JOIN {_RETRAIN_ASG} n ON n.vec_id = o.vec_id AND n.cid <> o.cid
+    JOIN {_IVF_CENTS} co ON co.cid = o.cid
+    JOIN {_RETRAIN_CENTS} cn ON cn.cid = n.cid
+    CROSS JOIN gate g
+    WHERE g.fires
+    """,
+)
+def q_ann_ivf_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index maintenance RE-TRAIN — the last lifecycle op after
+    [[q_ann_ivf]] build / [[q_ann_ivf_append]] / [[q_ann_ivf_merge]]:
+    when [[q_ivf_balance]]'s occupancy gauge flags skew, run ONE
+    bounded Lloyd round SEEDED FROM THE STORED CENTROIDS and report
+    exactly the vectors whose nearest centroid changed — the minimal
+    re-assignment set a 100 TB index would physically move (the
+    reference's managed VS index performs this upkeep server-side,
+    `app/vector_search.py:24-27`).
+
+    O(index), never O(corpus-from-scratch): the stored assignment IS
+    the seeded round's assign step (every member already sits with
+    its argmax-cosine centroid), so the retrained codebook is ONE
+    fixed-point mean aggregate over the stored ``(cid, emb)`` layout
+    (:func:`lloyd_means`), and re-assignment is the broadcast-packed
+    argmax projection of :func:`with_cid` over the same layout. The
+    raw embeddings table is never read — the plan test pins the scan
+    set to the layout. The skew gate rides in-band (a 1-row broadcast
+    cross-join), so a balanced index short-circuits to an empty moved
+    set identically in both engines.
+
+    Exact oracle: seeding Lloyd's from the stored round-K centroids
+    equals extending training by one round, so the oracle is simply
+    the shared :func:`lloyd_sql` chain at ``KM_ITERS + 1`` — the
+    moved set is ``asg_K ⋈ asg_{{K+1}}`` on changed cid, with
+    member→centroid cosines against both generations' codebooks. The
+    skew gate rides in-band (a 1-row broadcast cross-join the oracle
+    replays in its WHERE) — a collect-the-metadata variant was A/B'd
+    and lost (0.87 vs 1.20 s min-of-4 interleaved at sf0.1: the
+    driver round-trip + literal re-upload costs more than the
+    checkpointed in-band aggregate), so a balanced index
+    short-circuits to an empty moved set via the gate join."""
+    cents, assigned = ivf_index(spark, sf_dir, "ivf8", N_CENTROIDS, KM_ITERS)
+    occ = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+    gate = occ.agg(
+        (
+            F.max("n") * N_CENTROIDS >= F.lit(RETRAIN_RATIO) * F.sum("n")
+        ).alias("fires")
+    )
+    # retrained codebook: one mean step over the STORED assignment —
+    # materialized once (lloyd_cents' per-round treatment) because it
+    # feeds both the re-assignment broadcast and the sim_new join
+    cents2 = lloyd_means(
+        assigned.select("cid", "emb")
+    ).localCheckpoint(eager=True)
+    re = with_cid(
+        assigned.select("vec_id", "emb", F.col("cid").alias("old_cid")),
+        F.col("emb"),
+        cents2,
+    ).withColumnRenamed("cid", "new_cid")
+    moved = re.where(F.col("new_cid") != F.col("old_cid"))
+    sim_old = F.round(cosine_sim(F.col("emb"), F.col("old_cvec")), 6)
+    sim_new = F.round(cosine_sim(F.col("emb"), F.col("new_cvec")), 6)
+    return (
+        moved.join(
+            F.broadcast(
+                cents.select(
+                    F.col("cid").alias("old_cid"),
+                    F.col("cvec").alias("old_cvec"),
+                )
+            ),
+            "old_cid",
+        )
+        .join(
+            F.broadcast(
+                cents2.select(
+                    F.col("cid").alias("new_cid"),
+                    F.col("cvec").alias("new_cvec"),
+                )
+            ),
+            "new_cid",
+        )
+        .join(F.broadcast(gate))
+        .where(F.col("fires"))
+        .select(
+            "vec_id",
+            "old_cid",
+            "new_cid",
+            sim_old.alias("sim_old"),
+            sim_new.alias("sim_new"),
+        )
     )
 
 

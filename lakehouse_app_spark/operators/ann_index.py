@@ -82,6 +82,36 @@ def with_cid(df: DataFrame, emb: Column, cents: DataFrame) -> DataFrame:
     )
 
 
+def lloyd_means(asg: DataFrame) -> DataFrame:
+    """One Lloyd mean step: per-(cid, dimension) fixed-point mean of
+    an assignment frame carrying (cid, emb), reassembled into a
+    ``(cid, cvec)`` codebook. The mean is an exact scaled-BIGINT sum
+    (order-insensitive) divided in double and re-rounded to 6 dp —
+    bit-identical in any engine following the recipe. Shared by the
+    training loop and the [[q_ann_ivf_retrain]] maintenance step
+    (which feeds it the STORED assignment layout instead of a fresh
+    assignment pass)."""
+    means = (
+        asg.select("cid", F.posexplode("emb").alias("pos", "v"))
+        .groupBy("cid", "pos")
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("v") * 1000000.0, 0).cast("long"))
+                .cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1000000.0),
+                6,
+            ).alias("v")
+        )
+    )
+    return means.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "v"))),
+            lambda s: s["v"],
+        ).alias("cvec")
+    )
+
+
 def lloyd_cents(emb_df: DataFrame, n: int, iters: int) -> DataFrame:
     """Deterministic Lloyd's: first-``n`` seeds, ``iters`` rounds of
     assign → fixed-point per-dimension mean. Each round's mean is an
@@ -98,28 +128,9 @@ def lloyd_cents(emb_df: DataFrame, n: int, iters: int) -> DataFrame:
             F.col("emb"),
             cents,
         )
-        means = (
-            asg.select("cid", F.posexplode("emb").alias("pos", "v"))
-            .groupBy("cid", "pos")
-            .agg(
-                F.round(
-                    F.sum(F.round(F.col("v") * 1000000.0, 0).cast("long"))
-                    .cast("double")
-                    / F.count(F.lit(1))
-                    / F.lit(1000000.0),
-                    6,
-                ).alias("v")
-            )
-        )
-        cents = means.groupBy("cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "v"))),
-                lambda s: s["v"],
-            ).alias("cvec")
-        )
         # materialize per round: keeps the next round's broadcast plan
         # shallow and runs each corpus pass exactly once (k×dims rows)
-        cents = cents.localCheckpoint(eager=True)
+        cents = lloyd_means(asg).localCheckpoint(eager=True)
     return cents
 
 

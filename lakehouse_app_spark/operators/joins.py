@@ -624,6 +624,35 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def month_fact_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ship-month-partitioned lineitem fact layout (one file per
+    month partition) — how warehouses land date-partitioned fact
+    tables. Shared by [[q_join_dpp]] (runtime dim-driven pruning) and
+    [[q_stream_pruned_join]] (per-micro-batch key-driven pruning of
+    the same layout on the streaming path)."""
+    from lakehouse_app_spark.sources.layout import derived_table
+
+    t = load_tables(spark, sf_dir)
+    month = F.date_format(F.to_date("l_shipdate"), "yyyy-MM")
+
+    def build_fact() -> DataFrame:
+        # one task per month -> one file per month partition
+        return t.lineitem.select(
+            "l_orderkey",
+            "l_quantity",
+            "l_extendedprice",
+            month.alias("ship_month"),
+        ).repartition(F.col("ship_month"))
+
+    return derived_table(
+        spark,
+        "lineitem_by_month",
+        sf_dir,
+        build_fact,
+        partition_by=["ship_month"],
+    )
+
+
 # ------------------------------ dynamic partition pruning (DPP)
 
 # The dim filter is corpus-anchored (first quarter of the corpus's
@@ -700,23 +729,7 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     month = F.date_format(F.to_date("l_shipdate"), "yyyy-MM")
-
-    def build_fact() -> DataFrame:
-        # one task per month -> one file per month partition
-        return t.lineitem.select(
-            "l_orderkey",
-            "l_quantity",
-            "l_extendedprice",
-            month.alias("ship_month"),
-        ).repartition(F.col("ship_month"))
-
-    fact = derived_table(
-        spark,
-        "lineitem_by_month",
-        sf_dir,
-        build_fact,
-        partition_by=["ship_month"],
-    )
+    fact = month_fact_layout(spark, sf_dir)
 
     def build_dim() -> DataFrame:
         first = F.to_date(F.concat(F.col("ship_month"), F.lit("-01")))
