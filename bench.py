@@ -47,7 +47,11 @@ def _sf_from_dir(d: str) -> float:
 # an ADJACENT floor re-probe recorded in the printed line, so a
 # throttle window during their reps is visible in the record itself —
 # the duck_pairing_bias treatment applied to the stateful tail.
-TWS_WATCH = ("q_stream_state_v2", "q_stream_user_state")
+TWS_WATCH = (
+    "q_stream_state_v2",
+    "q_stream_user_state",
+    "q_stream_state_timers",
+)
 
 
 def time_spark_query(spark, name: str, fn) -> tuple[float, list[float]]:
@@ -245,6 +249,88 @@ def _measure_tws_floor(spark, runs: int = 3) -> float:
     return ts[len(ts) // 2]
 
 
+def _measure_timer_floor(spark, runs: int = 3) -> float:
+    """Median wall-clock of a MINIMAL (1-row, 1-key) EventTime
+    transformWithStateInPandas replay whose single registered timer
+    fires in the mandatory no-data batch — exactly
+    q_stream_state_timers' two-micro-batch lifecycle with zero data
+    volume. Recorded in-band (r12, verdict item 3) so the driver
+    record itself carries the irreducibility decomposition:
+    state_timers_min − timer_floor is the data-scaled cost; the floor
+    is the API-mandated 2-batch price (driver-worker fork + 2×
+    state-store open/commit + no-data batch planning). Returns -1.0
+    when the v2 API is unavailable."""
+    from lakehouse_app_spark.streaming.stream_queries import _twsp_available
+
+    if not _twsp_available():
+        return -1.0
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming import StatefulProcessor
+
+    from lakehouse_app_spark.sources.pb_vendor import (
+        inject_worker_pythonpath,
+        protobuf_runtime_dir,
+    )
+    from lakehouse_app_spark.streaming.stream_queries import (
+        _checkpoint_root,
+        run_tws,
+    )
+
+    pb_dir = protobuf_runtime_dir()
+    if pb_dir:
+        inject_worker_pythonpath(spark, pb_dir)
+
+    src = tempfile.mkdtemp(prefix="timer_floor_src_", dir=_checkpoint_root())
+    spark.range(1).select(
+        F.col("id").alias("k"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts_l"),
+    ).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    class _OneTimer(StatefulProcessor):
+        def init(self, handle):
+            self.h = handle
+            self.s = handle.getValueState("s", "n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as _pd
+
+            n = sum(len(p) for p in rows)
+            self.s.update((int(n),))
+            self.h.registerTimer(0)  # fires at the final watermark floor
+            yield _pd.DataFrame({"k": [key[0]], "n": [n]})
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            import pandas as _pd
+
+            self.s.clear()
+            yield _pd.DataFrame({"k": [key[0]], "n": [-1]})
+
+        def close(self):
+            pass
+
+    def once() -> float:
+        stream = spark.readStream.schema(schema).parquet(src)
+        keyed = (
+            stream.withWatermark("ts_l", "0 seconds")
+            .groupBy("k")
+            .transformWithStateInPandas(
+                statefulProcessor=_OneTimer(),
+                outputStructType="k long, n long",
+                outputMode="Update",
+                timeMode="EventTime",
+            )
+        )
+        t0 = time.perf_counter()
+        run_tws(spark, keyed, "_timer_floor", partitions=2)
+        return time.perf_counter() - t0
+
+    ts = sorted(once() for _ in range(runs))
+    return ts[len(ts) // 2]
+
+
 def main() -> None:
     eng.load_all_queries()
     spark = eng.get_spark(app_name="lakehouse-app-spark-bench")
@@ -277,6 +363,7 @@ def main() -> None:
     # floor_per_query_sec decomposes the batch tail.
     stream_floor, stream_floor_stateful = _measure_stream_floor(spark)
     tws_floor = _measure_tws_floor(spark)
+    timer_floor = _measure_timer_floor(spark)
 
     # DuckDB comparator set up BEFORE the loop so each oracle is
     # timed immediately after its Spark twin (paired measurement):
@@ -323,6 +410,8 @@ def main() -> None:
             try:
                 if name == "q_stream_state_v2":
                     floor_adj = _measure_tws_floor(spark, runs=1)
+                elif name == "q_stream_state_timers":
+                    floor_adj = _measure_timer_floor(spark, runs=1)
                 else:
                     floor_adj = _measure_stream_floor(
                         spark, runs=1, stateful_only=True
@@ -353,6 +442,7 @@ def main() -> None:
         "stream_floor_per_query_sec": round(stream_floor, 4),
         "stream_floor_stateful_sec": round(stream_floor_stateful, 4),
         "tws_floor_sec": round(tws_floor, 4),
+        "tws_timer_floor_sec": round(timer_floor, 4),
         "tws_watch": tws_watch,
     }
 
@@ -414,6 +504,7 @@ def main() -> None:
         "stream_floor_per_query_sec": full["stream_floor_per_query_sec"],
         "stream_floor_stateful_sec": full["stream_floor_stateful_sec"],
         "tws_floor_sec": full["tws_floor_sec"],
+        "tws_timer_floor_sec": full["tws_timer_floor_sec"],
         "tws_watch": tws_watch,
     }
     if RUN_DUCKDB:
