@@ -43,57 +43,54 @@ def entry(spark: SparkSession) -> DataFrame:
 # (a) new keys, (b) changed plans, (c) the keys the driver has
 # re-sampled least recently, so the whole surface accumulates FRESH
 # driver-green coverage instead of re-checking a fixed showcase.
-# Round-11 window: (a) the NEW keys — q_ann_ivf_append (incremental
-# IVF index maintenance: batch assigned to stored centroids, delta
-# segment layout, drift report vs the stored health baseline) and
-# q_ann_ivf_delta_probe (top-k over base∪delta, both cid-pruned) and
-# q_stream_ivf_append (the same ingest as a live stream: foreachBatch
-# segment appends, exact read-back oracle); (b)
-# every plan or oracle this round touched — q_stream_foreach_sink
-# (upgraded rows-only → exact: max-batch_id read-back with a batch
-# groupBy oracle), q_stream_state_timers (cheap-frame construction
-# port, hash-identical), q_neardup_exact (mega-class salted-fallback
-# hatch) and its edge consumers q_dedup_clusters / q_dedup_report,
-# q_ivf_balance (cohesion aggregate shared with the append report),
-# q_csv_ingest (docstring-only, kept for the r10-fix adjacency);
-# (c) the LEAST-recently-driver-sampled keys, computed from the
-# union of CORRECTNESS_r02..r10: the r04 tail (TPC-H q3-q8 block,
-# try/udaf/udtf/union/unpivot/url keys), the r05 remainder, then the
-# r06 alphabet — oldest first.
+# Round-12 window: (a) the NEW keys — q_ann_ivf_retrain (one-round
+# seeded Lloyd re-train over the stored assignment layout, skew-gated,
+# moved-vector report) and q_stream_pruned_join (stream-static fact
+# ingest whose per-batch key set prunes the month-partitioned static
+# layout at trigger time — DPP on the streaming path); (b) every plan
+# this round touched — the fold-once Karp-Rabin refactor's consumers
+# (q_minhash_sig/audit, q_dedup_from_layout/incremental/minhash/
+# simhash, q_stream_incremental_dedup, q_ngram_novelty,
+# q_cms_heavy_hitters — bit-identical recipe, new 2-projection plan),
+# q_stream_ivf_append (staging retirement), q_join_dpp +
+# q_compact_roundtrip (corpus_scalar lock path), q_stream_state_timers
+# (joined TWS_WATCH, timer-floor instrument); (c) the LEAST-recently-
+# driver-sampled keys: the r06 alphabet continuation, oldest first.
 _SHOWCASE = [
-    # (a) this round's NEW keys
-    "q_ann_ivf_append", "q_ann_ivf_delta_probe", "q_stream_ivf_append",
-    "q_ann_ivf_merge", "q_vacuum", "q_schema_evolution", "q_join_dpp",
-    # (b) this round's changed paths
-    "q_stream_foreach_sink", "q_stream_state_timers", "q_neardup_exact",
-    "q_dedup_clusters", "q_dedup_report", "q_ivf_balance", "q_csv_ingest",
-    "q_pagerank", "q_triangles",  # cold-layout import fix landed r11
-    # (c) least-recently-sampled, oldest first: r04 window
-    "q_tpch_q3", "q_tpch_q4", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7",
-    "q_tpch_q8", "q_try_funcs", "q_udaf_normalize", "q_udtf_tokens",
-    "q_union_by_name", "q_unpivot", "q_url_dedup", "q_url_parse",
-    # r05 window
-    "q_tpch_q2", "q_tpch_q9", "q_upsert", "q_window_dist",
-    "q_window_timerange", "q_zorder_stats",
-    # r06 window, alphabetical
-    "q_ann_brp_lsh", "q_arrow_batch_norm", "q_autocorr", "q_bigram_lm",
-    "q_bm25", "q_chunk_documents", "q_contamination", "q_dataset_card",
-    "q_derived_col", "q_embed_project", "q_entropy_kl", "q_fill_interp",
-    "q_filter_pred", "q_hybrid_retrieve", "q_join_bloom_prune",
-]
-
-# Keys that would rotate in next if the driver over-samples past 50:
-# the oldest-green cycle continues alphabetically through the
-# remaining r06 window.
-_NEXT_UP = [
-    "q_join_inner", "q_join_left", "q_join_multiway", "q_join_semi", "q_json_extract",
-    "q_lateral_topk",
-    "q_markov_transitions", "q_mode_per_group", "q_neardup_lsh", "q_ngram_containment", "q_ohlc",
+    # (a) this round's NEW keys (r12)
+    "q_ann_ivf_retrain", "q_stream_pruned_join",
+    # (b) this round's changed paths: the fold-once MinHash/SimHash/
+    # CMS refactor (bit-identical recipe, new plan shape), the
+    # fingerprint-keyed staging retirement, the corpus_scalar lock
+    "q_minhash_sig", "q_minhash_audit", "q_dedup_from_layout",
+    "q_dedup_incremental", "q_dedup_minhash", "q_dedup_simhash",
+    "q_stream_incremental_dedup", "q_ngram_novelty",
+    "q_cms_heavy_hitters", "q_stream_ivf_append", "q_join_dpp",
+    "q_compact_roundtrip", "q_stream_state_timers",
+    # (c) least-recently-sampled, oldest first: the remaining r06
+    # window (alphabetical continuation from where r11's sample ended)
+    "q_join_inner", "q_join_left", "q_join_multiway", "q_join_semi",
+    "q_json_extract", "q_lateral_topk", "q_markov_transitions",
+    "q_mode_per_group", "q_neardup_lsh", "q_ngram_containment", "q_ohlc",
     "q_pmi_collocations", "q_project", "q_quantiles", "q_recursive_cte",
     "q_regr_trend", "q_rolling_median", "q_sample_stratified",
     "q_scan_count", "q_skew_stats", "q_skyline", "q_sql_interface",
     "q_stream_join", "q_stream_join_outer", "q_variant_json",
     "q_agg_approx", "q_agg_cube", "q_agg_gsets", "q_agg_rollup",
+    "q_agg_distinct", "q_agg_pricing", "q_join_anti", "q_join_range",
+    "q_join_salted", "q_fuzzy_join",
+]
+
+# Keys that would rotate in next if the driver over-samples past 50:
+# the oldest-green cycle continues through the r07 window.
+_NEXT_UP = [
+    "q_join_asof", "q_join_asof_tolerance", "q_join_bucketed",
+    "q_window_rank", "q_window_running", "q_window_lag",
+    "q_window_sessionize", "q_orderby_limit", "q_set_union",
+    "q_set_intersect", "q_set_except", "q_format_docs",
+    "q_dedup_sources", "q_truncate_render", "q_map_funcs",
+    "q_regex_transform", "q_topk_cosine", "q_vs_retrieve",
+    "q_udf_cosine", "q_embed_centroid", "q_neardup_exact",
 ]
 
 
