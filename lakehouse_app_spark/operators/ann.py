@@ -1407,18 +1407,20 @@ def q_ann_ivf_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpointed in-band aggregate), so a balanced index
     short-circuits to an empty moved set via the gate join."""
     cents, assigned = ivf_index(spark, sf_dir, "ivf8", N_CENTROIDS, KM_ITERS)
-    occ = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
-    gate = occ.agg(
+    # retrained codebook AND occupancy out of ONE pass over the stored
+    # assignment (lloyd_means with_n), materialized once (lloyd_cents'
+    # per-round treatment) because it feeds the re-assignment
+    # broadcast, the sim_new join, and the gate — which aggregates the
+    # k checkpointed rows instead of re-scanning the layout
+    meta = lloyd_means(
+        assigned.select("cid", "emb"), with_n=True
+    ).localCheckpoint(eager=True)
+    gate = meta.agg(
         (
             F.max("n") * N_CENTROIDS >= F.lit(RETRAIN_RATIO) * F.sum("n")
         ).alias("fires")
     )
-    # retrained codebook: one mean step over the STORED assignment —
-    # materialized once (lloyd_cents' per-round treatment) because it
-    # feeds both the re-assignment broadcast and the sim_new join
-    cents2 = lloyd_means(
-        assigned.select("cid", "emb")
-    ).localCheckpoint(eager=True)
+    cents2 = meta.select("cid", "cvec")
     re = with_cid(
         assigned.select("vec_id", "emb", F.col("cid").alias("old_cid")),
         F.col("emb"),
