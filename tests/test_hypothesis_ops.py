@@ -179,3 +179,58 @@ def test_union_find_matches_reference_components(edges):
                     label[x] = m
                     changed = True
     assert got == label
+
+
+@given(
+    docs=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_fold_once_minhash_equals_inlined_form(spark, docs):
+    """The r12 fold-once refactor must stay BIT-IDENTICAL to the
+    original 4x-inlined MinHash recipe on arbitrary printable text
+    (empty strings, punctuation runs, repeated tokens): the factored
+    `fps` projection + affine array_mins and the historical
+    fold-inside-every-hash form are the same integer arithmetic, and
+    this pins it against any future drift in either path."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_app_spark.operators.corpus_prep import (
+        _FP_SPARK,
+        _fps_col,
+        _mh_cols_from_fps,
+        _MH_P,
+        _MH_PARAMS,
+    )
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    toks = df.select(
+        "doc_id",
+        F.array_distinct(F.split(F.lower(F.col("text")), " ")).alias("toks"),
+    )
+    new = toks.select("doc_id", _fps_col()).select(
+        "doc_id", *_mh_cols_from_fps()
+    )
+    old = toks.select(
+        "doc_id",
+        *[
+            F.expr(
+                f"array_min(transform(toks, w -> "
+                f"({a} * {_FP_SPARK.format(w='w')} + {b}) % {_MH_P}))"
+            ).alias(f"mh{i}")
+            for i, (a, b) in enumerate(_MH_PARAMS)
+        ],
+    )
+    a = sorted(map(tuple, new.collect()))
+    b = sorted(map(tuple, old.collect()))
+    assert a == b
