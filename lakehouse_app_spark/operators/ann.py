@@ -1339,12 +1339,18 @@ def q_ann_ivf_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------- centroid re-train
 
 # Occupancy-skew gate: retrain fires when the hottest cluster holds
-# ≥ RETRAIN_RATIO × the mean occupancy (max_n · k ≥ ratio · total).
-# 1.03 trips on the test corpora (measured 1.04–1.15 across
-# sf0.001–0.1); a perfectly balanced index yields an empty moved set
-# in BOTH engines — the gate arithmetic rides in-band and the oracle
-# replays it, so the key stays exact either way.
-RETRAIN_RATIO = 1.03
+# ≥ (RETRAIN_NUM/RETRAIN_DEN) × the mean occupancy, compared as the
+# INTEGER cross-multiplication max_n · k · DEN ≥ NUM · total so both
+# engines evaluate the exact same BIGINT predicate (advice r12: a
+# double 1.03 literal in Spark vs DECIMAL(3,2) in DuckDB flips at
+# exact boundary equality, e.g. total=800 max_n=103). 1.03 trips on
+# the test corpora (measured skew 1.04–1.15 across sf0.001–0.1); a
+# perfectly balanced index yields an empty moved set in BOTH engines —
+# the gate arithmetic rides in-band and the oracle replays it, so the
+# key stays exact either way.
+RETRAIN_NUM = 103
+RETRAIN_DEN = 100
+RETRAIN_RATIO = RETRAIN_NUM / RETRAIN_DEN  # display/test convenience
 
 _RETRAIN_CHAIN, _RETRAIN_CENTS, _RETRAIN_ASG = lloyd_sql(
     N_CENTROIDS, KM_ITERS + 1
@@ -1360,7 +1366,8 @@ _RETRAIN_CHAIN, _RETRAIN_CENTS, _RETRAIN_ASG = lloyd_sql(
       FROM {_IVF_ASG} GROUP BY cid
     ),
     gate AS (
-      SELECT max(n) * {N_CENTROIDS} >= {RETRAIN_RATIO} * SUM(n) AS fires
+      SELECT max(n) * {N_CENTROIDS} * {RETRAIN_DEN} >= {RETRAIN_NUM} * SUM(n)
+        AS fires
       FROM occ
     )
     SELECT o.vec_id, o.cid AS old_cid, n.cid AS new_cid,
@@ -1417,7 +1424,8 @@ def q_ann_ivf_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     gate = meta.agg(
         (
-            F.max("n") * N_CENTROIDS >= F.lit(RETRAIN_RATIO) * F.sum("n")
+            F.max("n") * N_CENTROIDS * RETRAIN_DEN
+            >= F.lit(RETRAIN_NUM) * F.sum("n")
         ).alias("fires")
     )
     cents2 = meta.select("cid", "cvec")

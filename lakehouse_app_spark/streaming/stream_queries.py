@@ -772,18 +772,19 @@ def _staged_query_vectors(spark: SparkSession, sf_dir: str) -> str:
     """The audit query set (every 100th vector) staged as a parquet
     directory so it can replay as a bounded stream of incoming
     retrieval requests."""
-    if sf_dir not in _QVEC_DIRS:
-        d = tempfile.mkdtemp(prefix="qvecs_stream_")
-        (
-            load_tables(spark, sf_dir)
-            .embeddings.where(F.col("vec_id") % 100 == 1)
-            .select(F.col("vec_id").alias("qid"), "embedding")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(d)
-        )
-        _QVEC_DIRS[sf_dir] = d
-    return _QVEC_DIRS[sf_dir]
+    with _STAGING_LOCK:
+        if sf_dir not in _QVEC_DIRS:
+            d = tempfile.mkdtemp(prefix="qvecs_stream_")
+            (
+                load_tables(spark, sf_dir)
+                .embeddings.where(F.col("vec_id") % 100 == 1)
+                .select(F.col("vec_id").alias("qid"), "embedding")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(d)
+            )
+            _QVEC_DIRS[sf_dir] = d
+        return _QVEC_DIRS[sf_dir]
 
 
 def _stream_vs_oracle() -> str:
@@ -921,6 +922,15 @@ def q_stream_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------ streaming index append
 
 _VEC_STREAM_DIRS: dict[tuple[str, str], str] = {}
+# Staging-memo guard (advice r12): the check→build→retire→insert
+# sequence below is not atomic; two concurrent callers (streaming
+# listener threads are real in this module — the corpus_scalar RLock
+# precedent) could both build, with the second retiring the dir the
+# first just published. One lock serves both staging memos; RLock
+# because the builders call corpus helpers that may re-enter.
+import threading as _threading  # noqa: E402  (stdlib, no Spark dep)
+
+_STAGING_LOCK = _threading.RLock()
 
 
 def _staged_new_vectors_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -934,30 +944,35 @@ def _staged_new_vectors_dir(spark: SparkSession, sf_dir: str) -> str:
     from lakehouse_app_spark.sources.layout import corpus_fingerprint
 
     key = (sf_dir, corpus_fingerprint(sf_dir))
-    if key not in _VEC_STREAM_DIRS:
-        from lakehouse_app_spark.operators.ann import (
-            _APPEND_MOD,
-            _APPEND_REM,
-        )
-        from lakehouse_app_spark.runtime_cache import retire_scratch_dir
+    with _STAGING_LOCK:
+        if key not in _VEC_STREAM_DIRS:
+            from lakehouse_app_spark.operators.ann import (
+                _APPEND_MOD,
+                _APPEND_REM,
+            )
+            from lakehouse_app_spark.runtime_cache import retire_scratch_dir
 
-        d = tempfile.mkdtemp(prefix="vecs_stream_")
-        (
-            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-            .where(F.col("vec_id") % _APPEND_MOD == _APPEND_REM)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(d)
-        )
-        # a regeneration superseded the old fingerprint's staging:
-        # retire it through the deferred scratch protocol (removed at
-        # the next release_caches drain, never yanked from under a
-        # still-live replay) instead of leaking one dir per
-        # regeneration (advice r11)
-        for old in [k for k in _VEC_STREAM_DIRS if k[0] == sf_dir]:
-            retire_scratch_dir("vecs_stream_", _VEC_STREAM_DIRS.pop(old))
-        _VEC_STREAM_DIRS[key] = d
-    return _VEC_STREAM_DIRS[key]
+            d = tempfile.mkdtemp(prefix="vecs_stream_")
+            (
+                spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+                .where(F.col("vec_id") % _APPEND_MOD == _APPEND_REM)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(d)
+            )
+            # a regeneration superseded the old fingerprint's staging:
+            # retire it through the deferred scratch protocol (removed
+            # at the next release_caches drain, never yanked from
+            # under a still-live replay) instead of leaking one dir
+            # per regeneration (advice r11); `k != key` keeps the
+            # just-built staging out of the retirement set even if a
+            # future edit reorders the insert (advice r12)
+            for old in [
+                k for k in _VEC_STREAM_DIRS if k[0] == sf_dir and k != key
+            ]:
+                retire_scratch_dir("vecs_stream_", _VEC_STREAM_DIRS.pop(old))
+            _VEC_STREAM_DIRS[key] = d
+        return _VEC_STREAM_DIRS[key]
 
 
 def _stream_ivf_append_oracle() -> str:
@@ -1475,27 +1490,30 @@ def _staged_new_lineitem_dir(spark: SparkSession, sf_dir: str) -> str:
     from lakehouse_app_spark.sources.layout import corpus_fingerprint
 
     key = (sf_dir, corpus_fingerprint(sf_dir))
-    if key not in _LI_STREAM_DIRS:
-        m0 = _anchor_month(spark, sf_dir)
-        d = tempfile.mkdtemp(prefix="li_stream_")
-        t = load_tables(spark, sf_dir)
-        (
-            t.lineitem.where(
-                (F.col("l_orderkey") % _PRUNE_MOD == _PRUNE_REM)
-                & (
-                    F.date_format(F.to_date("l_shipdate"), "yyyy-MM")
-                    >= F.lit(m0)
+    with _STAGING_LOCK:
+        if key not in _LI_STREAM_DIRS:
+            m0 = _anchor_month(spark, sf_dir)
+            d = tempfile.mkdtemp(prefix="li_stream_")
+            t = load_tables(spark, sf_dir)
+            (
+                t.lineitem.where(
+                    (F.col("l_orderkey") % _PRUNE_MOD == _PRUNE_REM)
+                    & (
+                        F.date_format(F.to_date("l_shipdate"), "yyyy-MM")
+                        >= F.lit(m0)
+                    )
                 )
+                .select("l_orderkey", "l_quantity", "l_shipdate")
+                .repartition(4)
+                .write.mode("overwrite")
+                .parquet(d)
             )
-            .select("l_orderkey", "l_quantity", "l_shipdate")
-            .repartition(4)
-            .write.mode("overwrite")
-            .parquet(d)
-        )
-        for old in [k for k in _LI_STREAM_DIRS if k[0] == sf_dir]:
-            retire_scratch_dir("li_stream_", _LI_STREAM_DIRS.pop(old))
-        _LI_STREAM_DIRS[key] = d
-    return _LI_STREAM_DIRS[key]
+            for old in [
+                k for k in _LI_STREAM_DIRS if k[0] == sf_dir and k != key
+            ]:
+                retire_scratch_dir("li_stream_", _LI_STREAM_DIRS.pop(old))
+            _LI_STREAM_DIRS[key] = d
+        return _LI_STREAM_DIRS[key]
 
 
 def pruned_month_enrich(

@@ -1003,13 +1003,19 @@ def test_ivf_retrain_moves_improve_cohesion(spark, sf_dir):
     codebook, so every moved vector's sim_new must be ≥ its sim to
     the retrained copy of its OLD cluster — and the moved set must be
     consistent with the gate (non-empty only when the occupancy skew
-    trips RETRAIN_RATIO)."""
+    trips the RETRAIN_NUM/RETRAIN_DEN integer gate). The cohesion
+    check recomputes the retrained codebook (lloyd_means over the
+    stored assignment) and compares cosines per moved vector — a
+    wrong re-assignment projection that still moves vectors fails
+    here (advice r12)."""
     from lakehouse_app_spark.operators.ann import (
         KM_ITERS,
         N_CENTROIDS,
-        RETRAIN_RATIO,
+        RETRAIN_DEN,
+        RETRAIN_NUM,
     )
-    from lakehouse_app_spark.operators.ann_index import ivf_index
+    from lakehouse_app_spark.operators.ann_index import ivf_index, lloyd_means
+    from lakehouse_app_spark.operators.vectors import cosine_sim
 
     rows = QUERIES["q_ann_ivf_retrain"](spark, sf_dir).collect()
     _, assigned = ivf_index(spark, sf_dir, "ivf8", N_CENTROIDS, KM_ITERS)
@@ -1019,13 +1025,56 @@ def test_ivf_retrain_moves_improve_cohesion(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     ]
-    fires = max(occ) * N_CENTROIDS >= RETRAIN_RATIO * sum(occ)
+    fires = max(occ) * N_CENTROIDS * RETRAIN_DEN >= RETRAIN_NUM * sum(occ)
     if not fires:
         assert rows == []
         return
     assert len(rows) > 0
     for r in rows:
         assert r["old_cid"] != r["new_cid"]
+    # the advertised argmax property, checked against an
+    # independently recomputed retrained codebook
+    retrained = lloyd_means(assigned.select("cid", "emb"))
+    moved = spark.createDataFrame(
+        [(r["vec_id"], r["old_cid"], r["new_cid"], r["sim_new"]) for r in rows],
+        "vec_id long, old_cid int, new_cid int, sim_new double",
+    )
+    checked = (
+        moved.join(assigned.select("vec_id", "emb"), "vec_id")
+        .join(
+            F.broadcast(
+                retrained.select(
+                    F.col("cid").alias("new_cid"),
+                    F.col("cvec").alias("new_cvec"),
+                )
+            ),
+            "new_cid",
+        )
+        .join(
+            F.broadcast(
+                retrained.select(
+                    F.col("cid").alias("old_cid"),
+                    F.col("cvec").alias("old_cvec"),
+                )
+            ),
+            "old_cid",
+        )
+        .select(
+            "vec_id",
+            "sim_new",
+            F.round(cosine_sim(F.col("emb"), F.col("new_cvec")), 6).alias(
+                "sim_new_chk"
+            ),
+            F.round(cosine_sim(F.col("emb"), F.col("old_cvec")), 6).alias(
+                "sim_old_retrained"
+            ),
+        )
+        .collect()
+    )
+    assert len(checked) == len(rows)
+    for c in checked:
+        assert c["sim_new"] == c["sim_new_chk"], c
+        assert c["sim_new"] >= c["sim_old_retrained"], c
 
 
 def test_stream_pruned_join_prunes_static_partitions(spark, sf_dir):
