@@ -43,47 +43,32 @@ def entry(spark: SparkSession) -> DataFrame:
 # (a) new keys, (b) changed plans, (c) the keys the driver has
 # re-sampled least recently, so the whole surface accumulates FRESH
 # driver-green coverage instead of re-checking a fixed showcase.
-# Round-12 window: (a) the NEW keys — q_ann_ivf_retrain (one-round
-# seeded Lloyd re-train over the stored assignment layout, skew-gated,
-# moved-vector report) and q_stream_pruned_join (stream-static fact
-# ingest whose per-batch key set prunes the month-partitioned static
-# layout at trigger time — DPP on the streaming path); (b) every plan
-# this round touched — the fold-once Karp-Rabin refactor's consumers
-# (q_minhash_sig/audit, q_dedup_from_layout/incremental/minhash/
-# simhash, q_stream_incremental_dedup, q_ngram_novelty,
-# q_cms_heavy_hitters — bit-identical recipe, new 2-projection plan),
-# q_stream_ivf_append (staging retirement), q_join_dpp +
-# q_compact_roundtrip (corpus_scalar lock path), q_stream_state_timers
-# (joined TWS_WATCH, timer-floor instrument); (c) the LEAST-recently-
-# driver-sampled keys: the r06 alphabet continuation, oldest first.
+# Round-13 window: (a) the NEW keys — q_zorder_roundtrip (executed
+# Z-ORDER clustered rewrite + 2-D stats-pruned read-back),
+# q_change_feed (CDF producer between stored snapshot versions),
+# q_partition_evolution (two partition-spec generations, each pruned
+# by its own spec), q_unigram_lm (SentencePiece-style unigram trainer);
+# (b) every plan this round touched — q_incremental_agg (now consumes
+# the stored change feed), q_ann_ivf_retrain + q_ivf_balance (integer-
+# exact skew gate), q_winnow_fingerprint (A/B'd, arm A kept),
+# q_time_travel/q_table_diff/q_stats_prune/q_zorder_stats (snapshot +
+# stats-manifest siblings of the new keys), the locked staging memos'
+# consumers (q_stream_ivf_append, q_stream_pruned_join,
+# q_stream_vector_search); (c) the LEAST-recently-driver-sampled
+# keys: the r07 alphabet continuation, oldest first.
 _SHOWCASE = [
-    # (a) this round's NEW keys (r12)
-    "q_ann_ivf_retrain", "q_stream_pruned_join",
-    # (b) this round's changed paths: the fold-once MinHash/SimHash/
-    # CMS refactor (bit-identical recipe, new plan shape), the
-    # fingerprint-keyed staging retirement, the corpus_scalar lock
-    "q_minhash_sig", "q_minhash_audit", "q_dedup_from_layout",
-    "q_dedup_incremental", "q_dedup_minhash", "q_dedup_simhash",
-    "q_stream_incremental_dedup", "q_ngram_novelty",
-    "q_cms_heavy_hitters", "q_stream_ivf_append", "q_join_dpp",
-    "q_compact_roundtrip", "q_stream_state_timers",
-    # (c) least-recently-sampled, oldest first: the remaining r06
-    # window (alphabetical continuation from where r11's sample ended)
-    "q_join_inner", "q_join_left", "q_join_multiway", "q_join_semi",
-    "q_json_extract", "q_lateral_topk", "q_markov_transitions",
-    "q_mode_per_group", "q_neardup_lsh", "q_ngram_containment", "q_ohlc",
-    "q_pmi_collocations", "q_project", "q_quantiles", "q_recursive_cte",
-    "q_regr_trend", "q_rolling_median", "q_sample_stratified",
-    "q_scan_count", "q_skew_stats", "q_skyline", "q_sql_interface",
-    "q_stream_join", "q_stream_join_outer", "q_variant_json",
-    "q_agg_approx", "q_agg_cube", "q_agg_gsets", "q_agg_rollup",
-    "q_agg_distinct", "q_agg_pricing", "q_join_anti", "q_join_range",
-    "q_join_salted", "q_fuzzy_join",
-]
-
-# Keys that would rotate in next if the driver over-samples past 50:
-# the oldest-green cycle continues through the r07 window.
-_NEXT_UP = [
+    # (a) this round's NEW keys (r13)
+    "q_zorder_roundtrip", "q_change_feed", "q_partition_evolution",
+    "q_unigram_lm",
+    # (b) this round's changed paths: q_incremental_agg now consumes
+    # the stored change feed; the retrain gate went integer-exact;
+    # the staging memos gained the lock; winnow's A/B kept arm A
+    "q_incremental_agg", "q_ann_ivf_retrain", "q_winnow_fingerprint",
+    "q_time_travel", "q_table_diff", "q_stats_prune", "q_zorder_stats",
+    "q_stream_ivf_append", "q_stream_pruned_join",
+    "q_stream_vector_search", "q_ivf_balance",
+    # (c) least-recently-sampled, oldest first: the r07 window
+    # (alphabetical continuation from where r12's sample ended)
     "q_join_asof", "q_join_asof_tolerance", "q_join_bucketed",
     "q_window_rank", "q_window_running", "q_window_lag",
     "q_window_sessionize", "q_orderby_limit", "q_set_union",
@@ -91,6 +76,23 @@ _NEXT_UP = [
     "q_dedup_sources", "q_truncate_render", "q_map_funcs",
     "q_regex_transform", "q_topk_cosine", "q_vs_retrieve",
     "q_udf_cosine", "q_embed_centroid", "q_neardup_exact",
+    "q_tokenize_wordcount", "q_quality_score",
+    "q_lang_id", "q_token_count", "q_fingerprint",
+    "q_bm25", "q_tfidf_top_terms", "q_bpe_merges",
+    "q_bpe_encode", "q_quality_classifier", "q_corpus_gate",
+    "q_perplexity", "q_span_corrupt", "q_fim_transform",
+]
+
+# Keys that would rotate in next if the driver over-samples past 50:
+# the oldest-green cycle continues through the r08 window.
+_NEXT_UP = [
+    "q_train_split", "q_pack_batches", "q_mix_weights",
+    "q_url_dedup", "q_pii_redact", "q_dataset_card",
+    "q_contamination", "q_chunk_dedup", "q_dedup_spans",
+    "q_semdedup", "q_ann_brp_lsh", "q_ann_ivf", "q_ann_recall",
+    "q_retrieval_ndcg", "q_ann_ivfpq", "q_ann_ivf_append",
+    "q_ann_ivf_delta_probe", "q_ann_ivf_merge", "q_knn_classify",
+    "q_ann_hyperplane",
 ]
 
 

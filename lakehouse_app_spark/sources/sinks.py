@@ -389,3 +389,151 @@ def read_stats_pruned(
     if not files:
         return spark.read.format(fmt).load(path).limit(0)
     return spark.read.format(fmt).load(files)
+
+
+def write_stats_manifest_nd(
+    spark: SparkSession, path: str, key_cols: list[str], fmt: str = "parquet"
+) -> dict:
+    """Multi-column per-file (min, max) stats for the table at
+    ``path``, written as ``_stats_nd.json`` — the N-dimensional
+    generalization of [[write_stats_manifest]] and the explicit form
+    of Delta/Iceberg's per-column file statistics. One grouped scan
+    computes every file's range in EVERY key column; the point of
+    pairing this with a Z-ORDER clustered layout ([[zorder_key]]) is
+    that the ranges come out tight in ALL dimensions simultaneously,
+    so [[read_stats_pruned_nd]] can skip files on a conjunction of
+    selective predicates — any single-dimension sort gives tight
+    ranges in one column only."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in key_cols:
+        aggs.append(F.min(c).alias(f"_lo_{c}"))
+        aggs.append(F.max(c).alias(f"_hi_{c}"))
+    rows = (
+        spark.read.format(fmt)
+        .load(path)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(*aggs)
+        .collect()
+    )
+    stats = {
+        "keys": list(key_cols),
+        "files": {
+            r["file"]: {c: [r[f"_lo_{c}"], r[f"_hi_{c}"]] for c in key_cols}
+            for r in rows
+        },
+    }
+    with open(_os.path.join(path, "_stats_nd.json"), "w") as fh:
+        fh.write(_json.dumps(stats, default=str))
+    return stats
+
+
+def read_stats_pruned_nd(
+    spark: SparkSession,
+    path: str,
+    bounds: dict,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Read only the files whose per-column stats ranges intersect
+    EVERY [lo, hi] interval in ``bounds`` (col -> (lo, hi), closed)
+    per the ``_stats_nd.json`` manifest. File-granular like
+    [[read_stats_pruned]]: straddling files are read whole, so
+    callers keep the row-level predicates in the plan; the prune only
+    bounds I/O. A file lacking range evidence in ANY requested column
+    (all-NULL bounds) is conservatively read."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_stats_nd.json")) as fh:
+        stats = _json.loads(fh.read())
+    missing = [c for c in bounds if c not in stats["keys"]]
+    if missing:
+        raise KeyError(f"no stats for columns {missing} in {path}")
+
+    def _keep(ranges: dict) -> bool:
+        for c, (lo, hi) in bounds.items():
+            flo, fhi = ranges[c]
+            if flo is None or fhi is None:
+                continue  # no evidence in this dimension -> keep
+            if isinstance(flo, str):  # str-domain stats (dates etc.)
+                lo, hi = str(lo), str(hi)
+            if fhi < lo or flo > hi:
+                return False
+        return True
+
+    files = [f for f, ranges in stats["files"].items() if _keep(ranges)]
+    if not files:
+        return spark.read.format(fmt).load(path).limit(0)
+    return spark.read.format(fmt).load(files)
+
+
+def change_feed(
+    spark: SparkSession,
+    path: str,
+    v_from: int,
+    v_to: int,
+    key_col: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Change-data-feed PRODUCER over the snapshot layer: the change
+    rows between two committed versions of the table at ``path`` —
+    Delta CDF's `table_changes(..., v_from, v_to)` semantics on the
+    homegrown COW lineage. For each commit v in (v_from, v_to], the
+    per-key diff of v-1 vs v yields `insert` / `delete` rows and
+    `update_preimage` + `update_postimage` PAIRS for keys whose
+    payload changed (null-safe struct comparison), each stamped with
+    `commit_version` = v. Because the snapshot layer is COW
+    full-copies, the diff is recomputed per commit pair — with a
+    transactional format the same rows fall out of the commit's own
+    add/remove file actions; this helper is the read-side contract.
+    Each version is O(table-at-that-version); the per-commit diff is
+    one full-outer join on the key."""
+    from pyspark.sql import functions as F
+
+    frames = []
+    for v in range(v_from + 1, v_to + 1):
+        old = read_snapshot(spark, path, v - 1).select(
+            F.col(key_col).alias("_k"),
+            F.struct(*payload_cols).alias("_op"),
+        )
+        new = read_snapshot(spark, path, v).select(
+            F.col(key_col).alias("_k"),
+            F.struct(*payload_cols).alias("_np"),
+        )
+        j = old.join(new, "_k", "full_outer")
+        ins = j.where(F.col("_op").isNull()).select(
+            "_k", F.col("_np").alias("_p"), F.lit("insert").alias("change_type")
+        )
+        dels = j.where(F.col("_np").isNull()).select(
+            "_k", F.col("_op").alias("_p"), F.lit("delete").alias("change_type")
+        )
+        upd = j.where(
+            F.col("_op").isNotNull()
+            & F.col("_np").isNotNull()
+            & ~F.col("_op").eqNullSafe(F.col("_np"))
+        )
+        pre = upd.select(
+            "_k",
+            F.col("_op").alias("_p"),
+            F.lit("update_preimage").alias("change_type"),
+        )
+        post = upd.select(
+            "_k",
+            F.col("_np").alias("_p"),
+            F.lit("update_postimage").alias("change_type"),
+        )
+        batch = ins.unionByName(dels).unionByName(pre).unionByName(post)
+        frames.append(batch.withColumn("commit_version", F.lit(v)))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.select(
+        F.col("_k").alias(key_col),
+        *[F.col(f"_p.{c}").alias(c) for c in payload_cols],
+        "change_type",
+        "commit_version",
+    )

@@ -497,6 +497,70 @@ def test_stats_prune_reads_file_subset(spark, sf_dir):
     assert 1 <= n_scanned < n_total, (n_scanned, n_total, plan)
 
 
+def test_zorder_roundtrip_prunes_files(spark, sf_dir):
+    """q_zorder_roundtrip's 2-D predicate must open a strict subset
+    of the 16 z-clustered files — and a SMALL one: the Morton layout
+    keeps every file tight in both dimensions, so the 1/8 x 1/8 band
+    conjunction prunes multiplicatively (at most half the files even
+    allowing straddlers). Content exactness is the oracle's job; this
+    pins the I/O claim."""
+    import json
+    import os
+    import re
+
+    from lakehouse_app_spark.sources.layout import layout_path
+
+    df = QUERIES["q_zorder_roundtrip"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"InMemoryFileIndex\((\d+) paths\)", plan)
+    assert m, plan
+    n_scanned = int(m.group(1))
+    path = layout_path("li_zorder16", sf_dir)
+    with open(os.path.join(path, "_stats_nd.json")) as fh:
+        n_total = len(json.load(fh)["files"])
+    assert 1 <= n_scanned <= n_total // 2, (n_scanned, n_total, plan)
+    # the row-level predicate must survive into the plan (straddling
+    # files are read whole; exactness depends on this filter)
+    assert "l_partkey" in plan and "l_suppkey" in plan, plan
+
+
+def test_partition_evolution_pruning(spark, sf_dir):
+    """Each generation must be pruned by ITS OWN spec: generation 1's
+    scan carries a ship_month-only PartitionFilter (l_returnflag was
+    not a partition column when those files landed — it must stay a
+    row-level filter there), generation 2's scan carries BOTH. And
+    spec evolution must be a metadata act: generation 1's files are
+    byte-identical across invocations (zero rewrite)."""
+    import os
+    import re
+
+    from lakehouse_app_spark.sources.layout import layout_path
+
+    def listing(p):
+        out = []
+        for root, _, files in os.walk(p):
+            for f in sorted(files):
+                fp = os.path.join(root, f)
+                st = os.stat(fp)
+                out.append((fp, st.st_size, st.st_mtime_ns))
+        return out
+
+    df = QUERIES["q_partition_evolution"](spark, sf_dir)
+    g1_path = layout_path("li_evo_g1", sf_dir)
+    before = listing(g1_path)
+    assert before, g1_path
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pfs = re.findall(r"PartitionFilters: \[[^\]]*\]", plan)
+    g1_pf = [p for p in pfs if "ship_month" in p and "l_returnflag" not in p]
+    g2_pf = [p for p in pfs if "ship_month" in p and "l_returnflag" in p]
+    assert len(g1_pf) == 1 and " IN " in g1_pf[0], pfs
+    assert len(g2_pf) == 1 and " IN " in g2_pf[0], pfs
+    # re-running the query (and forcing execution) must not rewrite
+    # generation 1 — evolution never touches old-spec files
+    QUERIES["q_partition_evolution"](spark, sf_dir).collect()
+    assert listing(g1_path) == before
+
+
 def test_spread_gates_on_actual_scan_width(spark, tmp_path):
     """spread() must be a no-op when the scan ALREADY plans >=
     shuffle.partitions partitions (the cluster-scale case) and keep
