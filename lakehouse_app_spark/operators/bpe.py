@@ -281,3 +281,260 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tokens_per_word"),
         )
     )
+
+
+# ------------------------------------- unigram-LM tokenizer trainer
+
+UNI_MAXP = 3  # max piece length (chars)
+UNI_SEED_K = 40  # multi-char seed pieces kept (top-K by weight)
+UNI_ROUNDS = 2  # EM rounds
+UNI_WMAX = 24  # words longer than this are excluded from training
+
+
+def _uni_viterbi_expr() -> str:
+    """Viterbi segmentation of the word column ``w`` under the piece
+    probabilities in map column ``pm``, as ONE scan-local fold: the
+    accumulator is the DP cell array best[0..j] (cell = (score,
+    path)), each step appends the argmax over piece lengths 1..UNI_MAXP
+    ending at j. Scores are IEEE-double PRODUCTS of piece probs — no
+    logs: multiplication and comparison of doubles are exact-rounded
+    and bit-deterministic across engines, which is what lets the
+    DuckDB oracle replay training exactly (a log-domain sum would
+    hinge on each engine's libm). Ties break to the LONGER piece via
+    the (sc, ln, path) struct ordering of array_max — the same
+    ``greatest`` rule the oracle applies. Infeasible candidates
+    (j < i) get a -1.0 sentinel GUARD rather than a sentinel prefix
+    score: a sentinel that still multiplies a 0.0 piece prob would
+    collapse to -0.0 == 0.0 and win longest-tie against real
+    candidates."""
+    cands = []
+    empty = "CAST(array() AS array<string>)"
+    for i in range(1, UNI_MAXP + 1):
+        prefix = f"element_at(acc, j - {i} + 1)"
+        piece = f"substring(w, j - {i} + 1, {i})"
+        real = (
+            f"struct({prefix}.sc * coalesce(element_at(pm, {piece}), "
+            f"CAST(0.0 AS DOUBLE)) AS sc, {i} AS ln, "
+            f"{prefix}.path || array({piece}) AS path)"
+        )
+        cands.append(
+            f"IF(j >= {i}, {real}, struct(CAST(-1.0 AS DOUBLE) AS sc, "
+            f"{i} AS ln, {empty} AS path))"
+        )
+    return (
+        "aggregate(sequence(1, length(w)), "
+        f"array(struct(CAST(1.0 AS DOUBLE) AS sc, {empty} AS path)), "
+        "(acc, j) -> acc || transform("
+        f"array(array_max(array({', '.join(cands)}))), "
+        "b -> struct(b.sc AS sc, b.path AS path)), "
+        "acc -> element_at(acc, -1).path)"
+    )
+
+
+def _uni_oracle() -> str:
+    """Unrolled EM replay ([[q_bpe_merges]]' convention): seed vocab,
+    then per round a RECURSIVE-CTE Viterbi (the DP is a linear
+    recurrence over character positions, carrying the last UNI_MAXP
+    cells in the row — best[j], best[j-1], best[j-2] — because a
+    recursive CTE may reference its own table only once), usage
+    re-estimation, zero-usage pruning (single chars exempt), and
+    re-normalization. Same double arithmetic, same longer-piece
+    tie-break (struct-lexicographic ``list_sort(...)[-1]`` — DuckDB's
+    greatest() rejects STRUCTs), so the replay is bit-exact."""
+    empty = "CAST([] AS VARCHAR[])"
+
+    def cell(sc, path):
+        return f"struct_pack(sc := {sc}, ln := 0, path := {path})"
+
+    cands = []
+    for i in range(1, UNI_MAXP + 1):
+        b = f"b{i}"
+        piece = f"substr(w, j + 2 - {i}, {i})"
+        real = (
+            f"struct_pack(sc := {b}.sc * coalesce(p{i}.p, 0.0), "
+            f"ln := {i}, path := list_append({b}.path, {piece}))"
+        )
+        cands.append(
+            f"CASE WHEN j + 1 >= {i} THEN {real} ELSE "
+            f"struct_pack(sc := CAST(-1.0 AS DOUBLE), ln := {i}, "
+            f"path := {empty}) END"
+        )
+    joins = "\n        ".join(
+        f"LEFT JOIN v{{prev}} p{i} ON p{i}.piece = substr(w, j + 2 - {i}, {i})"
+        for i in range(1, UNI_MAXP + 1)
+    )
+    dp = f"""dp{{r}} AS (
+      SELECT w, freq, 0 AS j,
+             {cell('CAST(1.0 AS DOUBLE)', empty)} AS b1,
+             {cell('CAST(-1.0 AS DOUBLE)', empty)} AS b2,
+             {cell('CAST(-1.0 AS DOUBLE)', empty)} AS b3
+      FROM wt
+      UNION ALL
+      SELECT w, freq, j + 1,
+             list_sort([{', '.join(cands)}])[{UNI_MAXP}],
+             b1, b2
+      FROM dp{{r}}
+        {joins}
+      WHERE j < length(w)
+    ),
+    f{{r}} AS (SELECT freq, b1.path AS path FROM dp{{r}} WHERE j = length(w)),
+    u{{r}} AS (
+      SELECT piece, CAST(SUM(freq) AS BIGINT) AS usage
+      FROM (SELECT freq, unnest(path) AS piece FROM f{{r}})
+      GROUP BY piece
+    ),
+    k{{r}} AS (
+      SELECT piece, usage FROM u{{r}}
+      UNION ALL
+      SELECT s.piece, CAST(0 AS BIGINT) FROM singles s
+      WHERE s.piece NOT IN (SELECT piece FROM u{{r}})
+    ),
+    v{{r}} AS (
+      SELECT piece, usage,
+             CAST(usage AS DOUBLE) /
+             CAST((SELECT CAST(SUM(usage) AS BIGINT) FROM k{{r}}) AS DOUBLE)
+               AS p
+      FROM k{{r}}
+    )"""
+    parts = [
+        f"""wt AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+            FROM documents)
+      WHERE w != '' AND length(w) <= {UNI_WMAX}
+      GROUP BY w
+    ),
+    subs AS (
+      SELECT piece, CAST(SUM(freq) AS BIGINT) AS wgt
+      FROM (
+        SELECT substr(w, pos, len) AS piece, freq
+        FROM wt,
+             LATERAL (SELECT unnest(range(1, length(w) + 1)) AS pos),
+             LATERAL (SELECT unnest(range(1,
+                 1 + least({UNI_MAXP}, length(w) - pos + 1))) AS len)
+      )
+      GROUP BY piece
+    ),
+    singles AS (SELECT piece FROM subs WHERE length(piece) = 1),
+    seed AS (
+      SELECT piece, wgt FROM subs WHERE length(piece) = 1
+      UNION ALL
+      SELECT piece, wgt FROM (
+        SELECT piece, wgt FROM subs WHERE length(piece) > 1
+        ORDER BY wgt DESC, piece LIMIT {UNI_SEED_K})
+    ),
+    v0 AS (
+      SELECT piece,
+             CAST(wgt AS DOUBLE) /
+             CAST((SELECT CAST(SUM(wgt) AS BIGINT) FROM seed) AS DOUBLE) AS p
+      FROM seed
+    )"""
+    ]
+    for r in range(1, UNI_ROUNDS + 1):
+        parts.append(dp.format(r=r, prev=r - 1))
+    return (
+        "WITH RECURSIVE "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT piece, usage, p AS prob FROM v{UNI_ROUNDS}"
+    )
+
+
+@query("q_unigram_lm", oracle=_uni_oracle())
+def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-style unigram-LM tokenizer trainer (Kudo 2018) —
+    the subword-vocabulary complement to [[q_bpe_merges]] (r12 verdict
+    item 4): seed a piece vocabulary from frequent substrings of the
+    word-frequency table, then run {UNI_ROUNDS} hard-EM rounds —
+    E-step: Viterbi-segment every distinct word under the current
+    piece probabilities (per-word DP, longer-piece tie-break); M-step:
+    re-estimate p(piece) = usage/total from the freq-weighted
+    segmentations, pruning zero-usage pieces (single chars exempt —
+    they guarantee coverage, SentencePiece's required-character rule).
+    Returns the final vocabulary (piece, usage, prob).
+
+    Exactness without logs: piece probabilities are BIGINT-ratio
+    doubles and Viterbi scores are PRODUCTS of them — IEEE-754
+    multiply/divide/compare are exact-rounded and bit-deterministic
+    across engines (only transcendentals differ), so the DuckDB
+    oracle ([[_uni_oracle]]) replays training bit-for-bit: same seed,
+    same DP (a recursive CTE carrying the last {UNI_MAXP} cells where
+    Spark folds scan-locally), same struct-ordered argmax tie-break,
+    same renormalization.
+
+    Spark-first scale shape: the only corpus-sized work is the one
+    token-explode word-count aggregate (shared with BPE); every EM
+    round is vocabulary-sized — the Viterbi E-step is a SCAN-LOCAL
+    projection over the distinct-word table with the (small) piece
+    map broadcast in-band (one 1-row map crossJoin, no collect), and
+    usage re-estimation is a map-side-combined hash aggregate. Round
+    count is the fixed training budget, not a function of corpus
+    size; encoding a 100 TB corpus with the result is the same
+    broadcast word→pieces hash join [[q_bpe_encode]] uses."""
+    t = load_tables(spark, sf_dir)
+    wt = scoped_persist(
+        t.documents.select(
+            F.explode(F.split(F.lower("text"), " ")).alias("w")
+        )
+        .where((F.col("w") != "") & (F.length("w") <= UNI_WMAX))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    subs = (
+        wt.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(1, length(w)), pos -> "
+                    f"transform(sequence(1, least({UNI_MAXP}, "
+                    f"length(w) - pos + 1)), len -> "
+                    f"substring(w, pos, len))))"
+                )
+            ).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("wgt"))
+    )
+    subs = scoped_persist(subs)
+    singles = subs.where(F.length("piece") == 1).select("piece")
+    seed = subs.where(F.length("piece") == 1).unionByName(
+        subs.where(F.length("piece") > 1)
+        .orderBy(F.col("wgt").desc(), "piece")
+        .limit(UNI_SEED_K)
+    )
+    tot0 = seed.agg(F.sum("wgt").cast("long").alias("tot"))
+    vocab = seed.crossJoin(F.broadcast(tot0)).select(
+        "piece",
+        (F.col("wgt").cast("double") / F.col("tot").cast("double")).alias("p"),
+    )
+    viterbi = _uni_viterbi_expr()
+    out = None
+    for _ in range(UNI_ROUNDS):
+        pm = vocab.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("piece", "p"))
+            ).alias("pm")
+        )
+        seg = wt.crossJoin(F.broadcast(pm)).select(
+            "freq", F.expr(viterbi).alias("path")
+        )
+        usage = (
+            seg.select("freq", F.explode("path").alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("freq").cast("long").alias("usage"))
+        )
+        kept = scoped_persist(
+            usage.unionByName(
+                singles.join(usage, "piece", "left_anti").select(
+                    "piece", F.lit(0).cast("long").alias("usage")
+                )
+            )
+        )
+        tot = kept.agg(F.sum("usage").cast("long").alias("tot"))
+        out = kept.crossJoin(F.broadcast(tot)).select(
+            "piece",
+            "usage",
+            (F.col("usage").cast("double") / F.col("tot").cast("double"))
+            .alias("p"),
+        )
+        vocab = out
+    return out.select("piece", "usage", F.col("p").alias("prob"))

@@ -1043,3 +1043,114 @@ def test_neardup_mega_class_hatch(spark):
     )
     assert hatched == sorted(expected)
     assert basket == hatched
+
+
+def test_unigram_lm_vocab_well_formed(spark, sf_dir):
+    """q_unigram_lm's final vocabulary must be a probability model
+    with guaranteed coverage: probs = usage/total (sum to 1 over the
+    kept set), every single character of the training word table is
+    present (the required-character rule — zero-usage singles are
+    kept at prob 0), every piece is at most UNI_MAXP chars, and every
+    multi-char piece earned its seat (usage > 0 — zero-usage
+    multi-char pieces are pruned each round)."""
+    import math
+
+    from lakehouse_app_spark import QUERIES
+    from lakehouse_app_spark.operators.bpe import UNI_MAXP, UNI_WMAX
+    from lakehouse_app_spark.sources.tables import load_tables
+
+    rows = QUERIES["q_unigram_lm"](spark, sf_dir).collect()
+    assert rows
+    total = sum(r["usage"] for r in rows)
+    assert math.isclose(
+        sum(r["prob"] for r in rows), 1.0, rel_tol=0, abs_tol=1e-9
+    )
+    for r in rows:
+        assert 1 <= len(r["piece"]) <= UNI_MAXP
+        assert r["usage"] >= 0
+        assert r["prob"] == r["usage"] / total
+        if len(r["piece"]) > 1:
+            assert r["usage"] > 0
+    vocab_pieces = {r["piece"] for r in rows}
+    t = load_tables(spark, sf_dir)
+    words = [
+        r["w"]
+        for r in t.documents.select(
+            F.explode(F.split(F.lower("text"), " ")).alias("w")
+        )
+        .where((F.col("w") != "") & (F.length("w") <= UNI_WMAX))
+        .distinct()
+        .collect()
+    ]
+    chars = {c for w in words for c in w}
+    assert chars <= vocab_pieces
+
+
+def test_unigram_lm_matches_pure_python_em(spark, sf_dir):
+    """Independent reference: a pure-Python hard-EM unigram trainer
+    (same seed rule, same longer-piece Viterbi tie-break, same
+    zero-usage pruning) must reproduce q_unigram_lm's (piece, usage)
+    table exactly — the engine-free third opinion beside the DuckDB
+    oracle."""
+    from collections import Counter
+
+    from lakehouse_app_spark import QUERIES
+    from lakehouse_app_spark.operators.bpe import (
+        UNI_MAXP,
+        UNI_ROUNDS,
+        UNI_SEED_K,
+        UNI_WMAX,
+    )
+    from lakehouse_app_spark.sources.tables import load_tables
+
+    t = load_tables(spark, sf_dir)
+    freq = Counter()
+    for r in t.documents.select(F.lower("text").alias("t")).collect():
+        for w in r["t"].split(" "):
+            if w and len(w) <= UNI_WMAX:
+                freq[w] += 1
+    wgt = Counter()
+    for w, f in freq.items():
+        for pos in range(len(w)):
+            for ln in range(1, min(UNI_MAXP, len(w) - pos) + 1):
+                wgt[w[pos : pos + ln]] += f
+    singles = {p for p in wgt if len(p) == 1}
+    multis = sorted(
+        (p for p in wgt if len(p) > 1), key=lambda p: (-wgt[p], p)
+    )[:UNI_SEED_K]
+    seed = singles | set(multis)
+    tot0 = sum(wgt[p] for p in seed)
+    prob = {p: wgt[p] / tot0 for p in seed}
+
+    def viterbi(w):
+        best = [(1.0, [])]
+        for j in range(1, len(w) + 1):
+            cands = []
+            for i in range(1, UNI_MAXP + 1):
+                if j >= i:
+                    sc, path = best[j - i]
+                    piece = w[j - i : j]
+                    cands.append((sc * prob.get(piece, 0.0), i, piece, path))
+                else:
+                    cands.append((-1.0, i, "", []))
+            sc, _, piece, path = max(cands, key=lambda c: (c[0], c[1]))
+            best.append((sc, path + [piece]))
+        return best[-1][1]
+
+    usage = None
+    for _ in range(UNI_ROUNDS):
+        usage = Counter()
+        for w, f in freq.items():
+            for piece in viterbi(w):
+                usage[piece] += f
+        kept = dict(usage)
+        for p in singles:
+            kept.setdefault(p, 0)
+        tot = sum(kept.values())
+        prob = {p: u / tot for p, u in kept.items()}
+        usage = kept
+    got = {
+        (r["piece"], r["usage"])
+        for r in QUERIES["q_unigram_lm"](spark, sf_dir).collect()
+    }
+    assert got == set(usage.items())

@@ -943,3 +943,109 @@ def test_corpus_scalar_memoizes_and_invalidates_on_regeneration(
     assert corpus_scalar(spark, str(d), "other", compute) == 2  # per-tag
     pq.write_table(pa.table({"a": [9, 9, 9, 9]}), str(d / "t.parquet"))
     assert corpus_scalar(spark, str(d), "probe", compute) == 3  # re-derived
+
+
+def test_change_feed_apply_reconstructs_final_state(spark, sf_dir, tmp_path):
+    """Feed-apply ≡ final state: replaying change_feed's rows over v0
+    (add inserts + update_postimages, drop deletes +
+    update_preimages) must reconstruct the latest version exactly —
+    the invariant every CDF consumer relies on. Exercises insert,
+    delete and both update images over a 3-commit lineage."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_app_spark.sources.sinks import (
+        change_feed,
+        delete_where,
+        read_snapshot,
+        update_where,
+        write_snapshot,
+    )
+    from lakehouse_app_spark.sources.tables import load_tables
+
+    t = load_tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "source", "n_chars")
+    path = str(tmp_path / "cdf")
+    v0 = write_snapshot(docs.where(F.col("doc_id") % 10 == 3), path, "base")
+    delete_where(spark, path, F.col("n_chars") < 100)
+    update_where(
+        spark, path, F.col("n_chars") >= 400, {"source": F.lit("archived")}
+    )
+    v3 = write_snapshot(
+        read_snapshot(spark, path).unionByName(
+            docs.where(F.col("doc_id") % 10 == 4)
+        ),
+        path,
+        "append",
+    )
+    feed = change_feed(
+        spark, path, v0, v3, "doc_id", ["source", "n_chars"]
+    ).cache()
+    # every update must come as a pre/post PAIR on the same commit
+    pre = feed.where(F.col("change_type") == "update_preimage")
+    post = feed.where(F.col("change_type") == "update_postimage")
+    assert pre.count() == post.count() > 0
+    assert (
+        pre.select("doc_id", "commit_version")
+        .exceptAll(post.select("doc_id", "commit_version"))
+        .count()
+        == 0
+    )
+    base = read_snapshot(spark, path, v0).select("doc_id", "source", "n_chars")
+    add = feed.where(
+        F.col("change_type").isin("insert", "update_postimage")
+    ).select("doc_id", "source", "n_chars")
+    drop = feed.where(
+        F.col("change_type").isin("delete", "update_preimage")
+    ).select("doc_id", "source", "n_chars")
+    rebuilt = base.unionByName(add).exceptAll(drop)
+    final = read_snapshot(spark, path, v3).select(
+        "doc_id", "source", "n_chars"
+    )
+    assert rebuilt.exceptAll(final).count() == 0
+    assert final.exceptAll(rebuilt).count() == 0
+
+
+def test_stats_pruned_nd_full_and_disjoint_bounds(spark, sf_dir, tmp_path):
+    """read_stats_pruned_nd must return the whole table under
+    all-covering bounds, an empty (schema-stable) frame under a
+    disjoint box, and never drop predicate-matching rows under a
+    selective box (straddlers are read whole — exactness is the
+    caller's row filter)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_app_spark.sources.sinks import (
+        read_stats_pruned_nd,
+        write_stats_manifest_nd,
+    )
+    from lakehouse_app_spark.sources.tables import load_tables
+
+    t = load_tables(spark, sf_dir)
+    path = str(tmp_path / "nd")
+    t.lineitem.select("l_partkey", "l_suppkey", "l_quantity").repartitionByRange(
+        8, "l_partkey"
+    ).write.parquet(path)
+    write_stats_manifest_nd(spark, path, ["l_partkey", "l_suppkey"])
+    n_all = spark.read.parquet(path).count()
+    full = read_stats_pruned_nd(
+        spark, path, {"l_partkey": (0, 10**9), "l_suppkey": (0, 10**9)}
+    )
+    assert full.count() == n_all
+    empty = read_stats_pruned_nd(
+        spark, path, {"l_partkey": (-5, -1), "l_suppkey": (0, 10**9)}
+    )
+    assert empty.count() == 0
+    assert empty.columns == full.columns
+    box = read_stats_pruned_nd(
+        spark, path, {"l_partkey": (10, 60), "l_suppkey": (1, 4)}
+    ).where(
+        F.col("l_partkey").between(10, 60) & F.col("l_suppkey").between(1, 4)
+    )
+    truth = (
+        spark.read.parquet(path)
+        .where(
+            F.col("l_partkey").between(10, 60)
+            & F.col("l_suppkey").between(1, 4)
+        )
+        .count()
+    )
+    assert box.count() == truth
