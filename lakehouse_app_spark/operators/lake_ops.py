@@ -606,7 +606,7 @@ def q_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_custkey,
              CASE WHEN o_orderstatus = 'P' THEN o_totalprice + 1000.0
                   ELSE o_totalprice END AS p
-      FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 100 != 0
+      FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 100 != 0
     )
     SELECT o_custkey,
            CAST(count(*) AS BIGINT) AS n_orders,
@@ -650,7 +650,7 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     to_i = lambda c: (c * 10000 + F.lit(0.5)).cast("long")  # noqa: E731
-    base = t.orders.where(F.col("o_orderkey") % 2 == 0).select(
+    base = t.orders.where(F.col("o_orderkey") % 10 == 0).select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
     path = scratch_commit_dir("ivm_")
