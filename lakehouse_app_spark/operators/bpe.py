@@ -432,10 +432,24 @@ def _uni_oracle() -> str:
     ]
     for r in range(1, UNI_ROUNDS + 1):
         parts.append(dp.format(r=r, prev=r - 1))
-    return (
+    sql = (
         "WITH RECURSIVE "
         + ",\n    ".join(parts)
         + f"\n    SELECT piece, usage, p AS prob FROM v{UNI_ROUNDS}"
+    )
+    # MATERIALIZE every non-recursive CTE: the round-r recursion
+    # references v{r-1} (itself downstream of the round-(r-1)
+    # recursion) once per candidate join, and DuckDB re-inlines
+    # non-materialized CTEs per reference — measured 113 s vs 0.2 s
+    # at sf0.1 for the 2-round chain. Recursive CTEs themselves
+    # cannot take the hint; pinning their INPUTS breaks the
+    # re-evaluation cascade.
+    import re as _re
+
+    return _re.sub(
+        r"\b(wt|subs|singles|seed|[vfuk]\d+) AS \(",
+        r"\1 AS MATERIALIZED (",
+        sql,
     )
 
 

@@ -619,10 +619,11 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance driven by the STORED change feed
     (r12 verdict item 3: previously the CDC delta was synthesized
     in-plan; now the IVM loop runs end-to-end on committed lineage).
-    An orders slice is committed as v0, mutated by COW DELETE (v1)
-    and COW UPDATE (v2) on the snapshot layer, and the per-customer
+    An orders slice is committed as v0, then ONE MERGE-style COW
+    commit (v1) carries both the DELETE and the UPDATE — Delta
+    transactions bundle mutations the same way — and the per-customer
     (count, spend) materialized aggregate built over v0 is brought to
-    v2 by folding
+    v1 by folding
     :func:`~lakehouse_app_spark.sources.sinks.change_feed`'s rows
     into signed adjustments: `delete` → (-1, -price_i),
     `update_preimage` → (0, -price_i), `update_postimage` →
@@ -636,15 +637,13 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     integerizes exactly once (after its mutation, matching the
     oracle's rounding point), so a pre-image's integer cancels its
     base row bit-exactly. Like [[q_time_travel]], structurally
-    asymmetric in the conservative direction: Spark commits three
+    asymmetric in the conservative direction: Spark commits two
     real snapshot versions and diffs them; the oracle recomputes the
     end state."""
     from lakehouse_app_spark.runtime_cache import scratch_commit_dir
     from lakehouse_app_spark.sources.sinks import (
         change_feed,
-        delete_where,
         read_snapshot,
-        update_where,
         write_snapshot,
     )
 
@@ -655,12 +654,21 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = scratch_commit_dir("ivm_")
     v0 = write_snapshot(base, path, "base")
-    delete_where(spark, path, F.col("o_orderkey") % 100 == 0)
-    v2 = update_where(
-        spark,
+    # ONE MERGE-style COW commit carrying both the DELETE and the
+    # UPDATE (Delta transactions bundle mutations the same way): the
+    # feed then reports deletes and update pairs under a single
+    # commit_version — and the consumer below stays blind to how the
+    # mutations were batched
+    cur = read_snapshot(spark, path, v0)
+    v1 = write_snapshot(
+        cur.where(~(F.col("o_orderkey") % 100 == 0)).withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderstatus") == "P", F.col("o_totalprice") + 1000.0
+            ).otherwise(F.col("o_totalprice")),
+        ),
         path,
-        F.col("o_orderstatus") == "P",
-        {"o_totalprice": F.col("o_totalprice") + 1000.0},
+        "merge",
     )
     # the stored materialized view over v0
     mv0 = (
@@ -673,7 +681,7 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # CDF rows → signed per-customer adjustments (commit-sized)
     feed = change_feed(
-        spark, path, v0, v2, "o_orderkey", ["o_custkey", "o_totalprice"]
+        spark, path, v0, v1, "o_orderkey", ["o_custkey", "o_totalprice"]
     )
     sign = F.when(
         F.col("change_type").isin("delete", "update_preimage"), -1

@@ -490,50 +490,87 @@ def change_feed(
     full-copies, the diff is recomputed per commit pair — with a
     transactional format the same rows fall out of the commit's own
     add/remove file actions; this helper is the read-side contract.
-    Each version is O(table-at-that-version); the per-commit diff is
-    one full-outer join on the key."""
+
+    Shape: ONE shuffle for the whole feed, not one join per commit —
+    every version's rows enter a single union playing `old` at commit
+    v+1 and `new` at commit v, and one hash aggregate on (key,
+    commit) pairs the images (keys are unique per version, so
+    null-skipping max() recovers the single image per role; payload
+    columns must therefore be orderable). A per-pair full-outer join
+    would shuffle-sort both sides of every commit — 2(v_to - v_from)
+    exchanges against this plan's one, the difference between
+    O(commits) and O(1) shuffles when a CDF reader spans a day of
+    commits at 100 TB."""
     from pyspark.sql import functions as F
 
     frames = []
-    for v in range(v_from + 1, v_to + 1):
-        old = read_snapshot(spark, path, v - 1).select(
-            F.col(key_col).alias("_k"),
-            F.struct(*payload_cols).alias("_op"),
+    for v in range(v_from, v_to + 1):
+        snap = read_snapshot(spark, path, v).select(
+            F.col(key_col).alias("_k"), F.struct(*payload_cols).alias("_p")
         )
-        new = read_snapshot(spark, path, v).select(
-            F.col(key_col).alias("_k"),
-            F.struct(*payload_cols).alias("_np"),
-        )
-        j = old.join(new, "_k", "full_outer")
-        ins = j.where(F.col("_op").isNull()).select(
-            "_k", F.col("_np").alias("_p"), F.lit("insert").alias("change_type")
-        )
-        dels = j.where(F.col("_np").isNull()).select(
-            "_k", F.col("_op").alias("_p"), F.lit("delete").alias("change_type")
-        )
-        upd = j.where(
-            F.col("_op").isNotNull()
-            & F.col("_np").isNotNull()
-            & ~F.col("_op").eqNullSafe(F.col("_np"))
-        )
-        pre = upd.select(
-            "_k",
-            F.col("_op").alias("_p"),
-            F.lit("update_preimage").alias("change_type"),
-        )
-        post = upd.select(
-            "_k",
-            F.col("_np").alias("_p"),
-            F.lit("update_postimage").alias("change_type"),
-        )
-        batch = ins.unionByName(dels).unionByName(pre).unionByName(post)
-        frames.append(batch.withColumn("commit_version", F.lit(v)))
-    out = frames[0]
+        if v > v_from:
+            frames.append(
+                snap.select(
+                    "_k",
+                    F.lit(v).alias("commit_version"),
+                    F.lit("n").alias("_role"),
+                    "_p",
+                )
+            )
+        if v < v_to:
+            frames.append(
+                snap.select(
+                    "_k",
+                    F.lit(v + 1).alias("commit_version"),
+                    F.lit("o").alias("_role"),
+                    "_p",
+                )
+            )
+    u = frames[0]
     for f in frames[1:]:
-        out = out.unionByName(f)
-    return out.select(
-        F.col("_k").alias(key_col),
-        *[F.col(f"_p.{c}").alias(c) for c in payload_cols],
-        "change_type",
-        "commit_version",
+        u = u.unionByName(f)
+    g = u.groupBy("_k", "commit_version").agg(
+        F.max(F.when(F.col("_role") == "o", F.col("_p"))).alias("_op"),
+        F.max(F.when(F.col("_role") == "n", F.col("_p"))).alias("_np"),
+    )
+    chg = (
+        F.when(
+            F.col("_op").isNull(),
+            F.array(
+                F.struct(
+                    F.col("_np").alias("p"), F.lit("insert").alias("change_type")
+                )
+            ),
+        )
+        .when(
+            F.col("_np").isNull(),
+            F.array(
+                F.struct(
+                    F.col("_op").alias("p"), F.lit("delete").alias("change_type")
+                )
+            ),
+        )
+        .when(
+            ~F.col("_op").eqNullSafe(F.col("_np")),
+            F.array(
+                F.struct(
+                    F.col("_op").alias("p"),
+                    F.lit("update_preimage").alias("change_type"),
+                ),
+                F.struct(
+                    F.col("_np").alias("p"),
+                    F.lit("update_postimage").alias("change_type"),
+                ),
+            ),
+        )
+        .otherwise(F.array())  # unchanged key: no feed row
+    )
+    return (
+        g.select("_k", "commit_version", F.explode(chg).alias("_c"))
+        .select(
+            F.col("_k").alias(key_col),
+            *[F.col(f"_c.p.{c}").alias(c) for c in payload_cols],
+            F.col("_c.change_type").alias("change_type"),
+            "commit_version",
+        )
     )
