@@ -331,7 +331,7 @@ def _uni_viterbi_expr() -> str:
     )
 
 
-def _uni_oracle() -> str:
+def _uni_ctes():
     """Unrolled EM replay ([[q_bpe_merges]]' convention): seed vocab,
     then per round a RECURSIVE-CTE Viterbi (the DP is a linear
     recurrence over character positions, carrying the last UNI_MAXP
@@ -377,7 +377,7 @@ def _uni_oracle() -> str:
         {joins}
       WHERE j < length(w)
     ),
-    f{{r}} AS (SELECT freq, b1.path AS path FROM dp{{r}} WHERE j = length(w)),
+    f{{r}} AS (SELECT w, freq, b1.path AS path FROM dp{{r}} WHERE j = length(w)),
     u{{r}} AS (
       SELECT piece, CAST(SUM(freq) AS BIGINT) AS usage
       FROM (SELECT freq, unnest(path) AS piece FROM f{{r}})
@@ -432,58 +432,73 @@ def _uni_oracle() -> str:
     ]
     for r in range(1, UNI_ROUNDS + 1):
         parts.append(dp.format(r=r, prev=r - 1))
-    sql = (
-        "WITH RECURSIVE "
-        + ",\n    ".join(parts)
-        + f"\n    SELECT piece, usage, p AS prob FROM v{UNI_ROUNDS}"
-    )
-    # MATERIALIZE every non-recursive CTE: the round-r recursion
-    # references v{r-1} (itself downstream of the round-(r-1)
-    # recursion) once per candidate join, and DuckDB re-inlines
-    # non-materialized CTEs per reference — measured 113 s vs 0.2 s
-    # at sf0.1 for the 2-round chain. Recursive CTEs themselves
-    # cannot take the hint; pinning their INPUTS breaks the
-    # re-evaluation cascade.
+    return parts, dp
+
+
+def _uni_finish(sql: str) -> str:
+    """MATERIALIZE every non-recursive CTE: the round-r recursion
+    references v{r-1} (itself downstream of the round-(r-1)
+    recursion) once per candidate join, and DuckDB re-inlines
+    non-materialized CTEs per reference — measured 113 s vs 0.2 s
+    at sf0.1 for the 2-round chain. Recursive CTEs themselves
+    cannot take the hint; pinning their INPUTS breaks the
+    re-evaluation cascade."""
     import re as _re
 
     return _re.sub(
-        r"\b(wt|subs|singles|seed|[vfuk]\d+) AS \(",
+        r"\b(wt|subs|singles|seed|enc|dw|[vfuk]\d+) AS \(",
         r"\1 AS MATERIALIZED (",
         sql,
     )
 
 
-@query("q_unigram_lm", oracle=_uni_oracle())
-def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SentencePiece-style unigram-LM tokenizer trainer (Kudo 2018) —
-    the subword-vocabulary complement to [[q_bpe_merges]] (r12 verdict
-    item 4): seed a piece vocabulary from frequent substrings of the
-    word-frequency table, then run {UNI_ROUNDS} hard-EM rounds —
-    E-step: Viterbi-segment every distinct word under the current
-    piece probabilities (per-word DP, longer-piece tie-break); M-step:
-    re-estimate p(piece) = usage/total from the freq-weighted
-    segmentations, pruning zero-usage pieces (single chars exempt —
-    they guarantee coverage, SentencePiece's required-character rule).
-    Returns the final vocabulary (piece, usage, prob).
+def _uni_oracle() -> str:
+    parts, _ = _uni_ctes()
+    return _uni_finish(
+        "WITH RECURSIVE "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT piece, usage, p AS prob FROM v{UNI_ROUNDS}"
+    )
 
-    Exactness without logs: piece probabilities are BIGINT-ratio
-    doubles and Viterbi scores are PRODUCTS of them — IEEE-754
-    multiply/divide/compare are exact-rounded and bit-deterministic
-    across engines (only transcendentals differ), so the DuckDB
-    oracle ([[_uni_oracle]]) replays training bit-for-bit: same seed,
-    same DP (a recursive CTE carrying the last {UNI_MAXP} cells where
-    Spark folds scan-locally), same struct-ordered argmax tie-break,
-    same renormalization.
 
-    Spark-first scale shape: the only corpus-sized work is the one
-    token-explode word-count aggregate (shared with BPE); every EM
-    round is vocabulary-sized — the Viterbi E-step is a SCAN-LOCAL
-    projection over the distinct-word table with the (small) piece
-    map broadcast in-band (one 1-row map crossJoin, no collect), and
-    usage re-estimation is a map-side-combined hash aggregate. Round
-    count is the fixed training budget, not a function of corpus
-    size; encoding a 100 TB corpus with the result is the same
-    broadcast word→pieces hash join [[q_bpe_encode]] uses."""
+def _uni_encode_oracle() -> str:
+    """One more Viterbi pass (dp{R+1}) under the FINAL vocabulary,
+    then the corpus join: word -> piece count, documents join the
+    encoded word table — [[q_bpe_encode]]'s broadcast-join shape with
+    the unigram segmentation in place of merge rules."""
+    parts, dp = _uni_ctes()
+    r = UNI_ROUNDS + 1
+    parts.append(dp.format(r=r, prev=r - 1))
+    parts.append(
+        f"""enc AS (
+      SELECT w, CAST(len(path) AS BIGINT) AS n_pieces FROM f{r}
+    ),
+    dw AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    )"""
+    )
+    return _uni_finish(
+        "WITH RECURSIVE "
+        + ",\n    ".join(parts)
+        + """
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_pieces) AS BIGINT) AS n_uni_tokens,
+           round(CAST(SUM(n_pieces) AS DOUBLE) /
+                 CAST(count(*) AS DOUBLE), 6) AS tokens_per_word
+    FROM dw JOIN enc USING (w)
+    GROUP BY doc_id"""
+    )
+
+
+def _train_unigram(spark: SparkSession, sf_dir: str):
+    """The ONE unigram training loop behind [[q_unigram_lm]] (returns
+    the final vocabulary) and [[q_unigram_encode]] (segments the word
+    table under it) — the _train_bpe sharing convention: a single
+    copy keeps the seed rule, the Viterbi tie-break and the pruning
+    in lockstep between the two queries and their oracles. Returns
+    (word_table, final_vocab(piece, usage, p))."""
     t = load_tables(spark, sf_dir)
     wt = scoped_persist(
         t.documents.select(
@@ -551,4 +566,82 @@ def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("p"),
         )
         vocab = out
-    return out.select("piece", "usage", F.col("p").alias("prob"))
+    return wt, out
+
+
+@query("q_unigram_lm", oracle=_uni_oracle())
+def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+    """SentencePiece-style unigram-LM tokenizer trainer (Kudo 2018) —
+    the subword-vocabulary complement to [[q_bpe_merges]] (r12 verdict
+    item 4): seed a piece vocabulary from frequent substrings of the
+    word-frequency table, then run {UNI_ROUNDS} hard-EM rounds —
+    E-step: Viterbi-segment every distinct word under the current
+    piece probabilities (per-word DP, longer-piece tie-break); M-step:
+    re-estimate p(piece) = usage/total from the freq-weighted
+    segmentations, pruning zero-usage pieces (single chars exempt —
+    they guarantee coverage, SentencePiece's required-character rule).
+    Returns the final vocabulary (piece, usage, prob).
+
+    Exactness without logs: piece probabilities are BIGINT-ratio
+    doubles and Viterbi scores are PRODUCTS of them — IEEE-754
+    multiply/divide/compare are exact-rounded and bit-deterministic
+    across engines (only transcendentals differ), so the DuckDB
+    oracle ([[_uni_oracle]]) replays training bit-for-bit: same seed,
+    same DP (a recursive CTE carrying the last {UNI_MAXP} cells where
+    Spark folds scan-locally), same struct-ordered argmax tie-break,
+    same renormalization.
+
+    Spark-first scale shape: the only corpus-sized work is the one
+    token-explode word-count aggregate (shared with BPE); every EM
+    round is vocabulary-sized — the Viterbi E-step is a SCAN-LOCAL
+    projection over the distinct-word table with the (small) piece
+    map broadcast in-band (one 1-row map crossJoin, no collect), and
+    usage re-estimation is a map-side-combined hash aggregate. Round
+    count is the fixed training budget, not a function of corpus
+    size; encoding a 100 TB corpus with the result is the same
+    broadcast word→pieces hash join [[q_bpe_encode]] uses."""
+    _, vocab = _train_unigram(spark, sf_dir)
+    return vocab.select("piece", "usage", F.col("p").alias("prob"))
+
+
+@query("q_unigram_encode", oracle=_uni_encode_oracle())
+def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM corpus ENCODING — the deployment pass completing
+    the [[q_unigram_lm]] lifecycle exactly as [[q_bpe_encode]]
+    completes [[q_bpe_merges]]: the trained piece probabilities
+    Viterbi-segment the DISTINCT-word table once (the same scan-local
+    DP fold as training — vocab-sized work), and the corpus pass is a
+    broadcast word→piece-count hash join — documents never meet the
+    DP. Per doc: word count, unigram token count, fertility
+    (tokens/word, round 6 — IEEE-exact inputs, house rounding).
+    The oracle runs one more recursive-CTE Viterbi pass (dp3) under
+    the final vocabulary and replays the join; words excluded from
+    training (empty, > UNI_WMAX chars) drop from BOTH sides via the
+    inner join on the word table. At 100 TB the encode is the same
+    shape production tokenizers use: segment the vocabulary once,
+    broadcast the result, one hash join over the corpus."""
+    wt, vocab = _train_unigram(spark, sf_dir)
+    pm = vocab.agg(
+        F.map_from_entries(F.collect_list(F.struct("piece", "p"))).alias("pm")
+    )
+    enc = wt.crossJoin(F.broadcast(pm)).select(
+        "w", F.size(F.expr(_uni_viterbi_expr())).cast("long").alias("n_pieces")
+    )
+    t = load_tables(spark, sf_dir)
+    doc_words = t.documents.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    return (
+        doc_words.join(F.broadcast(enc), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_pieces").alias("n_uni_tokens"),
+            F.round(
+                F.sum("n_pieces").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("tokens_per_word"),
+        )
+    )

@@ -1210,6 +1210,98 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_restore_version",
+    oracle="""
+    WITH batch AS (
+      SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 10 = 6
+    ),
+    v1 AS (SELECT * FROM batch WHERE NOT (n_chars < 100)),
+    v2 AS (SELECT doc_id,
+                  CASE WHEN n_chars >= 400 THEN 'archived' ELSE source END
+                    AS source,
+                  n_chars
+           FROM v1),
+    stats AS (
+      SELECT 0 AS version, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(SUM(CASE WHEN source = 'archived' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_archived
+      FROM batch
+      UNION ALL
+      SELECT 1, CAST(count(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT),
+             CAST(SUM(CASE WHEN source = 'archived' THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM v1
+      UNION ALL
+      SELECT 2, CAST(count(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT),
+             CAST(SUM(CASE WHEN source = 'archived' THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM v2
+      UNION ALL
+      SELECT 3, CAST(count(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT),
+             CAST(SUM(CASE WHEN source = 'archived' THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM batch
+    )
+    SELECT * FROM stats
+    """,
+)
+def q_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE ... TO VERSION AS OF — Delta's non-destructive
+    rollback, completing the snapshot lifecycle
+    ([[q_time_travel]] history → [[q_change_feed]] reads →
+    [[q_vacuum]] retention → **restore**): after the COW
+    delete/update lineage, :func:`~lakehouse_app_spark.sources.sinks.
+    restore_version` re-commits v0's CONTENT as the new head v3 —
+    history stays intact (the bad commits remain readable for audit;
+    the restore itself is an auditable commit), which is exactly why
+    RESTORE is a commit and not a history rewrite. The report reads
+    all FOUR versions back; the oracle asserts v3's stats equal v0's
+    from source while v1/v2 keep their mutated stats — a restore that
+    rewrote history, leaked the mutations into v3, or truncated the
+    lineage hash-mismatches. With a transactional format the restore
+    is metadata-only (re-point at old files); here it is one
+    read + one write, the conservative full-copy cost this layer
+    documents everywhere."""
+    from lakehouse_app_spark.runtime_cache import scratch_commit_dir
+    from lakehouse_app_spark.sources.sinks import (
+        delete_where,
+        read_snapshot,
+        restore_version,
+        update_where,
+        write_snapshot,
+    )
+
+    t = load_tables(spark, sf_dir)
+    batch = t.documents.where(F.col("doc_id") % 10 == 6).select(
+        "doc_id", "source", "n_chars"
+    )
+    path = scratch_commit_dir("restore_")
+    v0 = write_snapshot(batch, path, note="base")
+    delete_where(spark, path, F.col("n_chars") < 100)
+    update_where(
+        spark, path, F.col("n_chars") >= 400, {"source": F.lit("archived")}
+    )
+    v3 = restore_version(spark, path, v0)
+    frames = []
+    for ver in range(v0, v3 + 1):
+        frames.append(
+            read_snapshot(spark, path, ver).agg(
+                F.lit(ver).cast("int").alias("version"),
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("total_chars"),
+                F.count_if(F.col("source") == "archived")
+                .cast("long")
+                .alias("n_archived"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out
+
+
+@query(
     "q_change_feed",
     oracle="""
     WITH v0 AS (

@@ -574,3 +574,14 @@ def change_feed(
             "commit_version",
         )
     )
+
+
+def restore_version(spark: SparkSession, path: str, version: int) -> int:
+    """RESTORE TABLE TO VERSION AS OF — Delta's non-destructive
+    rollback: re-commit the target version's content as a NEW head
+    version (history stays intact; the bad commits remain readable
+    for audit and the restore itself is an auditable commit). One
+    read + one write; with a transactional format this is a
+    metadata-only operation re-pointing at the old files."""
+    cur = read_snapshot(spark, path, version)
+    return write_snapshot(cur, path, note=f"restore v{version}")

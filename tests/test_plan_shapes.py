@@ -561,6 +561,47 @@ def test_partition_evolution_pruning(spark, sf_dir):
     assert listing(g1_path) == before
 
 
+def test_change_feed_is_one_shuffle(spark, sf_dir, tmp_path):
+    """change_feed's whole multi-commit feed must plan exactly ONE
+    shuffle (the (key, commit) hash aggregate) and no sort-merge
+    join — the per-commit full-outer-join formulation it replaced
+    cost two exchanges per commit, the difference between O(commits)
+    and O(1) shuffles when a CDF reader spans a day of commits."""
+    import re
+
+    from lakehouse_app_spark.sources.sinks import (
+        change_feed,
+        delete_where,
+        write_snapshot,
+    )
+    from lakehouse_app_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, sf_dir).documents.select(
+        "doc_id", "source", "n_chars"
+    )
+    path = str(tmp_path / "cf_plan")
+    v0 = write_snapshot(docs.where(F.col("doc_id") % 10 == 3), path, "base")
+    delete_where(spark, path, F.col("n_chars") < 100)
+    v2 = delete_where(spark, path, F.col("n_chars") >= 900)
+    feed = change_feed(spark, path, v0, v2, "doc_id", ["source", "n_chars"])
+    plan = feed._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_unigram_encode_corpus_pass_is_broadcast_join(spark, sf_dir):
+    """q_unigram_encode's corpus pass must be a broadcast hash join
+    of documents' words against the (vocab-sized) encoded word table
+    — never a shuffle join of the corpus, and never a sort-merge
+    join anywhere: segmenting happens on the word table, the corpus
+    only joins the result (the q_bpe_encode scale shape)."""
+    df = QUERIES["q_unigram_encode"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_spread_gates_on_actual_scan_width(spark, tmp_path):
     """spread() must be a no-op when the scan ALREADY plans >=
     shuffle.partitions partitions (the cluster-scale case) and keep
