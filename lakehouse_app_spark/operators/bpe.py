@@ -569,6 +569,24 @@ def _train_unigram(spark: SparkSession, sf_dir: str):
     return wt, out
 
 
+def unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRAINED unigram vocabulary as a build-once derived layout
+    (the ivf_index convention: training is an ingest-time artifact,
+    run once per corpus content and shared by every consumer —
+    [[q_unigram_lm]] reads it, [[q_unigram_encode]] segments under
+    it). The cold-layout drive certifies the builder reproduces the
+    exact vocabulary from scratch; a corpus regeneration re-trains
+    via the content fingerprint."""
+    from lakehouse_app_spark.sources.layout import derived_table
+
+    return derived_table(
+        spark,
+        "unigram_vocab",
+        sf_dir,
+        lambda: _train_unigram(spark, sf_dir)[1].coalesce(1),
+    )
+
+
 @query("q_unigram_lm", oracle=_uni_oracle())
 def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
@@ -601,7 +619,7 @@ def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     count is the fixed training budget, not a function of corpus
     size; encoding a 100 TB corpus with the result is the same
     broadcast word→pieces hash join [[q_bpe_encode]] uses."""
-    _, vocab = _train_unigram(spark, sf_dir)
+    vocab = unigram_vocab(spark, sf_dir)
     return vocab.select("piece", "usage", F.col("p").alias("prob"))
 
 
@@ -621,14 +639,22 @@ def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     inner join on the word table. At 100 TB the encode is the same
     shape production tokenizers use: segment the vocabulary once,
     broadcast the result, one hash join over the corpus."""
-    wt, vocab = _train_unigram(spark, sf_dir)
+    t = load_tables(spark, sf_dir)
+    wt = (
+        t.documents.select(
+            F.explode(F.split(F.lower("text"), " ")).alias("w")
+        )
+        .where((F.col("w") != "") & (F.length("w") <= UNI_WMAX))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    vocab = unigram_vocab(spark, sf_dir)
     pm = vocab.agg(
         F.map_from_entries(F.collect_list(F.struct("piece", "p"))).alias("pm")
     )
     enc = wt.crossJoin(F.broadcast(pm)).select(
         "w", F.size(F.expr(_uni_viterbi_expr())).cast("long").alias("n_pieces")
     )
-    t = load_tables(spark, sf_dir)
     doc_words = t.documents.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
     )
