@@ -1209,6 +1209,97 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HP_BUCKETS = 16  # hidden-partitioning bucket count (okey % HP_BUCKETS)
+
+
+@query(
+    "q_hidden_partitioning",
+    oracle=f"""
+    WITH probe AS (
+      SELECT DISTINCT l_orderkey AS k FROM lineitem
+      ORDER BY l_orderkey LIMIT 5
+    )
+    SELECT l.l_orderkey,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(25,2)) * 100
+                         AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
+    FROM lineitem l JOIN probe p ON l.l_orderkey = p.k
+    GROUP BY l.l_orderkey
+    """,
+)
+def q_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIDDEN partitioning (Iceberg's bucket/truncate transforms):
+    the fact layout is physically partitioned by a TRANSFORM of the
+    key (``okey_bucket = l_orderkey % {HP_BUCKETS}``) and the READER
+    derives the partition predicate from the user's plain key
+    predicate — the query below filters only on ``l_orderkey``; the
+    bucket IN-filter is injected by the read path, never written by
+    the user. This is the property that makes Iceberg's partitioning
+    "hidden": users query natural columns, the table format maps
+    predicates through the partition transform, and mis-partitioned
+    full scans (the classic Hive user error of forgetting the
+    partition column) become impossible. Plan pin
+    (test_hidden_partitioning_derives_bucket_filter): the scan
+    carries ``PartitionFilters: [okey_bucket IN (...)]`` with ≤5 of
+    {HP_BUCKETS} buckets, plus the row-level key filter — so a
+    point-lookup workload reads O(keys/buckets) of a 100 TB table.
+    The probe keys are corpus-anchored (the 5 smallest distinct
+    orderkeys — replayed by the oracle as a CTE); the modulo
+    transform is engine-portable, but the oracle never needs it: it
+    answers from the RAW table, so the layout + derived filter must
+    be lossless to hash-match."""
+    from lakehouse_app_spark.sources.layout import corpus_scalar, derived_table
+
+    t = load_tables(spark, sf_dir)
+
+    def build():
+        return t.lineitem.select(
+            "l_orderkey",
+            "l_quantity",
+            "l_extendedprice",
+            (F.col("l_orderkey") % HP_BUCKETS).alias("okey_bucket"),
+        ).repartition(F.col("okey_bucket"))
+
+    fact = derived_table(
+        spark, "li_bucket16", sf_dir, build, partition_by=["okey_bucket"]
+    )
+    keys = corpus_scalar(
+        spark,
+        sf_dir,
+        "hidden_part_probe_keys",
+        lambda: [
+            r["l_orderkey"]
+            for r in t.lineitem.select("l_orderkey")
+            .distinct()
+            .orderBy("l_orderkey")
+            .limit(5)
+            .collect()
+        ],
+    )
+    # the read path's transform awareness: user predicate on the
+    # natural key -> derived partition filter through the transform
+    buckets = sorted({k % HP_BUCKETS for k in keys})
+    return (
+        fact.where(
+            F.col("okey_bucket").isin(buckets)
+            & F.col("l_orderkey").isin(list(keys))
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            (
+                F.sum(
+                    (F.col("l_extendedprice").cast("decimal(25,2)") * 100)
+                    .cast("long")
+                ).cast("double")
+                / 100.0
+            ).alias("sum_price"),
+        )
+    )
+
+
 @query(
     "q_restore_version",
     oracle="""

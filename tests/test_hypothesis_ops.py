@@ -234,3 +234,74 @@ def test_fold_once_minhash_equals_inlined_form(spark, docs):
     a = sorted(map(tuple, new.collect()))
     b = sorted(map(tuple, old.collect()))
     assert a == b
+
+
+@given(
+    base=st.dictionaries(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=0, max_value=3),
+        min_size=0,
+        max_size=6,
+    ),
+    muts=st.lists(
+        st.tuples(
+            st.sampled_from(["del", "upd", "ins"]),
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=3),
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+)
+@hyp_settings
+def test_change_feed_matches_python_reference(spark, tmp_path_factory, base, muts):
+    """Random COW commit sequences (delete / update / insert on random
+    keys) → the feed must equal an independent pure-Python per-commit
+    dict diff, and applying it to v0 must reconstruct the head —
+    including no-op commits (update to the same value, delete of a
+    missing key) which must emit NOTHING for that key."""
+    from lakehouse_app_spark.sources.sinks import change_feed, write_snapshot
+
+    path = str(tmp_path_factory.mktemp("cf_hyp"))
+    states = [dict(base)]
+    for op, k, v in muts:
+        s = dict(states[-1])
+        if op == "del":
+            s.pop(k, None)
+        elif op == "ins" or k in s:
+            s[k] = v
+        states.append(s)
+    for i, s in enumerate(states):
+        df = spark.createDataFrame(
+            [(k, v) for k, v in s.items()] or [(None, None)],
+            "k long, payload long",
+        )
+        if not s:
+            df = df.where("k IS NOT NULL")
+        write_snapshot(df, path, note=f"v{i}")
+    # pure-Python reference feed
+    want = set()
+    for v in range(1, len(states)):
+        old, new = states[v - 1], states[v]
+        for k in old.keys() - new.keys():
+            want.add((k, old[k], "delete", v))
+        for k in new.keys() - old.keys():
+            want.add((k, new[k], "insert", v))
+        for k in old.keys() & new.keys():
+            if old[k] != new[k]:
+                want.add((k, old[k], "update_preimage", v))
+                want.add((k, new[k], "update_postimage", v))
+    feed = change_feed(spark, path, 0, len(states) - 1, "k", ["payload"])
+    got = {
+        (r["k"], r["payload"], r["change_type"], r["commit_version"])
+        for r in feed.collect()
+    }
+    assert got == want
+    # feed-apply ≡ head state
+    final = dict(states[0])
+    for k, p, ct, _ in sorted(got, key=lambda t: t[3]):
+        if ct in ("insert", "update_postimage"):
+            final[k] = p
+        elif ct == "delete":
+            final.pop(k)
+    assert final == states[-1]

@@ -561,6 +561,22 @@ def test_partition_evolution_pruning(spark, sf_dir):
     assert listing(g1_path) == before
 
 
+def test_hidden_partitioning_derives_bucket_filter(spark, sf_dir):
+    """The reader must inject the partition TRANSFORM filter from the
+    user's plain key predicate: the scan carries okey_bucket IN (...)
+    with at most 5 of the 16 buckets (the probe is 5 keys), plus the
+    row-level l_orderkey filter — hidden partitioning's whole point
+    is that the user never wrote the bucket predicate."""
+    import re
+
+    df = QUERIES["q_hidden_partitioning"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[[^\]]*okey_bucket[^\]]* IN \(([^)]*)\)", plan)
+    assert m, plan
+    assert 1 <= len(m.group(1).split(",")) <= 5, plan
+    assert "l_orderkey" in plan, plan
+
+
 def test_change_feed_is_one_shuffle(spark, sf_dir, tmp_path):
     """change_feed's whole multi-commit feed must plan exactly ONE
     shuffle (the (key, commit) hash aggregate) and no sort-merge
