@@ -50,7 +50,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # by its own spec), q_unigram_lm + q_unigram_encode (SentencePiece-
 # style unigram trainer and its broadcast-join corpus encode),
 # q_restore_version (non-destructive RESTORE TO VERSION commit),
-# q_hidden_partitioning (Iceberg bucket-transform hidden partitioning);
+# q_hidden_partitioning (Iceberg bucket-transform hidden partitioning),
+# q_stream_change_apply (the change feed tailed as a stream — CDF
+# produce -> batch consume -> STREAMING consume, the full CDC loop);
 # (b) every plan this round touched — q_incremental_agg (now consumes
 # the stored change feed), q_ann_ivf_retrain + q_ivf_balance (integer-
 # exact skew gate), q_winnow_fingerprint (A/B'd, arm A kept),
@@ -63,7 +65,7 @@ _SHOWCASE = [
     # (a) this round's NEW keys (r13)
     "q_zorder_roundtrip", "q_change_feed", "q_partition_evolution",
     "q_unigram_lm", "q_unigram_encode", "q_restore_version",
-    "q_hidden_partitioning",
+    "q_hidden_partitioning", "q_stream_change_apply",
     # (b) this round's changed paths: q_incremental_agg now consumes
     # the stored change feed; the retrain gate went integer-exact;
     # the staging memos gained the lock; winnow's A/B kept arm A
@@ -83,13 +85,13 @@ _SHOWCASE = [
     "q_tokenize_wordcount", "q_quality_score",
     "q_lang_id", "q_token_count", "q_fingerprint",
     "q_bm25", "q_tfidf_top_terms", "q_bpe_merges",
-    "q_bpe_encode", "q_quality_classifier", "q_corpus_gate",
+    "q_bpe_encode", "q_quality_classifier",
 ]
 
 # Keys that would rotate in next if the driver over-samples past 50:
 # the oldest-green cycle continues through the r08 window.
 _NEXT_UP = [
-    "q_perplexity", "q_span_corrupt", "q_fim_transform",
+    "q_corpus_gate", "q_perplexity", "q_span_corrupt", "q_fim_transform",
     "q_train_split", "q_pack_batches", "q_mix_weights",
     "q_url_dedup", "q_pii_redact", "q_dataset_card",
     "q_contamination", "q_chunk_dedup", "q_dedup_spans",
