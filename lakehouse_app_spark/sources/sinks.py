@@ -321,6 +321,30 @@ def write_snapshot_checked(df: DataFrame, path: str, checks: dict, note: str = "
 # ------------------------------------------------ stats-based file skipping
 
 
+def _atomic_write_json(path: str, payload: str) -> None:
+    """Write-then-rename so a concurrent reader never observes a
+    truncated manifest and two concurrent writers leave one intact
+    winner — write_snapshot's manifest-last convention applied to the
+    stats sidecars (advice r13: a plain open(..., 'w') exposes a
+    half-written JSON to readers in the write window)."""
+    import os as _os
+    import tempfile as _tempfile
+
+    fd, tmp = _tempfile.mkstemp(
+        dir=_os.path.dirname(path) or ".", prefix="._stats_tmp_"
+    )
+    try:
+        with _os.fdopen(fd, "w") as fh:
+            fh.write(payload)
+        _os.replace(tmp, path)  # atomic on POSIX, same filesystem
+    except BaseException:
+        try:
+            _os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
 def write_stats_manifest(
     spark: SparkSession, path: str, key_col: str, fmt: str = "parquet"
 ) -> dict:
@@ -349,8 +373,9 @@ def write_stats_manifest(
         "key": key_col,
         "files": {r["file"]: [r["lo"], r["hi"]] for r in rows},
     }
-    with open(_os.path.join(path, "_stats.json"), "w") as fh:
-        fh.write(_json.dumps(stats, default=str))
+    _atomic_write_json(
+        _os.path.join(path, "_stats.json"), _json.dumps(stats, default=str)
+    )
     return stats
 
 
@@ -403,69 +428,130 @@ def write_stats_manifest_nd(
     that the ranges come out tight in ALL dimensions simultaneously,
     so [[read_stats_pruned_nd]] can skip files on a conjunction of
     selective predicates — any single-dimension sort gives tight
-    ranges in one column only."""
+    ranges in one column only.
+
+    Beyond (min, max) the manifest carries, per file, the ROW COUNT
+    and each key column's NULL COUNT (Iceberg's `record_count` /
+    `null_value_counts`), which lets the reader skip files for
+    IS NULL / IS NOT NULL predicates — a file whose null_count equals
+    its row count has no value to offer an IS NOT NULL scan, and one
+    with zero nulls nothing for IS NULL. Column TYPES are recorded so
+    the reader compares stats in the right domain: JSON-native values
+    round-trip as-is, date/timestamp/string stats compare as strings
+    (ISO-8601 orders like its values), and any other non-native type
+    (Decimal) is parsed back to a number instead of the lexicographic
+    comparison that would prune '9' > '10' (advice r13)."""
     import json as _json
     import os as _os
 
     from pyspark.sql import functions as F
 
-    aggs = []
+    df = spark.read.format(fmt).load(path)
+    types = {c: df.schema[c].dataType.typeName() for c in key_cols}
+    aggs = [F.count(F.lit(1)).alias("_rows")]
     for c in key_cols:
         aggs.append(F.min(c).alias(f"_lo_{c}"))
         aggs.append(F.max(c).alias(f"_hi_{c}"))
+        aggs.append(F.count_if(F.col(c).isNull()).alias(f"_nulls_{c}"))
     rows = (
-        spark.read.format(fmt)
-        .load(path)
-        .groupBy(F.input_file_name().alias("file"))
-        .agg(*aggs)
-        .collect()
+        df.groupBy(F.input_file_name().alias("file")).agg(*aggs).collect()
     )
     stats = {
         "keys": list(key_cols),
+        "types": types,
         "files": {
-            r["file"]: {c: [r[f"_lo_{c}"], r[f"_hi_{c}"]] for c in key_cols}
+            r["file"]: {
+                "rows": r["_rows"],
+                "stats": {
+                    c: [r[f"_lo_{c}"], r[f"_hi_{c}"], r[f"_nulls_{c}"]]
+                    for c in key_cols
+                },
+            }
             for r in rows
         },
     }
-    with open(_os.path.join(path, "_stats_nd.json"), "w") as fh:
-        fh.write(_json.dumps(stats, default=str))
+    _atomic_write_json(
+        _os.path.join(path, "_stats_nd.json"), _json.dumps(stats, default=str)
+    )
     return stats
 
 
 def read_stats_pruned_nd(
     spark: SparkSession,
     path: str,
-    bounds: dict,
+    bounds: dict | None = None,
     fmt: str = "parquet",
+    require_non_null: list[str] | None = None,
+    require_null: list[str] | None = None,
 ) -> DataFrame:
     """Read only the files whose per-column stats ranges intersect
     EVERY [lo, hi] interval in ``bounds`` (col -> (lo, hi), closed)
-    per the ``_stats_nd.json`` manifest. File-granular like
+    per the ``_stats_nd.json`` manifest — and, when the manifest
+    carries null/row counts, additionally skip files that cannot
+    satisfy ``require_non_null`` columns (every value NULL) or
+    ``require_null`` columns (zero NULLs). File-granular like
     [[read_stats_pruned]]: straddling files are read whole, so
     callers keep the row-level predicates in the plan; the prune only
-    bounds I/O. A file lacking range evidence in ANY requested column
-    (all-NULL bounds) is conservatively read."""
+    bounds I/O. A file lacking evidence in ANY requested column
+    (all-NULL bounds / absent counts in a pre-r14 manifest) is
+    conservatively read.
+
+    Stats domains: comparisons honor the manifest's recorded column
+    type — string/date/timestamp stats compare as strings (ISO-8601
+    orders like its values); a non-JSON-native NUMERIC stat (Decimal,
+    serialized via str) is parsed back before comparing, never
+    compared lexicographically (advice r13)."""
     import json as _json
     import os as _os
 
+    bounds = bounds or {}
     with open(_os.path.join(path, "_stats_nd.json")) as fh:
         stats = _json.loads(fh.read())
-    missing = [c for c in bounds if c not in stats["keys"]]
+    types = stats.get("types", {})
+    wanted = list(bounds) + list(require_non_null or []) + list(
+        require_null or []
+    )
+    missing = [c for c in wanted if c not in stats["keys"]]
     if missing:
         raise KeyError(f"no stats for columns {missing} in {path}")
+    _STR_DOMAIN = {"string", "date", "timestamp", "timestamp_ntz", "varchar"}
 
-    def _keep(ranges: dict) -> bool:
+    def _keep(entry: dict) -> bool:
+        # pre-r14 manifests map file -> {col: [lo, hi]}; current ones
+        # file -> {rows, stats: {col: [lo, hi, nulls]}}
+        col_stats = entry["stats"] if "stats" in entry else entry
+        rows = entry.get("rows") if "stats" in entry else None
         for c, (lo, hi) in bounds.items():
-            flo, fhi = ranges[c]
+            b = col_stats[c]
+            flo, fhi = b[0], b[1]
             if flo is None or fhi is None:
                 continue  # no evidence in this dimension -> keep
-            if isinstance(flo, str):  # str-domain stats (dates etc.)
-                lo, hi = str(lo), str(hi)
+            if isinstance(flo, str):
+                t = types.get(c)
+                if t is None or t in _STR_DOMAIN:
+                    # genuinely string-ordered domain (or a pre-r14
+                    # manifest with no type record: legacy behavior)
+                    lo, hi = str(lo), str(hi)
+                else:
+                    # numeric stat serialized via default=str
+                    flo, fhi, lo, hi = (
+                        float(flo), float(fhi), float(lo), float(hi)
+                    )
             if fhi < lo or flo > hi:
                 return False
+        for c in require_non_null or []:
+            b = col_stats[c]
+            nulls = b[2] if len(b) > 2 else None
+            if nulls is not None and rows is not None and nulls >= rows:
+                return False  # all NULL: IS NOT NULL can't match
+        for c in require_null or []:
+            b = col_stats[c]
+            nulls = b[2] if len(b) > 2 else None
+            if nulls is not None and nulls == 0:
+                return False  # zero NULLs: IS NULL can't match
         return True
 
-    files = [f for f, ranges in stats["files"].items() if _keep(ranges)]
+    files = [f for f, entry in stats["files"].items() if _keep(entry)]
     if not files:
         return spark.read.format(fmt).load(path).limit(0)
     return spark.read.format(fmt).load(files)
@@ -496,12 +582,28 @@ def change_feed(
     v+1 and `new` at commit v, and one hash aggregate on (key,
     commit) pairs the images (keys are unique per version, so
     null-skipping max() recovers the single image per role; payload
-    columns must therefore be orderable). A per-pair full-outer join
+    columns must therefore be orderable). The uniqueness assumption
+    is ENFORCED, not trusted: the same aggregate counts images per
+    (key, commit, role) and the plan raises on >1 — a non-unique-key
+    caller fails loudly instead of feeding a downstream CDF consumer
+    arbitrary images (advice r13). A per-pair full-outer join
     would shuffle-sort both sides of every commit — 2(v_to - v_from)
     exchanges against this plan's one, the difference between
     O(commits) and O(1) shuffles when a CDF reader spans a day of
     commits at 100 TB."""
     from pyspark.sql import functions as F
+
+    if v_from >= v_to:
+        # documented (v_from, v_to] semantics: a degenerate range is
+        # an EMPTY feed with the full output schema, not an
+        # IndexError on frames[0] (advice r13)
+        snap = read_snapshot(spark, path, v_from)
+        return snap.select(
+            key_col,
+            *payload_cols,
+            F.lit("").alias("change_type"),
+            F.lit(0).alias("commit_version"),
+        ).limit(0)
 
     frames = []
     for v in range(v_from, v_to + 1):
@@ -532,6 +634,22 @@ def change_feed(
     g = u.groupBy("_k", "commit_version").agg(
         F.max(F.when(F.col("_role") == "o", F.col("_p"))).alias("_op"),
         F.max(F.when(F.col("_role") == "n", F.col("_p"))).alias("_np"),
+        F.count(F.when(F.col("_role") == "o", 1)).alias("_no"),
+        F.count(F.when(F.col("_role") == "n", 1)).alias("_nn"),
+    )
+    # enforce the per-version key-uniqueness contract inside the same
+    # aggregate (no extra pass): assert_true throws at execution time
+    # on any key with >1 image per role, so a non-unique-key caller
+    # cannot silently receive arbitrary max()-selected images
+    g = g.where(
+        F.assert_true(
+            (F.col("_no") <= 1) & (F.col("_nn") <= 1),
+            F.concat(
+                F.lit(f"change_feed: key column '{key_col}' is not "
+                      "unique within a version at key="),
+                F.col("_k").cast("string"),
+            ),
+        ).isNull()
     )
     chg = (
         F.when(

@@ -1049,3 +1049,120 @@ def test_stats_pruned_nd_full_and_disjoint_bounds(spark, sf_dir, tmp_path):
         .count()
     )
     assert box.count() == truth
+
+
+def test_change_feed_degenerate_range_is_empty(spark, tmp_path):
+    """(v_from, v_to] semantics: v_from >= v_to is an EMPTY feed with
+    the full output schema, never an IndexError (advice r13)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_app_spark.sources.sinks import change_feed, write_snapshot
+
+    path = str(tmp_path / "cdf_empty")
+    df = spark.createDataFrame([(1, "a", 10)], "k long, s string, n long")
+    write_snapshot(df, path, "base")
+    feed = change_feed(spark, path, 0, 0, "k", ["s", "n"])
+    assert feed.columns == ["k", "s", "n", "change_type", "commit_version"]
+    assert feed.count() == 0
+
+
+def test_change_feed_rejects_non_unique_key(spark, tmp_path):
+    """The per-version key-uniqueness contract is enforced: a
+    duplicate key inside one version raises at execution instead of
+    silently emitting arbitrary max()-selected images (advice r13)."""
+    import pytest
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from lakehouse_app_spark.sources.sinks import change_feed, write_snapshot
+
+    path = str(tmp_path / "cdf_dup")
+    write_snapshot(
+        spark.createDataFrame([(1, "a"), (1, "b")], "k long, s string"),
+        path,
+        "dup base",
+    )
+    write_snapshot(
+        spark.createDataFrame([(1, "c")], "k long, s string"), path, "next"
+    )
+    with pytest.raises(Exception, match="not .*unique|ASSERT"):
+        change_feed(spark, path, 0, 1, "k", ["s"]).collect()
+
+
+def test_stats_pruned_nd_null_count_skipping(spark, tmp_path):
+    """The r14 manifest's null/row counts skip files for IS NULL /
+    IS NOT NULL predicates: an all-NULL file never serves a
+    require_non_null read, a no-NULL file never serves a require_null
+    read, and a mixed file serves both (conservative)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_app_spark.sources.sinks import (
+        read_stats_pruned_nd,
+        write_stats_manifest_nd,
+    )
+
+    path = str(tmp_path / "nulls")
+    # three files: all-NULL lang, no-NULL lang, mixed
+    parts = [
+        [(1, None), (2, None)],
+        [(3, "en"), (4, "fr")],
+        [(5, "de"), (6, None)],
+    ]
+    for i, rows in enumerate(parts):
+        spark.createDataFrame(rows, "id long, lang string").coalesce(
+            1
+        ).write.mode("append").parquet(path)
+    write_stats_manifest_nd(spark, path, ["id", "lang"])
+    n_total = len(
+        [f for f in os.listdir(path) if f.endswith(".parquet")]
+    )
+    assert n_total == 3
+
+    def files_of(df):
+        return {
+            r[0]
+            for r in df.select(
+                F.col("_metadata.file_path")
+            ).distinct().collect()
+        }
+
+    non_null = read_stats_pruned_nd(spark, path, require_non_null=["lang"])
+    assert len(files_of(non_null)) == 2  # all-NULL file skipped
+    assert (
+        non_null.where(F.col("lang").isNotNull()).count() == 3
+    )  # exactness with the row predicate in-plan
+    nulls = read_stats_pruned_nd(spark, path, require_null=["lang"])
+    assert len(files_of(nulls)) == 2  # no-NULL file skipped
+    assert nulls.where(F.col("lang").isNull()).count() == 3
+
+
+def test_stats_pruned_nd_decimal_stats_compare_numerically(spark, tmp_path):
+    """Decimal stats round-trip the manifest as strings (JSON has no
+    Decimal); the reader must parse them back — lexicographic
+    comparison would prune '9' > '10' and drop matching rows
+    (advice r13)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_app_spark.sources.sinks import (
+        read_stats_pruned_nd,
+        write_stats_manifest_nd,
+    )
+
+    path = str(tmp_path / "dec")
+    # one file holding value 9.50: under lexicographic compare the
+    # probe interval [10, 20] ('10' < '9.50' as strings) would WRONGLY
+    # keep it while [2, 3] ('2' < '9.50' < ... ) shows the dual bug;
+    # the decisive case: file [100.00, 150.00] vs probe (20, 30) —
+    # '20' < '100.00' is FALSE lexicographically ('1' < '2'), so the
+    # buggy reader KEEPS the file; numerically 100 > 30 prunes it.
+    spark.createDataFrame(
+        [(1, "100.00"), (2, "150.00")], "id long, amt string"
+    ).select(
+        "id", F.col("amt").cast("decimal(10,2)").alias("amt")
+    ).coalesce(1).write.parquet(path)
+    write_stats_manifest_nd(spark, path, ["amt"])
+    pruned = read_stats_pruned_nd(spark, path, {"amt": (20, 30)})
+    assert pruned.count() == 0  # numerically disjoint -> pruned
+    kept = read_stats_pruned_nd(spark, path, {"amt": (90, 120)})
+    assert kept.count() == 2  # numerically intersecting -> read
