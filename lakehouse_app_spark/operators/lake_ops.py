@@ -562,6 +562,11 @@ def q_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pk_lo, pk_hi = (pk_hi_dom + 1) // 8, (pk_hi_dom + 1) // 4 - 1
     sk_lo, sk_hi = (sk_hi_dom + 1) // 8, (sk_hi_dom + 1) // 4 - 1
+    # interleave width follows the corpus domain, never a silent cap:
+    # at the fixed ZBITS=16 any key above 2^16 (TPC-H sf≳3) would drop
+    # its high bits and degrade the Morton clustering (advice r13);
+    # the domain max is already in hand via the corpus scalar
+    zbits = max(ZBITS, int(max(pk_hi_dom, sk_hi_dom)).bit_length())
     derived_table(
         spark,
         "li_zorder16",
@@ -571,7 +576,7 @@ def q_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_suppkey",
             "l_returnflag",
             "l_extendedprice",
-            zorder_key("l_partkey", "l_suppkey", bits=ZBITS).alias("zval"),
+            zorder_key("l_partkey", "l_suppkey", bits=zbits).alias("zval"),
         ).repartitionByRange(16, "zval"),
     )
     path = layout_path("li_zorder16", sf_dir)
@@ -600,6 +605,327 @@ def q_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_null_prune",
+    oracle="""
+    WITH unified AS (
+      SELECT doc_id, n_chars, NULL AS lang
+      FROM documents WHERE doc_id % 10 = 1
+      UNION ALL
+      SELECT doc_id, n_chars, lang
+      FROM documents WHERE doc_id % 10 = 2
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM unified WHERE lang IS NOT NULL GROUP BY lang
+    """,
+)
+def q_null_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-count data skipping (r13 verdict item 5, the slice of
+    Iceberg's metadata pruning min/max stats cannot express): the
+    ``docs_nulllang`` layout replays [[q_schema_evolution]]'s
+    generation story as FILE composition — pre-evolution rows
+    (doc_id%10==1) carry a NULL ``lang``, post-evolution rows
+    (doc_id%10==2) a populated one, range-routed on the null flag so
+    generations land in separate files (at most one straddler). The
+    r14 stats manifest records each file's row count and per-column
+    null counts (record_count / null_value_counts in Iceberg's
+    manifests), and the reader's ``require_non_null`` skips every
+    file whose null_count == row_count — an IS NOT NULL query never
+    opens the pre-evolution files, BEFORE Spark lists a row group.
+    The row-level IS NOT NULL stays in the plan (the straddler is
+    read whole), so the result is exact and the oracle is the plain
+    unified-table aggregate. Plan pin: the scan opens a strict
+    subset of the layout's files
+    (tests/test_plan_shapes.py::test_null_prune_skips_allnull_files).
+    At 100 TB this is how `WHERE col IS NOT NULL` over a sparse
+    late-added column touches only the files that ever wrote it."""
+    import os
+
+    from lakehouse_app_spark.sources.layout import derived_table, layout_path
+    from lakehouse_app_spark.sources.sinks import (
+        read_stats_pruned_nd,
+        write_stats_manifest_nd,
+    )
+
+    t = load_tables(spark, sf_dir)
+
+    def build():
+        docs = t.documents.select("doc_id", "n_chars", "lang")
+        g1 = docs.where(F.col("doc_id") % 10 == 1).withColumn(
+            "lang", F.lit(None).cast("string")
+        )
+        g2 = docs.where(F.col("doc_id") % 10 == 2)
+        return (
+            g1.unionByName(g2)
+            .withColumn("has_lang", F.col("lang").isNotNull())
+            .repartitionByRange(6, "has_lang", "doc_id")
+            .drop("has_lang")
+        )
+
+    derived_table(spark, "docs_nulllang", sf_dir, build)
+    path = layout_path("docs_nulllang", sf_dir)
+    if not os.path.exists(os.path.join(path, "_stats_nd.json")):
+        write_stats_manifest_nd(spark, path, ["doc_id", "lang"])
+    pruned = read_stats_pruned_nd(spark, path, require_non_null=["lang"])
+    return (
+        pruned.where(F.col("lang").isNotNull())
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "q_zorder_maintain",
+    oracle="""
+    WITH b AS (
+      SELECT CAST((max(l_partkey) + 1) // 8 AS BIGINT) AS pk_lo,
+             CAST((max(l_partkey) + 1) // 4 - 1 AS BIGINT) AS pk_hi,
+             CAST((max(l_suppkey) + 1) // 8 AS BIGINT) AS sk_lo,
+             CAST((max(l_suppkey) + 1) // 4 - 1 AS BIGINT) AS sk_hi
+      FROM lineitem
+    ),
+    agg AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(l_extendedprice * 10000) AS BIGINT))
+                  AS DOUBLE) / 10000.0 AS sum_price
+      FROM lineitem, b
+      WHERE l_partkey BETWEEN b.pk_lo AND b.pk_hi
+        AND l_suppkey BETWEEN b.sk_lo AND b.sk_hi
+      GROUP BY l_returnflag
+    )
+    SELECT s.state, a.l_returnflag, a.n, a.sum_price
+    FROM agg a, (SELECT 'pre' AS state UNION ALL SELECT 'post') s
+    """,
+)
+def q_zorder_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental RE-CLUSTER on append — Delta OPTIMIZE's
+    steady-state maintenance job, completing [[q_zorder_roundtrip]]
+    (r13 verdict item 4): a clustered table does not STAY clustered,
+    because appends land as unclustered files next to the Z-ORDER
+    layout; the maintenance act folds base ∪ delta into a NEW
+    clustered generation, and queries must stay exact across BOTH
+    states. Three build-once layouts stage the story (ingest-time
+    acts, cold-drive certified): ``li_zmaint_base`` — 15/16 of
+    lineitem Morton-clustered into 12 files with a 2-D stats
+    manifest; ``li_zmaint_delta`` — the arriving 1/16 slice written
+    round-robin (deliberately UNCLUSTERED: its per-file ranges span
+    the whole key space, so no manifest can prune it — the reason
+    the fold exists); ``li_zmaint_gen2`` — the fold of base ∪ delta,
+    re-clustered into 16 files with a fresh manifest (the
+    [[q_ann_ivf_merge]] treatment applied to Z-ORDER).
+
+    The query answers the same selective 2-D band as
+    q_zorder_roundtrip in BOTH states: `pre` = manifest-pruned base
+    read + the delta read WHOLE (correct but degraded — every delta
+    file opens), `post` = manifest-pruned gen2 read (pruning
+    restored). The oracle is the plain filtered aggregate over raw
+    lineitem replicated per state, so a row lost or doubled at the
+    fold, or by the pre-state's two-source union, hash-mismatches.
+    Plan pins (tests/test_plan_shapes.py::test_zorder_maintain_
+    prunes_both_states): the pre-state base scan and post-state scan
+    each open a strict subset of their layout's files; the delta
+    always opens whole. At 100 TB this is the scheduled OPTIMIZE
+    pass: the fold is one range-shuffle over base ∪ delta, and every
+    2-D probe between folds pays O(selectivity²) + O(delta) instead
+    of O(selectivity²) — the delta term is what the maintenance job
+    keeps bounded."""
+    import os
+
+    from lakehouse_app_spark.sources.layout import (
+        corpus_scalar,
+        derived_table,
+        layout_path,
+    )
+    from lakehouse_app_spark.sources.sinks import (
+        read_stats_pruned_nd,
+        write_stats_manifest_nd,
+        zorder_key,
+    )
+
+    t = load_tables(spark, sf_dir)
+    pk_hi_dom, sk_hi_dom = corpus_scalar(
+        spark,
+        sf_dir,
+        "zorder_domain_max",
+        lambda: tuple(
+            t.lineitem.agg(
+                F.max("l_partkey").alias("p"), F.max("l_suppkey").alias("s")
+            ).collect()[0]
+        ),
+    )
+    pk_lo, pk_hi = (pk_hi_dom + 1) // 8, (pk_hi_dom + 1) // 4 - 1
+    sk_lo, sk_hi = (sk_hi_dom + 1) // 8, (sk_hi_dom + 1) // 4 - 1
+    zbits = max(ZBITS, int(max(pk_hi_dom, sk_hi_dom)).bit_length())
+    cols = ["l_partkey", "l_suppkey", "l_returnflag", "l_extendedprice"]
+    zed = lambda df: df.select(  # noqa: E731
+        *cols, zorder_key("l_partkey", "l_suppkey", bits=zbits).alias("zval")
+    )
+    base = derived_table(
+        spark,
+        "li_zmaint_base",
+        sf_dir,
+        lambda: zed(t.lineitem.where(F.col("l_orderkey") % 16 != 0))
+        .repartitionByRange(12, "zval"),
+    )
+    delta = derived_table(
+        spark,
+        "li_zmaint_delta",
+        sf_dir,
+        lambda: t.lineitem.where(F.col("l_orderkey") % 16 == 0)
+        .select(*cols)
+        .repartition(3),
+    )
+    gen2 = derived_table(
+        spark,
+        "li_zmaint_gen2",
+        sf_dir,
+        lambda: zed(base.drop("zval").unionByName(delta))
+        .repartitionByRange(16, "zval"),
+    )
+    for name in ("li_zmaint_base", "li_zmaint_gen2"):
+        path = layout_path(name, sf_dir)
+        if not os.path.exists(os.path.join(path, "_stats_nd.json")):
+            write_stats_manifest_nd(spark, path, ["l_partkey", "l_suppkey"])
+    bounds = {"l_partkey": (pk_lo, pk_hi), "l_suppkey": (sk_lo, sk_hi)}
+    pre = read_stats_pruned_nd(
+        spark, layout_path("li_zmaint_base", sf_dir), bounds
+    ).drop("zval").unionByName(delta)
+    post = read_stats_pruned_nd(
+        spark, layout_path("li_zmaint_gen2", sf_dir), bounds
+    ).drop("zval")
+
+    def band_agg(df: DataFrame, state: str) -> DataFrame:
+        return (
+            df.where(
+                F.col("l_partkey").between(pk_lo, pk_hi)
+                & F.col("l_suppkey").between(sk_lo, sk_hi)
+            )
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                (
+                    F.sum(
+                        F.round(F.col("l_extendedprice") * 10000).cast(
+                            "bigint"
+                        )
+                    ).cast("double")
+                    / 10000.0
+                ).alias("sum_price"),
+            )
+            .select(F.lit(state).alias("state"), "l_returnflag", "n",
+                    "sum_price")
+        )
+
+    return band_agg(pre, "pre").unionByName(band_agg(post, "post"))
+
+
+# ------------------------------------------------ shared CDC lineages
+#
+# r13 verdict item 1: the CDC demo keys (q_time_travel, q_change_feed,
+# q_restore_version, q_incremental_agg, q_stream_change_apply) each
+# re-committed their own COW lineage per invocation — ~4 lineages × 3
+# bench reps of pure write-path cost whose oracles replay logically in
+# ~0.01 s. The lineage is an INGEST-TIME artifact, so it now lives in
+# the durable layout catalog (layout.lineage_table, build-once per
+# corpus content, cold-drive certified to rebuild from scratch) and
+# the timed path measures what a user's query actually costs: the
+# feed computation, the time-travel reads, the restore read-back.
+# Live write-path witnesses remain q_vacuum, q_compact_roundtrip,
+# q_sink_roundtrip and q_merge_multi (one commit per rep, priced in
+# BASELINE.md's write-roundtrip ledger).
+
+
+def _cdc_docs_lineage(spark: SparkSession, sf_dir: str) -> str:
+    """The shared documents CDC lineage: v0 base (doc_id%10==3) →
+    v1 COW DELETE (n_chars<100) → v2 COW UPDATE (n_chars>=400 →
+    source='archived') → v3 APPEND (doc_id%10==4) → v4 RESTORE(v0).
+    Serves [[q_time_travel]] (reads v0–v2), [[q_change_feed]] (feed
+    v0→v3) and [[q_restore_version]] (reads v0–v4)."""
+    from lakehouse_app_spark.sources.layout import lineage_table
+    from lakehouse_app_spark.sources.sinks import (
+        delete_where,
+        read_snapshot,
+        restore_version,
+        update_where,
+        write_snapshot,
+    )
+
+    def build(root: str) -> None:
+        t = load_tables(spark, sf_dir)
+        docs = t.documents.select("doc_id", "source", "n_chars")
+        write_snapshot(docs.where(F.col("doc_id") % 10 == 3), root, "base")
+        delete_where(spark, root, F.col("n_chars") < 100)
+        update_where(
+            spark, root, F.col("n_chars") >= 400, {"source": F.lit("archived")}
+        )
+        cur = read_snapshot(spark, root)
+        write_snapshot(
+            cur.unionByName(docs.where(F.col("doc_id") % 10 == 4)),
+            root,
+            "append",
+        )
+        restore_version(spark, root, 0)
+
+    return lineage_table(spark, "cdc_docs", sf_dir, build)
+
+
+def _cdc_orders_lineage(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """The shared orders CDC lineage plus its STORED change feed:
+    v0 = orders slice (o_orderkey%10==0), v1 = ONE MERGE-style COW
+    commit bundling the DELETE (%100==0 keys) and the UPDATE (+1000.0
+    on 'P' status) — Delta transactions bundle mutations the same way
+    — and ``feed/`` = the materialized v0→v1 change feed (2 parquet
+    files so a streaming tail replays it as a real multi-batch
+    feed). Serves [[q_incremental_agg]] (batch consumer) and
+    [[q_stream_change_apply]] (streaming consumer). Returns
+    (lineage_root, feed_dir)."""
+    import os
+
+    from lakehouse_app_spark.sources.layout import lineage_table
+    from lakehouse_app_spark.sources.sinks import (
+        change_feed,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    def build(root: str) -> None:
+        t = load_tables(spark, sf_dir)
+        base = t.orders.where(F.col("o_orderkey") % 10 == 0).select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+        v0 = write_snapshot(base, root, "base")
+        cur = read_snapshot(spark, root, v0)
+        v1 = write_snapshot(
+            cur.where(~(F.col("o_orderkey") % 100 == 0)).withColumn(
+                "o_totalprice",
+                F.when(
+                    F.col("o_orderstatus") == "P",
+                    F.col("o_totalprice") + 1000.0,
+                ).otherwise(F.col("o_totalprice")),
+            ),
+            root,
+            "merge",
+        )
+        (
+            change_feed(
+                spark, root, v0, v1, "o_orderkey",
+                ["o_custkey", "o_totalprice"],
+            )
+            .repartition(2)
+            .write.mode("errorifexists")
+            .parquet(os.path.join(root, "feed"))
+        )
+
+    root = lineage_table(spark, "cdc_orders", sf_dir, build)
+    return root, os.path.join(root, "feed")
+
+
+@query(
     "q_incremental_agg",
     oracle="""
     WITH v2 AS (
@@ -616,73 +942,42 @@ def q_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental view maintenance driven by the STORED change feed
-    (r12 verdict item 3: previously the CDC delta was synthesized
-    in-plan; now the IVM loop runs end-to-end on committed lineage).
-    An orders slice is committed as v0, then ONE MERGE-style COW
-    commit (v1) carries both the DELETE and the UPDATE — Delta
-    transactions bundle mutations the same way — and the per-customer
-    (count, spend) materialized aggregate built over v0 is brought to
-    v1 by folding
-    :func:`~lakehouse_app_spark.sources.sinks.change_feed`'s rows
-    into signed adjustments: `delete` → (-1, -price_i),
-    `update_preimage` → (0, -price_i), `update_postimage` →
-    (0, +price_i), `insert` → (+1, +price_i) — the generic CDF
-    consumer, blind to WHICH mutations produced the feed. The ORACLE
-    recomputes the v2 aggregate from scratch, so the hash-match IS
-    the feed-apply ≡ recompute proof. At 100 TB the refresh touches
-    the feed (commit-sized) and the view (key-sized) — never the full
-    fact history. Money sums use the signed variant of
-    [[q_agg_pricing]]'s scaled-BIGINT fixed point: every row
-    integerizes exactly once (after its mutation, matching the
-    oracle's rounding point), so a pre-image's integer cancels its
-    base row bit-exactly. Like [[q_time_travel]], structurally
-    asymmetric in the conservative direction: Spark commits two
-    real snapshot versions and diffs them; the oracle recomputes the
-    end state."""
-    from lakehouse_app_spark.runtime_cache import scratch_commit_dir
-    from lakehouse_app_spark.sources.sinks import (
-        change_feed,
-        read_snapshot,
-        write_snapshot,
-    )
+    """Incremental view maintenance driven by the STORED change feed:
+    the [[_cdc_orders_lineage]] layout holds the committed lineage —
+    v0 orders slice, then ONE MERGE-style COW commit (v1) bundling
+    the DELETE and the UPDATE (Delta transactions bundle mutations
+    the same way) — plus the materialized v0→v1 feed, all committed
+    ONCE per corpus as a build-once lineage layout (r13 verdict item
+    1: the commits are ingest-time acts, certified by the cold-layout
+    drive; the timed path is what a refresher actually runs). The
+    per-customer (count, spend) materialized aggregate built over v0
+    is brought to v1 by folding the stored feed's rows into signed
+    adjustments: `delete` → (-1, -price_i), `update_preimage` →
+    (0, -price_i), `update_postimage` → (0, +price_i), `insert` →
+    (+1, +price_i) — the generic CDF consumer, blind to WHICH
+    mutations produced the feed. The ORACLE recomputes the head
+    aggregate from scratch, so the hash-match IS the feed-apply ≡
+    recompute proof. At 100 TB the refresh touches the feed
+    (commit-sized) and the view (key-sized) — never the full fact
+    history. Money sums use the signed variant of [[q_agg_pricing]]'s
+    scaled-BIGINT fixed point: every row integerizes exactly once
+    (after its mutation, matching the oracle's rounding point), so a
+    pre-image's integer cancels its base row bit-exactly."""
+    from lakehouse_app_spark.sources.sinks import read_snapshot
 
-    t = load_tables(spark, sf_dir)
     to_i = lambda c: (c * 10000 + F.lit(0.5)).cast("long")  # noqa: E731
-    base = t.orders.where(F.col("o_orderkey") % 10 == 0).select(
-        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
-    )
-    path = scratch_commit_dir("ivm_")
-    v0 = write_snapshot(base, path, "base")
-    # ONE MERGE-style COW commit carrying both the DELETE and the
-    # UPDATE (Delta transactions bundle mutations the same way): the
-    # feed then reports deletes and update pairs under a single
-    # commit_version — and the consumer below stays blind to how the
-    # mutations were batched
-    cur = read_snapshot(spark, path, v0)
-    v1 = write_snapshot(
-        cur.where(~(F.col("o_orderkey") % 100 == 0)).withColumn(
-            "o_totalprice",
-            F.when(
-                F.col("o_orderstatus") == "P", F.col("o_totalprice") + 1000.0
-            ).otherwise(F.col("o_totalprice")),
-        ),
-        path,
-        "merge",
-    )
+    path, feed_dir = _cdc_orders_lineage(spark, sf_dir)
     # the stored materialized view over v0
     mv0 = (
-        read_snapshot(spark, path, v0)
+        read_snapshot(spark, path, 0)
         .groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n0"),
             F.sum(to_i(F.col("o_totalprice"))).alias("s0"),
         )
     )
-    # CDF rows → signed per-customer adjustments (commit-sized)
-    feed = change_feed(
-        spark, path, v0, v1, "o_orderkey", ["o_custkey", "o_totalprice"]
-    )
+    # stored CDF rows → signed per-customer adjustments (commit-sized)
+    feed = spark.read.parquet(feed_dir)
     sign = F.when(
         F.col("change_type").isin("delete", "update_preimage"), -1
     ).otherwise(1)
@@ -1152,42 +1447,26 @@ def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ACID snapshot layer's full mutation lineage, hash-checked:
-    commit a base table (v0), copy-on-write DELETE the short docs
-    (v1), copy-on-write UPDATE the long docs' source to 'archived'
-    (v2), then TIME-TRAVEL READ every version and report its
+    """The ACID snapshot layer's mutation lineage, hash-checked: the
+    [[_cdc_docs_lineage]] layout commits base (v0), copy-on-write
+    DELETE of the short docs (v1) and copy-on-write UPDATE of the
+    long docs' source to 'archived' (v2) — ONCE per corpus content
+    as a build-once lineage layout (the commits are ingest-time
+    acts; the cold-layout drive certifies they rebuild from scratch)
+    — and this key TIME-TRAVEL READS every version and reports its
     (n_docs, total_chars, n_archived). The oracle derives all three
     states from the source table AND asserts the literal version
-    numbers 0/1/2, so the manifest-last commit protocol's numbering,
-    the COW semantics (old versions stay readable — the delete must
-    NOT leak into v0's read), and the latest-version resolution are
-    all load-bearing in one hash match. This is the Delta/Iceberg
-    DESCRIBE HISTORY + VERSION AS OF workflow on the homegrown
-    snapshot layer (sources/sinks.py; delta-spark absent here by
-    environment, SURVEY §7.6)."""
-    from lakehouse_app_spark.runtime_cache import scratch_commit_dir
-    from lakehouse_app_spark.sources.sinks import (
-        delete_where,
-        read_snapshot,
-        update_where,
-        write_snapshot,
-    )
+    numbers 0/1/2, so the manifest-last commit protocol's numbering
+    and the COW semantics (old versions stay readable — the delete
+    must NOT leak into v0's read) are all load-bearing in one hash
+    match. This is the Delta/Iceberg DESCRIBE HISTORY + VERSION AS
+    OF workflow on the homegrown snapshot layer (sources/sinks.py;
+    delta-spark absent here by environment, SURVEY §7.6)."""
+    from lakehouse_app_spark.sources.sinks import read_snapshot
 
-    t = load_tables(spark, sf_dir)
-    batch = t.documents.where(F.col("doc_id") % 10 == 3).select(
-        "doc_id", "source", "n_chars"
-    )
-    path = scratch_commit_dir("time_travel_")
-    v0 = write_snapshot(batch, path, note="base")
-    v1 = delete_where(spark, path, F.col("n_chars") < 100)
-    v2 = update_where(
-        spark,
-        path,
-        F.col("n_chars") >= 400,
-        {"source": F.lit("archived")},
-    )
+    path = _cdc_docs_lineage(spark, sf_dir)
     frames = []
-    for ver in (v0, v1, v2):
+    for ver in (0, 1, 2):
         frames.append(
             read_snapshot(spark, path, ver).agg(
                 F.lit(ver).cast("int").alias("version"),
@@ -1304,7 +1583,7 @@ def q_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_restore_version",
     oracle="""
     WITH batch AS (
-      SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 10 = 6
+      SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 10 = 3
     ),
     v1 AS (SELECT * FROM batch WHERE NOT (n_chars < 100)),
     v2 AS (SELECT doc_id,
@@ -1312,6 +1591,9 @@ def q_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS source,
                   n_chars
            FROM v1),
+    v3 AS (SELECT * FROM v2 UNION ALL
+           SELECT doc_id, source, n_chars FROM documents
+           WHERE doc_id % 10 = 4),
     stats AS (
       SELECT 0 AS version, CAST(count(*) AS BIGINT) AS n_docs,
              CAST(SUM(n_chars) AS BIGINT) AS total_chars,
@@ -1332,6 +1614,11 @@ def q_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 3, CAST(count(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT),
              CAST(SUM(CASE WHEN source = 'archived' THEN 1 ELSE 0 END)
                   AS BIGINT)
+      FROM v3
+      UNION ALL
+      SELECT 4, CAST(count(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT),
+             CAST(SUM(CASE WHEN source = 'archived' THEN 1 ELSE 0 END)
+                  AS BIGINT)
       FROM batch
     )
     SELECT * FROM stats
@@ -1341,41 +1628,27 @@ def q_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RESTORE TABLE ... TO VERSION AS OF — Delta's non-destructive
     rollback, completing the snapshot lifecycle
     ([[q_time_travel]] history → [[q_change_feed]] reads →
-    [[q_vacuum]] retention → **restore**): after the COW
-    delete/update lineage, :func:`~lakehouse_app_spark.sources.sinks.
-    restore_version` re-commits v0's CONTENT as the new head v3 —
-    history stays intact (the bad commits remain readable for audit;
-    the restore itself is an auditable commit), which is exactly why
-    RESTORE is a commit and not a history rewrite. The report reads
-    all FOUR versions back; the oracle asserts v3's stats equal v0's
-    from source while v1/v2 keep their mutated stats — a restore that
-    rewrote history, leaked the mutations into v3, or truncated the
-    lineage hash-mismatches. With a transactional format the restore
-    is metadata-only (re-point at old files); here it is one
-    read + one write, the conservative full-copy cost this layer
-    documents everywhere."""
-    from lakehouse_app_spark.runtime_cache import scratch_commit_dir
-    from lakehouse_app_spark.sources.sinks import (
-        delete_where,
-        read_snapshot,
-        restore_version,
-        update_where,
-        write_snapshot,
-    )
+    [[q_vacuum]] retention → **restore**): the
+    [[_cdc_docs_lineage]] layout's final commit is
+    :func:`~lakehouse_app_spark.sources.sinks.restore_version`
+    re-committing v0's CONTENT as the new head v4 AFTER the COW
+    delete/update/append commits — history stays intact (the bad
+    commits remain readable for audit; the restore itself is an
+    auditable commit), which is exactly why RESTORE is a commit and
+    not a history rewrite. This key reads all FIVE versions back;
+    the oracle asserts v4's stats equal v0's from source while
+    v1/v2/v3 keep their mutated stats — a restore that rewrote
+    history, leaked the append into v4, or truncated the lineage
+    hash-mismatches. The lineage is a build-once layout (r13 verdict
+    item 1): the restore COMMIT is an ingest-time act the cold-layout
+    drive certifies; the timed path is the five time-travel
+    read-backs a rollback audit actually runs. With a transactional
+    format the restore is metadata-only (re-point at old files)."""
+    from lakehouse_app_spark.sources.sinks import read_snapshot
 
-    t = load_tables(spark, sf_dir)
-    batch = t.documents.where(F.col("doc_id") % 10 == 6).select(
-        "doc_id", "source", "n_chars"
-    )
-    path = scratch_commit_dir("restore_")
-    v0 = write_snapshot(batch, path, note="base")
-    delete_where(spark, path, F.col("n_chars") < 100)
-    update_where(
-        spark, path, F.col("n_chars") >= 400, {"source": F.lit("archived")}
-    )
-    v3 = restore_version(spark, path, v0)
+    path = _cdc_docs_lineage(spark, sf_dir)
     frames = []
-    for ver in range(v0, v3 + 1):
+    for ver in range(0, 5):
         frames.append(
             read_snapshot(spark, path, ver).agg(
                 F.lit(ver).cast("int").alias("version"),
@@ -1430,49 +1703,120 @@ def q_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Delta CDF's `table_changes(t, 0, 3)` on the homegrown COW layer
     (r12 verdict item 3: [[q_table_diff]] diffs two derived states;
     this key re-grounds the diff on the snapshot lineage itself). The
-    full [[q_time_travel]] mutation lineage is committed — base (v0),
-    COW DELETE of the short docs (v1), COW UPDATE of the long docs
-    (v2) — plus an APPEND commit of a disjoint doc batch (v3), and
+    [[_cdc_docs_lineage]] layout holds the committed mutation lineage
+    — base (v0), COW DELETE of the short docs (v1), COW UPDATE of the
+    long docs (v2), APPEND of a disjoint doc batch (v3) — built ONCE
+    per corpus (the commits are ingest-time acts the cold-layout
+    drive certifies; what a CDF reader pays per query is the feed
+    COMPUTATION, which this key times live).
     :func:`~lakehouse_app_spark.sources.sinks.change_feed` reads the
     feed v0→v3 from the stored versions: `delete` rows stamped
     commit 1, `update_preimage`/`update_postimage` PAIRS stamped
     commit 2 (null-safe payload-struct comparison), `insert` rows
-    stamped commit 3. The oracle replays all four logical states from
-    the source table and re-derives each commit's diff in SQL, so the
-    version stamps, the pre/post pairing, and the COW isolation (the
-    delete must not leak into v0's read) are all load-bearing in one
-    hash match. Downstream, [[q_incremental_agg]] consumes this exact
-    feed shape to maintain a materialized aggregate without
-    recomputing — CDC produce + consume, end to end. At 100 TB with a
-    transactional format the feed falls out of each commit's
-    add/remove actions (no diff join); this producer is the
-    read-side contract those actions must reproduce."""
+    stamped commit 3 — ONE union + keyed aggregate, one shuffle for
+    the whole multi-commit feed (plan-pinned). The oracle replays all
+    four logical states from the source table and re-derives each
+    commit's diff in SQL, so the version stamps, the pre/post
+    pairing, and the COW isolation (the delete must not leak into
+    v0's read) are all load-bearing in one hash match. Downstream,
+    [[q_incremental_agg]] consumes this exact feed shape to maintain
+    a materialized aggregate without recomputing — CDC produce +
+    consume, end to end. At 100 TB with a transactional format the
+    feed falls out of each commit's add/remove actions (no diff
+    join); this producer is the read-side contract those actions
+    must reproduce."""
+    from lakehouse_app_spark.sources.sinks import change_feed
+
+    path = _cdc_docs_lineage(spark, sf_dir)
+    return change_feed(spark, path, 0, 3, "doc_id", ["source", "n_chars"])
+
+
+@query(
+    "q_merge_multi",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 10 = 5
+    ),
+    ins AS (
+      SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 10 = 8
+    )
+    SELECT doc_id, source, n_chars,
+           'delete' AS change_type, CAST(1 AS INT) AS commit_version
+    FROM base
+    WHERE n_chars < 100
+       OR (n_chars >= 100 AND n_chars < 400 AND source = 'src5')
+    UNION ALL
+    SELECT doc_id, source, n_chars, 'update_preimage', 1
+    FROM base WHERE n_chars >= 400
+    UNION ALL
+    SELECT doc_id, 'archived', n_chars, 'update_postimage', 1
+    FROM base WHERE n_chars >= 400
+    UNION ALL
+    SELECT doc_id, source, n_chars, 'insert', 1
+    FROM ins
+    """,
+)
+def q_merge_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multi-clause MERGE INTO, executed as ONE snapshot commit
+    (r13 verdict item 3 — upgrades [[q_upsert]]'s 2-way coalesce form
+    to the Delta MERGE contract). A docs slice (doc_id%10==5) is
+    committed as v0; the MERGE source carries the slice's short and
+    long docs plus a disjoint batch (doc_id%10==8); ONE
+    :func:`~lakehouse_app_spark.sources.sinks.merge_into` commit then
+    applies all four clause kinds in order:
+
+    - WHEN MATCHED AND s.n_chars < 100 THEN DELETE
+    - WHEN MATCHED THEN UPDATE SET source = 'archived'  (the ≥400s)
+    - WHEN NOT MATCHED THEN INSERT  (the %10==8 batch)
+    - WHEN NOT MATCHED BY SOURCE AND t.source = 'src5' THEN DELETE
+      (mid-length src5 rows die; mid-length non-src5 rows survive —
+      the conditional clause is load-bearing)
+
+    The OUTPUT is the transaction's change feed v0→v1: because the
+    merge is one commit, every change row — both delete flavors, the
+    update pre/post pairs, the inserts — carries commit_version 1
+    (Delta CDF reports MERGE exactly this way). The oracle replays
+    all four clause outcomes in SQL from the source table, so clause
+    ORDER (a <100 row must hit the delete clause, never the
+    unconditioned update behind it), the conditional
+    not-matched-by-source scope, and the one-commit bundling are all
+    load-bearing in one hash match. Feed-apply ≡ final-state is
+    additionally pinned in tests/test_sources.py. Per-rep cost is the
+    two small commits — the live write-path witness of the CDC
+    family (the shared lineages are build-once); priced in
+    BASELINE.md's write-roundtrip ledger. At 100 TB with bucketed
+    sides the merge join is shuffle-free and a transactional format
+    rewrites only matched files."""
     from lakehouse_app_spark.runtime_cache import scratch_commit_dir
     from lakehouse_app_spark.sources.sinks import (
         change_feed,
-        delete_where,
-        read_snapshot,
-        update_where,
+        merge_into,
         write_snapshot,
     )
 
     t = load_tables(spark, sf_dir)
     docs = t.documents.select("doc_id", "source", "n_chars")
-    path = scratch_commit_dir("change_feed_")
-    v0 = write_snapshot(docs.where(F.col("doc_id") % 10 == 3), path, "base")
-    delete_where(spark, path, F.col("n_chars") < 100)
-    update_where(
-        spark, path, F.col("n_chars") >= 400, {"source": F.lit("archived")}
-    )
-    cur = read_snapshot(spark, path)
-    v3 = write_snapshot(
-        cur.unionByName(docs.where(F.col("doc_id") % 10 == 4)),
+    base = docs.where(F.col("doc_id") % 10 == 5)
+    src = base.where(
+        (F.col("n_chars") < 100) | (F.col("n_chars") >= 400)
+    ).unionByName(docs.where(F.col("doc_id") % 10 == 8))
+    path = scratch_commit_dir("merge_multi_")
+    v0 = write_snapshot(base, path, "base")
+    v1 = merge_into(
+        spark,
         path,
-        "append",
+        src,
+        "doc_id",
+        matched=[
+            (F.col("s.n_chars") < 100, "delete", None),
+            (None, "update", {"source": F.lit("archived")}),
+        ],
+        not_matched=[(None, None)],
+        not_matched_by_source=[
+            (F.col("t.source") == "src5", "delete", None)
+        ],
     )
-    return change_feed(
-        spark, path, v0, v3, "doc_id", ["source", "n_chars"]
-    )
+    return change_feed(spark, path, v0, v1, "doc_id", ["source", "n_chars"])
 
 
 @query(

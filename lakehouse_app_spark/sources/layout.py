@@ -259,6 +259,74 @@ def corpus_scalar(spark: SparkSession, sf_dir: str, tag: str, compute):
         return _CORPUS_SCALARS[ck]
 
 
+# lineage roots verified/built this process: tdir -> tdir
+_LINEAGES: dict[str, str] = {}
+
+
+def lineage_table(
+    spark: SparkSession,
+    name: str,
+    sf_dir: str,
+    build: Callable[[str], None],
+) -> str:
+    """Build-once multi-VERSION snapshot lineage layout — the
+    [[derived_table]] convention extended from one committed version
+    to a whole sinks.py snapshot lineage (r13 verdict item 1: the CDC
+    demo keys each re-committed their own COW lineage per invocation;
+    the lineage is an ingest-time artifact, so it belongs in the
+    durable layout catalog and the timed path should measure the
+    READS — feed computation, time-travel, restore read-back — not
+    re-pay the commits).
+
+    ``build(root)`` performs the actual commits (write_snapshot /
+    delete_where / update_where / restore_version / sidecar writes)
+    into a STAGING root; ``os.rename`` then atomically claims the
+    final fingerprinted directory, so readers see either nothing or
+    the complete lineage and a concurrent loser simply reads the
+    winner's commit. Fingerprint-keyed like every layout: a
+    regenerated corpus rebuilds from scratch (the cold-layout drive
+    certifies exactly that), a fresh process reuses the durable
+    commit. Returns the lineage root path (a sinks.py snapshot table
+    dir usable with read_snapshot/change_feed/snapshot_history)."""
+    import shutil as _shutil
+    import time as _time
+    import uuid as _uuid
+
+    tdir = _table_dir(name, sf_dir)
+    if tdir in _LINEAGES:
+        return tdir
+    if _committed_version(tdir) is None:
+        parent = os.path.dirname(tdir)
+        os.makedirs(parent, exist_ok=True)
+        staging = f"{tdir}-staging-{os.getpid()}-{_uuid.uuid4().hex[:8]}"
+        try:
+            build(staging)
+            try:
+                os.rename(staging, tdir)
+            except OSError:
+                # lost the claim race: a complete winner must exist
+                if _committed_version(tdir) is None:
+                    raise
+                _shutil.rmtree(staging, ignore_errors=True)
+        except Exception:
+            _shutil.rmtree(staging, ignore_errors=True)
+            # the build itself failed — poll briefly for a concurrent
+            # winner mid-commit before giving up (same protocol as
+            # _commit_build)
+            for _ in range(60):
+                if _committed_version(tdir) is not None:
+                    break
+                _time.sleep(0.5)
+            else:
+                raise
+        marker = os.path.join(parent, "_corpus.json")
+        if not os.path.exists(marker):
+            with open(marker, "w") as fh:
+                fh.write(json.dumps({"sf_dir": os.path.abspath(sf_dir)}))
+    _LINEAGES[tdir] = tdir
+    return tdir
+
+
 def layout_path(name: str, sf_dir: str) -> str | None:
     """Committed data path for a layout (None if never built). Unlike
     the pre-round-6 tempdir scheme this answers from the durable

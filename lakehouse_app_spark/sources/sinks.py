@@ -299,6 +299,110 @@ def update_where(spark: SparkSession, path: str, condition, assignments: dict) -
     return write_snapshot(cur, path, note="update")
 
 
+def merge_into(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key: str,
+    matched: list[tuple] = (),
+    not_matched: list[tuple] = (),
+    not_matched_by_source: list[tuple] = (),
+    note: str = "merge",
+) -> int:
+    """Full multi-clause MERGE INTO on the snapshot layer — the Delta
+    / Iceberg MERGE contract ([[merge_upsert]]'s 2-way coalesce form
+    generalized, r13 verdict item 3), executed as ONE copy-on-write
+    commit so the whole transaction lands under a single version and
+    [[change_feed]] reports it as ONE commit_version.
+
+    Clause lists mirror the SQL surface, evaluated IN ORDER (first
+    satisfied clause wins, later clauses never see the row — Delta's
+    documented semantics):
+
+    - ``matched``: ``(cond, action, assignments)`` rows present in
+      BOTH target and source; ``action`` is ``"update"`` (set
+      ``assignments`` col → Column, unlisted columns keep the target
+      value) or ``"delete"``. ``cond=None`` means always.
+    - ``not_matched``: ``(cond, assignments)`` source-only rows →
+      INSERT; ``assignments=None`` inserts the source row's columns
+      by name (a source lacking a target column inserts NULL).
+    - ``not_matched_by_source``: ``(cond, action, assignments)``
+      target-only rows → ``"update"`` or ``"delete"``; an unmatched
+      row no clause accepts is KEPT unchanged, exactly like SQL.
+
+    Conditions and assignment expressions are Columns over the
+    aliased join — reference target columns as ``F.col("t.x")`` and
+    source columns as ``F.col("s.x")``. Source keys must be unique
+    (the same per-key-image contract change_feed enforces; a dup
+    source key would fan out its target row).
+
+    Plan shape: ONE full-outer join on the key + per-column CASE
+    chains + one commit — at 100 TB with both sides bucketed on the
+    key the join is shuffle-free, and with a transactional format
+    the rewrite touches only files holding matched keys; the clause
+    logic is identical."""
+    from pyspark.sql import functions as F
+
+    matched = list(matched)
+    not_matched = list(not_matched)
+    not_matched_by_source = list(not_matched_by_source)
+    target = read_snapshot(spark, path)
+    out_cols = list(target.columns)
+    t = target.withColumn("_t", F.lit(True)).alias("t")
+    s = source.withColumn("_s", F.lit(True)).alias("s")
+    joined = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
+
+    def chain(clauses, default: str, tag: str):
+        # first-satisfied-clause-wins: build the when-chain in reverse
+        expr = F.lit(default)
+        for idx in range(len(clauses) - 1, -1, -1):
+            cond = clauses[idx][0]
+            c = F.lit(True) if cond is None else cond
+            expr = F.when(c, F.lit(f"{tag}{idx}")).otherwise(expr)
+        return expr
+
+    action = (
+        F.when(
+            F.col("_t").isNotNull() & F.col("_s").isNotNull(),
+            chain(matched, "keep", "m"),
+        )
+        .when(F.col("_s").isNotNull(), chain(not_matched, "skip", "i"))
+        .otherwise(chain(not_matched_by_source, "keep", "n"))
+    )
+    dead = {"skip"}
+    dead |= {f"m{i}" for i, cl in enumerate(matched) if cl[1] == "delete"}
+    dead |= {
+        f"n{i}"
+        for i, cl in enumerate(not_matched_by_source)
+        if cl[1] == "delete"
+    }
+    rows = joined.withColumn("_act", action).where(~F.col("_act").isin(*dead))
+
+    def out_col(c: str):
+        expr = F.col(f"t.{c}")  # keep/default: the target value
+        for i, (cond, act, asg) in enumerate(matched):
+            if act == "update":
+                val = (asg or {}).get(c, F.col(f"t.{c}"))
+                expr = F.when(F.col("_act") == f"m{i}", val).otherwise(expr)
+        for i, (cond, asg) in enumerate(not_matched):
+            if asg is not None and c in asg:
+                val = asg[c]
+            elif c in source.columns:
+                val = F.col(f"s.{c}")
+            else:
+                val = F.lit(None)
+            expr = F.when(F.col("_act") == f"i{i}", val).otherwise(expr)
+        for i, (cond, act, asg) in enumerate(not_matched_by_source):
+            if act == "update":
+                val = (asg or {}).get(c, F.col(f"t.{c}"))
+                expr = F.when(F.col("_act") == f"n{i}", val).otherwise(expr)
+        return expr.alias(c)
+
+    return write_snapshot(
+        rows.select([out_col(c) for c in out_cols]), path, note=note
+    )
+
+
 def write_snapshot_checked(df: DataFrame, path: str, checks: dict, note: str = "") -> int:
     """Write-time data-quality gate: each check is name -> boolean
     Column that must hold for EVERY row; any violation aborts the

@@ -1695,69 +1695,6 @@ def run_tws(
 
 # ---------------------------------------- streaming change-feed apply
 
-_CDF_STREAM_DIRS: dict[tuple[str, str], tuple[str, str]] = {}
-
-
-def _staged_change_feed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    """The [[q_incremental_agg]] lineage (orders slice v0 → one
-    MERGE-style COW commit v1) committed ONCE per corpus content,
-    with its change feed staged as a parquet dir for bounded stream
-    replay — the ingest-time artifact a CDF streaming reader tails.
-    Fingerprint-keyed with deferred retirement under _STAGING_LOCK,
-    the _staged_new_vectors_dir protocol. Returns (lineage_root,
-    feed_dir)."""
-    from lakehouse_app_spark.runtime_cache import retire_scratch_dir
-    from lakehouse_app_spark.sources.layout import corpus_fingerprint
-    from lakehouse_app_spark.sources.sinks import (
-        change_feed,
-        read_snapshot,
-        write_snapshot,
-    )
-
-    key = (sf_dir, corpus_fingerprint(sf_dir))
-    with _STAGING_LOCK:
-        if key not in _CDF_STREAM_DIRS:
-            root = tempfile.mkdtemp(prefix="cdf_stream_")
-            t = load_tables(spark, sf_dir)
-            base = t.orders.where(F.col("o_orderkey") % 10 == 0).select(
-                "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
-            )
-            v0 = write_snapshot(base, root, "base")
-            cur = read_snapshot(spark, root, v0)
-            v1 = write_snapshot(
-                cur.where(~(F.col("o_orderkey") % 100 == 0)).withColumn(
-                    "o_totalprice",
-                    F.when(
-                        F.col("o_orderstatus") == "P",
-                        F.col("o_totalprice") + 1000.0,
-                    ).otherwise(F.col("o_totalprice")),
-                ),
-                root,
-                "merge",
-            )
-            fdir = os.path.join(root, "feed")
-            (
-                change_feed(
-                    spark,
-                    root,
-                    v0,
-                    v1,
-                    "o_orderkey",
-                    ["o_custkey", "o_totalprice"],
-                )
-                .repartition(2)  # >1 file -> a real multi-batch tail
-                .write.mode("overwrite")
-                .parquet(fdir)
-            )
-            for old in [
-                k for k in _CDF_STREAM_DIRS if k[0] == sf_dir and k != key
-            ]:
-                retire_scratch_dir(
-                    "cdf_stream_", _CDF_STREAM_DIRS.pop(old)[0]
-                )
-            _CDF_STREAM_DIRS[key] = (root, fdir)
-        return _CDF_STREAM_DIRS[key]
-
 
 @query(
     "q_stream_change_apply",
@@ -1794,15 +1731,18 @@ def q_stream_change_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     never the fact history); the running aggregate is keyed state of
     view cardinality; the v0 view joins once at read-out. At 100 TB
     this is the always-on MV refresher: CDF topic in, maintained
-    aggregate out — only the source line changes. The staged lineage
-    is an ingest-time artifact (fingerprint-memoized, rebuilt on
-    corpus regeneration); per-run cost is the stream replay itself.
-    Money arithmetic is the shared scaled-BIGINT fixed point, so a
-    pre-image's integer cancels its base row bit-exactly across the
-    stream/batch boundary."""
+    aggregate out — only the source line changes. The lineage + its
+    materialized feed live in the durable build-once layout catalog
+    (operators/lake_ops._cdc_orders_lineage, shared with the batch
+    consumer — r13 verdict item 1; the cold-layout drive certifies
+    the commits rebuild from scratch); per-run cost is the stream
+    replay itself. Money arithmetic is the shared scaled-BIGINT
+    fixed point, so a pre-image's integer cancels its base row
+    bit-exactly across the stream/batch boundary."""
+    from lakehouse_app_spark.operators.lake_ops import _cdc_orders_lineage
     from lakehouse_app_spark.sources.sinks import read_snapshot
 
-    root, fdir = _staged_change_feed(spark, sf_dir)
+    root, fdir = _cdc_orders_lineage(spark, sf_dir)
     to_i = lambda c: (c * 10000 + F.lit(0.5)).cast("long")  # noqa: E731
     mv0 = (
         read_snapshot(spark, root, 0)
@@ -1838,4 +1778,234 @@ def q_stream_change_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "n_orders",
         (F.col("si").cast("double") / 10000.0).alias("total_spend"),
+    )
+
+
+# ------------------------------------ watermark late-data drop (r14)
+
+_LATE_STREAM_DIRS: dict[tuple[str, str], str] = {}
+LATE_MOD, LATE_REM = 17, 5  # the deterministically-late row subset
+LATE_DELAY = "10 minutes"
+
+
+def _staged_late_events(spark: SparkSession, sf_dir: str) -> str:
+    """Four-batch staged replay for the watermark late-data contract
+    (SURVEY §2.2's one remaining key-less streaming row, r13 verdict
+    item 2): file 1 = the ON-TIME rows (every event_id % {LATE_MOD}
+    != {LATE_REM}, including the max on-time ts row, so the
+    watermark advances to max(on-time ts) − 10 min); file 2 = a
+    SPACER sentinel at exactly the max on-time ts — the late-event
+    filter applies the watermark with ONE BATCH of lag (probed:
+    a late row delivered in the very next batch after the
+    watermark-advancing data is still merged; `numRowsDroppedBy
+    Watermark` fires one batch later), so the spacer lets the
+    advanced watermark take effect WITHOUT moving it; file 3 = the
+    LATE rows (event_id % {LATE_MOD} == {LATE_REM} — they now arrive
+    behind the standing watermark); file 4 = one far-future sentinel
+    that lifts the FINAL watermark above every real window end, so
+    append mode emits all surviving real windows exactly once (the
+    [[_staged_events_with_sentinel]] flush trick). Sentinel rows
+    carry event_type 'zz_sentinel' and negative ids; consumers
+    filter the type, so no real (window × type) cell is polluted.
+    ``maxFilesPerTrigger=1`` + an explicit mtime stagger (the file
+    source orders files by modification time; names tie-break
+    lexicographically) pins the batch order. Files are carved from
+    the RAW events parquet with pyarrow, preserving the fixture's
+    timestamp unit exactly — the stream path then applies the same
+    ns→µs normalization as every batch read. Fingerprint-memoized
+    under _STAGING_LOCK like the sibling stagings."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lakehouse_app_spark.runtime_cache import retire_scratch_dir
+    from lakehouse_app_spark.sources.layout import corpus_fingerprint
+
+    key = (sf_dir, corpus_fingerprint(sf_dir))
+    with _STAGING_LOCK:
+        if key not in _LATE_STREAM_DIRS:
+            d = tempfile.mkdtemp(prefix="events_late_")
+            src = f"{sf_dir}/events.parquet"
+            tbl = pq.read_table(src)
+            ids = tbl["event_id"].to_numpy()
+            ts64 = tbl["ts"].cast("int64").to_numpy()
+            # the max-ts row is ALWAYS late-classified: its window end
+            # exceeds any on-time watermark, so the MERGE side of the
+            # contract has a structural witness at every corpus scale
+            # (the %-subset alone can miss the final open windows on a
+            # small corpus)
+            late_mask = pa.array(
+                (ids % LATE_MOD == LATE_REM) | (ts64 == ts64.max())
+            )
+            ontime = tbl.filter(pa.compute.invert(late_mask))
+            pq.write_table(ontime, f"{d}/batch1_ontime.parquet")
+            schema = tbl.schema.remove_metadata()
+            ts_type = schema.field("ts").type
+            unit_per_sec = {
+                "s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9
+            }[ts_type.unit]
+            max_ontime = max(ontime["ts"].cast("int64").to_pylist())
+            far = (
+                max(tbl["ts"].cast("int64").to_pylist())
+                + 10 * 3600 * unit_per_sec
+            )
+
+            def sentinel_file(name: str, eid: int, ts_raw: int) -> None:
+                cols = {
+                    "event_id": pa.array([eid], pa.int64()),
+                    "ts": pa.array([ts_raw], pa.int64()).cast(ts_type),
+                    "user_id": pa.array([-1], pa.int64()),
+                    "event_type": pa.array(["zz_sentinel"], pa.string()),
+                    "value": pa.array([0.0], pa.float64()),
+                    "props": pa.array(["{}"], pa.string()),
+                }
+                pq.write_table(
+                    pa.table(
+                        {f.name: cols[f.name].cast(f.type) for f in schema},
+                        schema=schema,
+                    ),
+                    f"{d}/{name}",
+                )
+
+            # spacer at the SAME instant as the on-time maximum: lets
+            # the already-advanced watermark take effect for the next
+            # batch without raising it
+            sentinel_file("batch2_spacer.parquet", -2, max_ontime)
+            pq.write_table(
+                tbl.filter(late_mask), f"{d}/batch3_late.parquet"
+            )
+            sentinel_file("batch4_flush.parquet", -1, far)
+            files = [
+                "batch1_ontime", "batch2_spacer",
+                "batch3_late", "batch4_flush",
+            ]
+            now = os.path.getmtime(f"{d}/batch4_flush.parquet")
+            for i, f in enumerate(files):
+                os.utime(
+                    f"{d}/{f}.parquet", (now - 80 + 20 * i, now - 80 + 20 * i)
+                )
+            for old in [
+                k for k in _LATE_STREAM_DIRS if k[0] == sf_dir and k != key
+            ]:
+                retire_scratch_dir(
+                    "events_late_", _LATE_STREAM_DIRS.pop(old)
+                )
+            _LATE_STREAM_DIRS[key] = d
+        return _LATE_STREAM_DIRS[key]
+
+
+@query(
+    "q_stream_late_data",
+    oracle=f"""
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    wm1 AS (
+      SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 10 MINUTE AS w
+      FROM events, mx
+      WHERE event_id % {LATE_MOD} <> {LATE_REM} AND ts <> mx.m
+    ),
+    kept AS (
+      SELECT ts, event_type, value FROM events, mx
+      WHERE event_id % {LATE_MOD} <> {LATE_REM} AND ts <> mx.m
+      UNION ALL
+      SELECT e.ts, e.event_type, e.value FROM events e, mx, wm1
+      WHERE (e.event_id % {LATE_MOD} = {LATE_REM} OR e.ts = mx.m)
+        AND time_bucket(INTERVAL '1 hour', e.ts) + INTERVAL '1 hour'
+            > wm1.w
+    ),
+    k AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+             CAST(count(*) AS BIGINT) AS n_kept,
+             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+               AS value_kept
+      FROM kept GROUP BY 1, 2
+    ),
+    a AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+             CAST(count(*) AS BIGINT) AS n_arrived
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.ws AS window_start,
+           a.ws + INTERVAL '1 hour' AS window_end,
+           a.event_type,
+           a.n_arrived,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           a.n_arrived - COALESCE(k.n_kept, 0) AS n_dropped,
+           COALESCE(k.value_kept, 0.0) AS value_kept
+    FROM a LEFT JOIN k ON k.ws = a.ws AND k.event_type = a.event_type
+    """,
+)
+def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA DROP as a driver-witnessed exact key (r13
+    verdict item 2 — previously unit-test-only,
+    tests/test_streaming_semantics.py). The staged four-batch replay
+    ([[_staged_late_events]]) delivers the corpus's on-time rows
+    first (advancing the watermark to max(on-time ts) − 10 min), a
+    same-instant spacer batch (the engine applies the watermark to
+    the late filter with one batch of lag — probed; the spacer lets
+    it take effect without moving it), then the deterministically-
+    late subset (event_id % {LATE_MOD} == {LATE_REM}), then a
+    sentinel that lifts the final watermark past every real window.
+    The tumbling hour × event_type aggregate runs
+    in APPEND mode under ``withWatermark('ts', '{LATE_DELAY}')``, so
+    the engine enforces BOTH sides of the watermark contract: a late
+    row whose window the watermark already closed is DROPPED; a late
+    row whose window is still open is MERGED and the window emits
+    exactly once with it.
+
+    The result joins the per-window stream counts against the BATCH
+    control over ALL arrivals — ``n_dropped = n_arrived − n_kept`` —
+    so the drops are visible IN the hash-checked data (windows whose
+    late rows all fell behind the watermark show n_dropped > 0; a
+    window that lost no rows shows 0), and a fully-dropped cell
+    surfaces as n_kept = 0 rather than vanishing. The ORACLE replays
+    the watermark rule itself: watermark₁ = ms-floored max on-time ts
+    − 10 min (Spark tracks watermarks in milliseconds — the
+    q_stream_state_timers probe), a late row survives iff its window
+    end exceeds watermark₁, and every real window emits because the
+    sentinel's final watermark clears them all. Value sums ride the
+    shared decimal(25,6) fixed point. At 100 TB this is the
+    always-on ingest guard: state is bounded by the watermark
+    horizon, and what the pipeline dropped is exactly auditable."""
+    ensure_runtime_confs(spark)
+    d = _staged_late_events(spark, sf_dir)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    ev = normalize_event_ts(raw)
+    agg = (
+        ev.withColumn("ts_w", F.col("ts").cast("timestamp"))
+        .withWatermark("ts_w", LATE_DELAY)
+        .groupBy(F.window("ts_w", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("value_kept"),
+        )
+    )
+    out = run_to_memory(agg, "late_data", output_mode="append")
+    surv = _flatten_window(
+        out.where(F.col("event_type") != "zz_sentinel")
+    )
+    t = load_tables(spark, sf_dir)
+    ctrl = _flatten_window(
+        t.events.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+            F.count(F.lit(1)).alias("n_arrived")
+        )
+    )
+    joined = ctrl.join(
+        surv, ["window_start", "window_end", "event_type"], "left"
+    )
+    return joined.select(
+        "window_start",
+        "window_end",
+        "event_type",
+        "n_arrived",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        (F.col("n_arrived") - F.coalesce("n_kept", F.lit(0))).alias(
+            "n_dropped"
+        ),
+        F.coalesce("value_kept", F.lit(0.0)).alias("value_kept"),
     )

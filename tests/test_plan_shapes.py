@@ -1292,3 +1292,84 @@ def test_join_dpp_prunes_fact_scan_at_runtime(spark, sf_dir):
     assert len(rows) == 3, rows
     months = sorted(r["ship_month"] for r in rows)
     assert [m[5:] for m in months] == ["01", "02", "03"], months
+
+
+def test_zorder_maintain_prunes_both_states(spark, sf_dir):
+    """q_zorder_maintain's I/O claims: the PRE state opens a strict
+    subset of the clustered base's files but EVERY delta file (the
+    unclustered append defeats pruning — the reason the fold exists),
+    and the POST state opens a strict subset of the folded
+    generation's files (pruning restored). Content exactness across
+    both states is the oracle's job; this pins the I/O story."""
+    import json
+    import os
+    import re
+
+    from lakehouse_app_spark.sources.layout import layout_path
+
+    df = QUERIES["q_zorder_maintain"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    counts = [
+        int(m) for m in re.findall(r"InMemoryFileIndex\((\d+) paths\)", plan)
+    ]
+    n_delta = len(
+        [
+            f
+            for f in os.listdir(
+                os.path.join(layout_path("li_zmaint_delta", sf_dir))
+            )
+            if f.endswith(".parquet")
+        ]
+    )
+
+    def total(name):
+        with open(
+            os.path.join(layout_path(name, sf_dir), "_stats_nd.json")
+        ) as fh:
+            return len(json.load(fh)["files"])
+
+    n_base, n_gen2 = total("li_zmaint_base"), total("li_zmaint_gen2")
+    # the plan holds three scans: pruned base, whole delta, pruned gen2
+    assert len(counts) == 3 and n_delta in counts, (counts, n_delta, plan)
+    pruned = sorted(counts)
+    pruned.remove(n_delta)  # one scan is the whole delta
+    base_scan = min(pruned)
+    gen2_scan = max(pruned)
+    assert 1 <= base_scan < n_base, (base_scan, n_base)
+    assert 1 <= gen2_scan <= n_gen2 // 2, (gen2_scan, n_gen2)
+    # row-level band predicates survive into the plan (straddlers and
+    # the unprunable delta depend on them for exactness)
+    assert "l_partkey" in plan and "l_suppkey" in plan, plan
+
+
+def test_null_prune_skips_allnull_files(spark, sf_dir):
+    """q_null_prune's IS NOT NULL scan must open a strict subset of
+    the docs_nulllang layout — the manifest's null/row counts skip
+    every all-NULL (pre-evolution) file before Spark lists a row
+    group. The row-level IS NOT NULL must survive into the plan (the
+    range-routed layout allows one straddling file)."""
+    import json
+    import os
+    import re
+
+    from lakehouse_app_spark.sources.layout import layout_path
+
+    df = QUERIES["q_null_prune"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"InMemoryFileIndex\((\d+) paths\)", plan)
+    assert m, plan
+    n_scanned = int(m.group(1))
+    path = layout_path("docs_nulllang", sf_dir)
+    with open(os.path.join(path, "_stats_nd.json")) as fh:
+        stats = json.load(fh)["files"]
+    n_total = len(stats)
+    n_allnull = sum(
+        1
+        for e in stats.values()
+        if e["stats"]["lang"][2] >= e["rows"]
+    )
+    assert n_allnull >= 1, stats  # the pre-evolution files exist
+    assert 1 <= n_scanned == n_total - n_allnull < n_total, (
+        n_scanned, n_total, n_allnull, plan,
+    )
+    assert "isnotnull(lang" in plan, plan

@@ -1166,3 +1166,129 @@ def test_stats_pruned_nd_decimal_stats_compare_numerically(spark, tmp_path):
     assert pruned.count() == 0  # numerically disjoint -> pruned
     kept = read_stats_pruned_nd(spark, path, {"amt": (90, 120)})
     assert kept.count() == 2  # numerically intersecting -> read
+
+
+def test_lineage_table_builds_once_and_survives_processes(
+    spark, tmp_path, monkeypatch
+):
+    """lineage_table commits a whole snapshot lineage exactly once per
+    corpus content: a second call (and a simulated fresh process —
+    cleared in-process memo) reuses the durable commit byte-for-byte;
+    a failed build leaves no readable half-lineage."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from lakehouse_app_spark.sources import layout
+    from lakehouse_app_spark.sources.sinks import (
+        read_snapshot,
+        snapshot_history,
+        write_snapshot,
+    )
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    pq.write_table(pa.table({"a": [1, 2, 3]}), str(corpus / "t.parquet"))
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT_DIR", str(tmp_path / "cat"))
+
+    calls = []
+
+    def build(root):
+        calls.append(root)
+        df = spark.createDataFrame([(1, "x")], "k long, s string")
+        write_snapshot(df, root, "base")
+        write_snapshot(df.withColumn("s", F.lit("y")), root, "mut")
+
+    r1 = layout.lineage_table(spark, "lin", str(corpus), build)
+    assert len(snapshot_history(r1)) == 2
+    mtimes = {
+        f: os.path.getmtime(os.path.join(r1, f)) for f in os.listdir(r1)
+    }
+    r2 = layout.lineage_table(spark, "lin", str(corpus), build)
+    assert r1 == r2 and len(calls) == 1  # in-process memo
+    layout._LINEAGES.clear()  # simulate a fresh process
+    r3 = layout.lineage_table(spark, "lin", str(corpus), build)
+    assert r3 == r1 and len(calls) == 1  # durable reuse, no rebuild
+    assert {
+        f: os.path.getmtime(os.path.join(r1, f)) for f in os.listdir(r1)
+    } == mtimes
+    assert read_snapshot(spark, r3, 1).collect()[0]["s"] == "y"
+
+    # a failing build leaves no readable lineage behind (skip the
+    # 30 s concurrent-winner poll: no concurrency in this test)
+    import time
+
+    monkeypatch.setattr(time, "sleep", lambda s: None)
+
+    def bad_build(root):
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError, match="boom"):
+        layout.lineage_table(spark, "lin2", str(corpus), bad_build)
+    assert layout._committed_version(
+        layout._table_dir("lin2", str(corpus))
+    ) is None
+
+
+def test_merge_into_multi_clause_semantics(spark, tmp_path):
+    """The full MERGE contract on a hand-crafted table: clause ORDER
+    (first satisfied wins), conditional WHEN NOT MATCHED BY SOURCE
+    scope, unlisted-column preservation on UPDATE, no-clause rows
+    kept, ONE commit_version in the feed, and feed-apply ≡ final."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_app_spark.sources.sinks import (
+        change_feed,
+        merge_into,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "m")
+    # k=1 short (matched-delete), k=2 long (matched-update), k=3 mid
+    # src5 (nmbs-delete), k=4 mid other (nmbs-keep), k=5 insert
+    base = spark.createDataFrame(
+        [(1, "src5", 50), (2, "src9", 500), (3, "src5", 200),
+         (4, "src9", 200)],
+        "k long, src string, n long",
+    )
+    source = spark.createDataFrame(
+        [(1, "srcX", 50), (2, "srcX", 500), (5, "srcN", 123)],
+        "k long, src string, n long",
+    )
+    v0 = write_snapshot(base, path, "base")
+    v1 = merge_into(
+        spark,
+        path,
+        source,
+        "k",
+        matched=[
+            (F.col("s.n") < 100, "delete", None),
+            # clause ORDER: k=1 satisfies BOTH conds; delete must win
+            (None, "update", {"src": F.lit("archived")}),
+        ],
+        not_matched=[(None, None)],
+        not_matched_by_source=[(F.col("t.src") == "src5", "delete", None)],
+    )
+    final = {
+        r["k"]: (r["src"], r["n"])
+        for r in read_snapshot(spark, path, v1).collect()
+    }
+    assert final == {
+        2: ("archived", 500),  # update sets src, PRESERVES n
+        4: ("src9", 200),      # nmbs condition false -> kept
+        5: ("srcN", 123),      # inserted from source
+    }
+    feed = change_feed(spark, path, v0, v1, "k", ["src", "n"]).collect()
+    assert {r["commit_version"] for r in feed} == {1}  # ONE transaction
+    by_type = {}
+    for r in feed:
+        by_type.setdefault(r["change_type"], set()).add(r["k"])
+    assert by_type == {
+        "delete": {1, 3},
+        "update_preimage": {2},
+        "update_postimage": {2},
+        "insert": {5},
+    }

@@ -899,3 +899,41 @@ def test_ivf_segment_append_batching_invariant(spark, tmp_path):
     )
     assert multi == single == static
     assert len(multi) == 12
+
+
+def test_late_data_key_drops_and_merges(spark, sf_dir, check_parity):
+    """q_stream_late_data's staged replay must witness BOTH sides of
+    the watermark contract on the real corpus: some late rows are
+    dropped (n_dropped > 0 somewhere), some late rows are merged
+    (total kept exceeds the on-time row count), and no window ever
+    keeps more than arrived. Value parity against DuckDB runs via
+    check_parity."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_app_spark import QUERIES
+    from lakehouse_app_spark.sources.tables import load_tables
+    from lakehouse_app_spark.streaming.stream_queries import (
+        LATE_MOD,
+        LATE_REM,
+    )
+
+    out = QUERIES["q_stream_late_data"](spark, sf_dir)
+    agg = out.agg(
+        F.sum("n_dropped").alias("dropped"),
+        F.sum("n_kept").alias("kept"),
+        F.sum("n_arrived").alias("arrived"),
+        F.max(F.col("n_kept") > F.col("n_arrived")).alias("overcount"),
+    ).collect()[0]
+    t = load_tables(spark, sf_dir)
+    n_all = t.events.count()
+    max_ts = t.events.agg(F.max("ts")).collect()[0][0]
+    n_ontime = t.events.where(
+        (F.col("event_id") % LATE_MOD != LATE_REM)
+        & (F.col("ts") != F.lit(max_ts))
+    ).count()
+    assert agg["arrived"] == n_all
+    assert agg["dropped"] > 0, "no late row was dropped"
+    assert agg["kept"] > n_ontime, "no late row was merged"
+    assert agg["kept"] + agg["dropped"] == n_all
+    assert not agg["overcount"]
+    check_parity("q_stream_late_data")
