@@ -43,54 +43,33 @@ def entry(spark: SparkSession) -> DataFrame:
 # (a) new keys, (b) changed plans, (c) the keys the driver has
 # re-sampled least recently, so the whole surface accumulates FRESH
 # driver-green coverage instead of re-checking a fixed showcase.
-# Round-13 window: (a) the NEW keys — q_zorder_roundtrip (executed
-# Z-ORDER clustered rewrite + 2-D stats-pruned read-back),
-# q_change_feed (CDF producer between stored snapshot versions),
-# q_partition_evolution (two partition-spec generations, each pruned
-# by its own spec), q_unigram_lm + q_unigram_encode (SentencePiece-
-# style unigram trainer and its broadcast-join corpus encode),
-# q_restore_version (non-destructive RESTORE TO VERSION commit),
-# q_hidden_partitioning (Iceberg bucket-transform hidden partitioning),
-# q_stream_change_apply (the change feed tailed as a stream — CDF
-# produce -> batch consume -> STREAMING consume, the full CDC loop);
-# (b) every plan this round touched — q_incremental_agg (now consumes
-# the stored change feed), q_ann_ivf_retrain + q_ivf_balance (integer-
-# exact skew gate), q_winnow_fingerprint (A/B'd, arm A kept),
-# q_time_travel/q_table_diff/q_stats_prune/q_zorder_stats (snapshot +
-# stats-manifest siblings of the new keys), the locked staging memos'
-# consumers (q_stream_ivf_append, q_stream_pruned_join,
-# q_stream_vector_search); (c) the LEAST-recently-driver-sampled
-# keys: the r07 alphabet continuation, oldest first.
+# Round-14 window: (a) the NEW keys — q_merge_multi (full
+# multi-clause MERGE INTO as one commit, output = its change feed),
+# q_stream_late_data (watermark late-data drop as a driver-witnessed
+# exact key, staged four-batch replay), q_zorder_maintain
+# (incremental re-cluster on append: pruned reads across the
+# pre-fold and post-fold states), q_null_prune (null-count/row-count
+# manifest skipping for IS NOT NULL); (b) every plan this round
+# touched — the CDC family now reads the shared build-once lineage
+# layouts instead of re-committing per invocation (q_change_feed,
+# q_incremental_agg, q_restore_version, q_time_travel,
+# q_stream_change_apply), q_zorder_roundtrip derives its interleave
+# width from the corpus domain and writes the extended null-count
+# manifest, q_stats_prune's sidecar write went atomic, q_upsert's
+# sibling contract is now the full MERGE, q_vacuum/q_schema_evolution
+# are the adjacent snapshot/manifest consumers; (c) the LEAST-
+# recently-driver-sampled keys: the r08 window continuation (corpus
+# prep + ANN lifecycle), then the r09 streaming battery.
 _SHOWCASE = [
-    # (a) this round's NEW keys (r13)
-    "q_zorder_roundtrip", "q_change_feed", "q_partition_evolution",
-    "q_unigram_lm", "q_unigram_encode", "q_restore_version",
-    "q_hidden_partitioning", "q_stream_change_apply",
-    # (b) this round's changed paths: q_incremental_agg now consumes
-    # the stored change feed; the retrain gate went integer-exact;
-    # the staging memos gained the lock; winnow's A/B kept arm A
-    "q_incremental_agg", "q_ann_ivf_retrain", "q_winnow_fingerprint",
-    "q_time_travel", "q_table_diff", "q_stats_prune", "q_zorder_stats",
-    "q_stream_ivf_append", "q_stream_pruned_join",
-    "q_stream_vector_search", "q_ivf_balance",
-    # (c) least-recently-sampled, oldest first: the r07 window
-    # (alphabetical continuation from where r12's sample ended)
-    "q_join_asof", "q_join_asof_tolerance", "q_join_bucketed",
-    "q_window_rank", "q_window_running", "q_window_lag",
-    "q_window_sessionize", "q_orderby_limit", "q_set_union",
-    "q_set_intersect", "q_set_except", "q_format_docs",
-    "q_dedup_sources", "q_truncate_render", "q_map_funcs",
-    "q_regex_transform", "q_topk_cosine", "q_vs_retrieve",
-    "q_udf_cosine", "q_embed_centroid", "q_neardup_exact",
-    "q_tokenize_wordcount", "q_quality_score",
-    "q_lang_id", "q_token_count", "q_fingerprint",
-    "q_bm25", "q_tfidf_top_terms", "q_bpe_merges",
-    "q_bpe_encode", "q_quality_classifier",
-]
-
-# Keys that would rotate in next if the driver over-samples past 50:
-# the oldest-green cycle continues through the r08 window.
-_NEXT_UP = [
+    # (a) this round's NEW keys (r14)
+    "q_merge_multi", "q_stream_late_data", "q_zorder_maintain",
+    "q_null_prune",
+    # (b) this round's changed paths
+    "q_change_feed", "q_incremental_agg", "q_restore_version",
+    "q_time_travel", "q_stream_change_apply", "q_zorder_roundtrip",
+    "q_stats_prune", "q_upsert", "q_vacuum", "q_schema_evolution",
+    # (c) least-recently-sampled, oldest first: the r08 window
+    # (corpus prep + ANN lifecycle), then the r09 streaming battery
     "q_corpus_gate", "q_perplexity", "q_span_corrupt", "q_fim_transform",
     "q_train_split", "q_pack_batches", "q_mix_weights",
     "q_url_dedup", "q_pii_redact", "q_dataset_card",
@@ -98,7 +77,23 @@ _NEXT_UP = [
     "q_semdedup", "q_ann_brp_lsh", "q_ann_ivf", "q_ann_recall",
     "q_retrieval_ndcg", "q_ann_ivfpq", "q_ann_ivf_append",
     "q_ann_ivf_delta_probe", "q_ann_ivf_merge", "q_knn_classify",
-    "q_ann_hyperplane",
+    "q_ann_hyperplane", "q_stream_tumbling", "q_stream_sliding",
+    "q_stream_session", "q_stream_user_state", "q_stream_dedup",
+    "q_stream_topk", "q_stream_join", "q_stream_join_outer",
+    "q_stream_foreach_sink", "q_stream_static_join",
+    "q_stream_state_timers", "q_stream_incremental_dedup",
+]
+
+# Keys that would rotate in next if the driver over-samples past 50:
+# the oldest-green cycle continues through the r09/r10 windows.
+_NEXT_UP = [
+    "q_stream_state_v2", "q_stream_vector_search", "q_stream_ivf_append",
+    "q_stream_pruned_join", "q_stream_media_decode", "q_media_decode",
+    "q_media_decode_image", "q_audio_features", "q_ingest_pipeline",
+    "q_corpus_pipeline", "q_dedup_incremental", "q_dedup_from_layout",
+    "q_winnow_fingerprint", "q_minhash_sig", "q_dedup_minhash",
+    "q_dedup_simhash", "q_neardup_lsh", "q_dedup_clusters",
+    "q_dedup_keep_best", "q_dedup_report",
 ]
 
 
