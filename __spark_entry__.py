@@ -46,10 +46,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-14 window: (a) the NEW keys — q_merge_multi (full
 # multi-clause MERGE INTO as one commit, output = its change feed),
 # q_stream_late_data (watermark late-data drop as a driver-witnessed
-# exact key, staged four-batch replay), q_zorder_maintain
+# exact key, staged three-file replay), q_zorder_maintain
 # (incremental re-cluster on append: pruned reads across the
 # pre-fold and post-fold states), q_null_prune (null-count/row-count
-# manifest skipping for IS NOT NULL); (b) every plan this round
+# manifest skipping for IS NOT NULL), q_bloom_prune (per-file bloom
+# sidecar skipping for point lookups on a non-clustered column);
+# (b) every plan this round
 # touched — the CDC family now reads the shared build-once lineage
 # layouts instead of re-committing per invocation (q_change_feed,
 # q_incremental_agg, q_restore_version, q_time_travel,
@@ -63,7 +65,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _SHOWCASE = [
     # (a) this round's NEW keys (r14)
     "q_merge_multi", "q_stream_late_data", "q_zorder_maintain",
-    "q_null_prune",
+    "q_null_prune", "q_bloom_prune",
     # (b) this round's changed paths
     "q_change_feed", "q_incremental_agg", "q_restore_version",
     "q_time_travel", "q_stream_change_apply", "q_zorder_roundtrip",
@@ -81,13 +83,13 @@ _SHOWCASE = [
     "q_stream_session", "q_stream_user_state", "q_stream_dedup",
     "q_stream_topk", "q_stream_join", "q_stream_join_outer",
     "q_stream_foreach_sink", "q_stream_static_join",
-    "q_stream_state_timers", "q_stream_incremental_dedup",
+    "q_stream_state_timers",
 ]
 
 # Keys that would rotate in next if the driver over-samples past 50:
 # the oldest-green cycle continues through the r09/r10 windows.
 _NEXT_UP = [
-    "q_stream_state_v2", "q_stream_vector_search", "q_stream_ivf_append",
+    "q_stream_incremental_dedup", "q_stream_state_v2", "q_stream_vector_search", "q_stream_ivf_append",
     "q_stream_pruned_join", "q_stream_media_decode", "q_media_decode",
     "q_media_decode_image", "q_audio_features", "q_ingest_pipeline",
     "q_corpus_pipeline", "q_dedup_incremental", "q_dedup_from_layout",

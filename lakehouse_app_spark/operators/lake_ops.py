@@ -605,6 +605,85 @@ def q_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_bloom_prune",
+    oracle="""
+    WITH probe AS (
+      SELECT DISTINCT doc_id AS k FROM documents
+      ORDER BY doc_id LIMIT 5
+    )
+    SELECT d.doc_id, d.source, d.lang,
+           CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM documents d JOIN probe p ON d.doc_id = p.k
+    """,
+)
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-FILTER file skipping — the point-lookup slice of data
+    skipping that min/max, null counts AND partition transforms all
+    miss: the ``docs_bysrc16`` layout is range-clustered on (source,
+    doc_id), so every file's doc_id (min, max) spans nearly the whole
+    id domain ([[q_stats_prune]]'s range manifest would keep ~every
+    file) and doc_id is not a partition column ([[
+    q_hidden_partitioning]]'s transform does not apply) — yet each
+    unique doc_id physically lives in exactly ONE file. The per-file
+    bloom sidecar ([[write_bloom_manifest]]: k=3 xxhash64 bits into a
+    4096-bit word array, one bit_or aggregate pass, no UDF) lets the
+    reader open only files that CAN contain a probed id: 5
+    corpus-anchored probe ids (the smallest distinct doc_ids —
+    replayed by the oracle as a CTE) touch ≤5 true files plus a
+    bounded false-positive tail instead of all 16. The
+    row-level IN stays in the plan, so false positives stay exact
+    and the oracle answers from the raw table. Plan pin: strict
+    subset of the layout's files opened
+    (tests/test_plan_shapes.py::test_bloom_prune_skips_files). At
+    100 TB this is Parquet/Delta bloom skipping: an id-lookup
+    workload on a non-clustered column reads O(probes) files, not
+    the table."""
+    from lakehouse_app_spark.sources.layout import (
+        corpus_scalar,
+        derived_table,
+        layout_path,
+    )
+    from lakehouse_app_spark.sources.sinks import (
+        read_bloom_pruned,
+        write_bloom_manifest,
+    )
+    import os
+
+    t = load_tables(spark, sf_dir)
+    derived_table(
+        spark,
+        "docs_bysrc16",
+        sf_dir,
+        lambda: t.documents.select(
+            "doc_id", "source", "lang", "n_chars"
+        ).repartitionByRange(16, "source", "doc_id"),
+    )
+    path = layout_path("docs_bysrc16", sf_dir)
+    if not os.path.exists(os.path.join(path, "_bloom_doc_id.json")):
+        write_bloom_manifest(spark, path, "doc_id")
+    keys = corpus_scalar(
+        spark,
+        sf_dir,
+        "bloom_probe_doc_ids",
+        lambda: [
+            r["doc_id"]
+            for r in t.documents.select("doc_id")
+            .distinct()
+            .orderBy("doc_id")
+            .limit(5)
+            .collect()
+        ],
+    )
+    pruned = read_bloom_pruned(spark, path, "doc_id", list(keys))
+    return pruned.where(F.col("doc_id").isin(list(keys))).select(
+        "doc_id",
+        "source",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+@query(
     "q_null_prune",
     oracle="""
     WITH unified AS (

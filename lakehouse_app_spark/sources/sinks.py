@@ -661,6 +661,125 @@ def read_stats_pruned_nd(
     return spark.read.format(fmt).load(files)
 
 
+BLOOM_M_BITS = 4096  # bits per file bloom (64 bigint words)
+BLOOM_K = 3  # hash functions per value
+
+
+def write_bloom_manifest(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+    fmt: str = "parquet",
+) -> dict:
+    """Per-file BLOOM FILTER sidecar for ``col`` — the point-lookup
+    complement to [[write_stats_manifest_nd]]'s min/max + null
+    counts, and the explicit form of Parquet/Delta bloom-filter data
+    skipping. Min/max prunes RANGE predicates on clustered columns;
+    a bloom prunes EQUALITY probes on columns the layout was NOT
+    sorted by (where every file's min/max spans the whole domain and
+    range stats are useless). One grouped scan per build: each row
+    contributes k = {BLOOM_K} bit positions (xxhash64 with seeds
+    0..k-1, mod m = {BLOOM_M_BITS}), OR-folded per file into 64-bit
+    words by a single ``bit_or`` aggregate — no UDF, no second pass.
+    The manifest records the column type so readers hash probe
+    values in the same domain. No false negatives by construction;
+    false-positive files are read (and the caller's row predicate
+    keeps results exact) — the bloom only bounds I/O, exactly like
+    the stats manifests."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.format(fmt).load(path)
+    ctype = df.schema[col].dataType.simpleString()
+    n_words = m_bits // 64
+    pos = [
+        F.pmod(F.xxhash64(F.col(col), F.lit(s)), F.lit(m_bits))
+        for s in range(k)
+    ]
+    proj = df.select(
+        F.input_file_name().alias("file"),
+        *[p.alias(f"_p{s}") for s, p in enumerate(pos)],
+    )
+    word_aggs = []
+    for w in range(n_words):
+        contribs = " | ".join(
+            f"(CASE WHEN (_p{s} >> 6) = {w} THEN "
+            f"shiftleft(CAST(1 AS BIGINT), CAST((_p{s} & 63) AS INT)) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+            for s in range(k)
+        )
+        word_aggs.append(F.expr(f"bit_or({contribs})").alias(f"w{w}"))
+    rows = proj.groupBy("file").agg(*word_aggs).collect()
+    manifest = {
+        "col": col,
+        "type": ctype,
+        "m_bits": m_bits,
+        "k": k,
+        "files": {
+            r["file"]: [r[f"w{w}"] or 0 for w in range(n_words)]
+            for r in rows
+        },
+    }
+    _atomic_write_json(
+        _os.path.join(path, f"_bloom_{col}.json"), _json.dumps(manifest)
+    )
+    return manifest
+
+
+def read_bloom_pruned(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    values: list,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Read only the files whose bloom sidecar CAN contain at least
+    one of ``values`` (equality-probe semantics: a file is kept iff
+    ALL k bits of SOME probe value are set). Probe bit positions are
+    computed with the same engine hash (one tiny ``spark.range(1)``
+    projection) in the manifest's recorded column type, so writer and
+    reader can never drift. False-positive files are read whole —
+    callers keep the row-level IN/= predicate in the plan; no false
+    negatives by bloom construction."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    with open(_os.path.join(path, f"_bloom_{col}.json")) as fh:
+        man = _json.loads(fh.read())
+    m_bits, k, ctype = man["m_bits"], man["k"], man["type"]
+    probe = spark.range(1).select(
+        *[
+            F.pmod(
+                F.xxhash64(F.lit(v).cast(ctype), F.lit(s)), F.lit(m_bits)
+            ).alias(f"p_{i}_{s}")
+            for i, v in enumerate(values)
+            for s in range(k)
+        ]
+    ).collect()[0]
+
+    def may_contain(words: list, i: int) -> bool:
+        for s in range(k):
+            pos = probe[f"p_{i}_{s}"]
+            if not words[pos >> 6] & (1 << (pos & 63)):
+                return False
+        return True
+
+    files = [
+        f
+        for f, words in man["files"].items()
+        if any(may_contain(words, i) for i in range(len(values)))
+    ]
+    if not files:
+        return spark.read.format(fmt).load(path).limit(0)
+    return spark.read.format(fmt).load(files)
+
+
 def change_feed(
     spark: SparkSession,
     path: str,

@@ -1373,3 +1373,55 @@ def test_null_prune_skips_allnull_files(spark, sf_dir):
         n_scanned, n_total, n_allnull, plan,
     )
     assert "isnotnull(lang" in plan, plan
+
+
+def test_bloom_prune_skips_files(spark, sf_dir):
+    """q_bloom_prune's point-lookup scan must open a strict subset of
+    the 16-file source-clustered layout — min/max stats cannot prune
+    here (every file's doc_id range spans ~the whole domain; asserted
+    below), so any skipping in the plan is the bloom's doing."""
+    import json
+    import os
+    import re
+
+    from lakehouse_app_spark.sources.layout import layout_path
+
+    df = QUERIES["q_bloom_prune"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"InMemoryFileIndex\((\d+) paths\)", plan)
+    assert m, plan
+    n_scanned = int(m.group(1))
+    path = layout_path("docs_bysrc16", sf_dir)
+    with open(os.path.join(path, "_bloom_doc_id.json")) as fh:
+        n_total = len(json.load(fh)["files"])
+    assert 1 <= n_scanned <= min(8, n_total - 1), (n_scanned, n_total)
+    # the layout really is adversarial to range stats: per-file doc_id
+    # ranges overlap massively (source-clustered, not id-clustered)
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    spans = []
+    for f in os.listdir(path):
+        if f.endswith(".parquet"):
+            md = pq.read_metadata(os.path.join(path, f))
+            i = {md.schema.column(j).name: j for j in range(md.num_columns)}[
+                "doc_id"
+            ]
+            st = md.row_group(0).column(i).statistics
+            lo = min(
+                md.row_group(g).column(i).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(g).column(i).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            spans.append((lo, hi))
+    dom_lo = min(lo for lo, _ in spans)
+    dom_hi = max(hi for _, hi in spans)
+    wide = sum(
+        1 for lo, hi in spans if (hi - lo) >= 0.5 * (dom_hi - dom_lo)
+    )
+    assert wide >= len(spans) // 2, spans
+    # row-level probe predicate survives (false positives stay exact)
+    assert "doc_id" in plan, plan

@@ -1292,3 +1292,50 @@ def test_merge_into_multi_clause_semantics(spark, tmp_path):
         "update_postimage": {2},
         "insert": {5},
     }
+
+
+def test_bloom_manifest_prunes_without_false_negatives(spark, tmp_path):
+    """Bloom sidecar contract: every file holding a probed value is
+    kept (no false negatives — correctness), absent values prune to
+    a small false-positive tail (I/O), and the reader's row predicate
+    keeps results exact through any false positive."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_app_spark.sources.sinks import (
+        read_bloom_pruned,
+        write_bloom_manifest,
+    )
+
+    path = str(tmp_path / "bloom")
+    # 4 files x 100 distinct ids each, disjoint ranges
+    for lo in (0, 100, 200, 300):
+        spark.range(lo, lo + 100).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        ).coalesce(1).write.mode("append").parquet(path)
+    man = write_bloom_manifest(spark, path, "k")
+    assert len(man["files"]) == 4
+
+    # present values: each lives in exactly one file; the bloom must
+    # keep that file (possibly plus false positives) and the read be
+    # exact after the row predicate
+    got = read_bloom_pruned(spark, path, "k", [5, 205])
+    rows = {r["k"] for r in got.where(F.col("k").isin(5, 205)).collect()}
+    assert rows == {5, 205}
+    # absent value: with 100 distinct per 4096-bit/k=3 filter the
+    # false-positive rate is < 1%, so probing 50 absent values must
+    # prune SOME files overall (statistical but astronomically safe)
+    import json
+    import os
+
+    with open(os.path.join(path, "_bloom_k.json")) as fh:
+        files_total = len(json.load(fh)["files"])
+    kept = {
+        r[0]
+        for r in read_bloom_pruned(
+            spark, path, "k", [10_000 + i for i in range(5)]
+        )
+        .select(F.col("_metadata.file_path"))
+        .distinct()
+        .collect()
+    }
+    assert len(kept) < files_total
