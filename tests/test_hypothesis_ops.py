@@ -305,3 +305,88 @@ def test_change_feed_matches_python_reference(spark, tmp_path_factory, base, mut
         elif ct == "delete":
             final.pop(k)
     assert final == states[-1]
+
+
+@given(
+    base=st.dictionaries(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=0, max_value=20),
+        min_size=0,
+        max_size=6,
+    ),
+    src=st.dictionaries(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=0, max_value=20),
+        min_size=0,
+        max_size=6,
+    ),
+    cut=st.integers(min_value=0, max_value=20),
+)
+@hyp_settings
+def test_merge_into_matches_python_reference(
+    spark, tmp_path_factory, base, src, cut
+):
+    """Full multi-clause MERGE INTO vs an independent pure-Python
+    replay of Delta's documented clause semantics, on random
+    target/source key sets and a random clause threshold: matched
+    rows update when the source payload clears the threshold else
+    delete; source-only rows insert only above the threshold;
+    target-only rows delete below the threshold else update (+100).
+    Also pins the one-commit contract: the whole transaction lands
+    as EXACTLY one new snapshot version."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_app_spark.sources.sinks import (
+        merge_into,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path_factory.mktemp("mi_hyp"))
+    tgt = spark.createDataFrame(
+        [(k, v) for k, v in base.items()] or [(None, None)],
+        "k long, payload long",
+    )
+    if not base:
+        tgt = tgt.where("k IS NOT NULL")
+    v0 = write_snapshot(tgt, path, note="base")
+    sdf = spark.createDataFrame(
+        [(k, v) for k, v in src.items()] or [(None, None)],
+        "k long, payload long",
+    )
+    if not src:
+        sdf = sdf.where("k IS NOT NULL")
+
+    v1 = merge_into(
+        spark,
+        path,
+        sdf,
+        key="k",
+        matched=[
+            (F.col("s.payload") > cut, "update", {"payload": F.col("s.payload")}),
+            (None, "delete", None),
+        ],
+        not_matched=[(F.col("s.payload") > cut, None)],
+        not_matched_by_source=[
+            (F.col("t.payload") < cut, "delete", None),
+            (None, "update", {"payload": F.col("t.payload") + 100}),
+        ],
+    )
+    assert v1 == v0 + 1  # ONE commit for the whole transaction
+
+    want = {}
+    for k, v in base.items():
+        if k in src:
+            if src[k] > cut:
+                want[k] = src[k]
+            # else: matched-delete clause
+        elif v < cut:
+            pass  # not-matched-by-source delete
+        else:
+            want[k] = v + 100
+    for k, v in src.items():
+        if k not in base and v > cut:
+            want[k] = v
+
+    got = {r["k"]: r["payload"] for r in read_snapshot(spark, path).collect()}
+    assert got == want
