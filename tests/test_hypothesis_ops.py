@@ -390,3 +390,103 @@ def test_merge_into_matches_python_reference(
 
     got = {r["k"]: r["payload"] for r in read_snapshot(spark, path).collect()}
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.integers(min_value=0, max_value=10_000), min_size=1, max_size=50
+    ),
+    probes=st.lists(
+        st.integers(min_value=0, max_value=10_000),
+        min_size=1,
+        max_size=4,
+        unique=True,
+    ),
+)
+@hyp_settings
+def test_bloom_pruned_read_equals_full_filtered_read(
+    spark, tmp_path_factory, rows, probes
+):
+    """Bloom file skipping must be a pure I/O optimization with NO
+    false negatives for ANY value distribution and ANY probe set —
+    bloom-pruned read + IN filter == full read + IN filter, including
+    probes that hit nothing (may legitimately open zero files) and
+    values colliding into the same words."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_app_spark.sources.sinks import (
+        read_bloom_pruned,
+        write_bloom_manifest,
+    )
+
+    path = str(tmp_path_factory.mktemp("bl") / "t")
+    df = spark.createDataFrame([(v,) for v in rows], "k long")
+    df.repartition(4).write.parquet(path)
+    write_bloom_manifest(spark, path, "k")
+
+    got = sorted(
+        r["k"]
+        for r in read_bloom_pruned(spark, path, "k", probes)
+        .where(F.col("k").isin(probes))
+        .collect()
+    )
+    want = sorted(v for v in rows if v in set(probes))
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=100),
+            st.one_of(st.none(), st.integers(min_value=0, max_value=5)),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    lo=st.integers(min_value=-10, max_value=110),
+    width=st.integers(min_value=0, max_value=60),
+)
+@hyp_settings
+def test_nd_stats_null_pruned_read_equals_full_filtered_read(
+    spark, tmp_path_factory, rows, lo, width
+):
+    """N-D manifest pruning with null-count skipping must equal the
+    full read under the same row predicates for ANY mix of NULL and
+    non-NULL files and ANY bounds interval: require_non_null +
+    IS NOT NULL, require_null + IS NULL, and bounds + BETWEEN all at
+    once — files straddling or lacking evidence are read, never
+    wrongly skipped."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_app_spark.sources.sinks import (
+        read_stats_pruned_nd,
+        write_stats_manifest_nd,
+    )
+
+    hi = lo + width
+    path = str(tmp_path_factory.mktemp("nd") / "t")
+    df = spark.createDataFrame(rows, "k long, v long")
+    df.repartitionByRange(4, "k").write.parquet(path)
+    write_stats_manifest_nd(spark, path, ["k", "v"])
+
+    got_nn = sorted(
+        (r["k"], r["v"])
+        for r in read_stats_pruned_nd(
+            spark, path, bounds={"k": (lo, hi)}, require_non_null=["v"]
+        )
+        .where(F.col("k").between(lo, hi) & F.col("v").isNotNull())
+        .collect()
+    )
+    want_nn = sorted(
+        (k, v) for k, v in rows if lo <= k <= hi and v is not None
+    )
+    assert got_nn == want_nn
+
+    got_n = sorted(
+        r["k"]
+        for r in read_stats_pruned_nd(spark, path, require_null=["v"])
+        .where(F.col("v").isNull())
+        .collect()
+    )
+    want_n = sorted(k for k, v in rows if v is None)
+    assert got_n == want_n
