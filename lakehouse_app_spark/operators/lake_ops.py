@@ -442,6 +442,55 @@ def _z_sql(xc: str, yc: str) -> str:
     return " | ".join(terms)
 
 
+def _ensure_zorder16(
+    spark: SparkSession, sf_dir: str, pk_hi_dom: int, sk_hi_dom: int
+) -> str:
+    """Ensure the ``li_zorder16`` clustered layout + its
+    ``_stats_nd.json`` manifest exist (build-once) and return the
+    layout path. Shared by [[q_zorder_roundtrip]] (pruned 2-D read)
+    and [[q_metadata_only_agg]] (manifest-only aggregation).
+    Interleave width follows the corpus domain, never a silent cap:
+    at the fixed ZBITS=16 any key above 2^16 (TPC-H sf≳3) would drop
+    its high bits and degrade the Morton clustering (advice r13)."""
+    import os
+
+    from lakehouse_app_spark.sources.layout import derived_table, layout_path
+    from lakehouse_app_spark.sources.sinks import (
+        write_stats_manifest_nd,
+        zorder_key,
+    )
+
+    t = load_tables(spark, sf_dir)
+    zbits = max(ZBITS, int(max(pk_hi_dom, sk_hi_dom)).bit_length())
+    derived_table(
+        spark,
+        "li_zorder16",
+        sf_dir,
+        lambda: t.lineitem.select(
+            "l_partkey",
+            "l_suppkey",
+            "l_returnflag",
+            "l_extendedprice",
+            zorder_key("l_partkey", "l_suppkey", bits=zbits).alias("zval"),
+        ).repartitionByRange(16, "zval"),
+    )
+    path = layout_path("li_zorder16", sf_dir)
+    mpath = os.path.join(path, "_stats_nd.json")
+    fresh = not os.path.exists(mpath)
+    if not fresh:
+        # a pre-r14 manifest ({col: [lo, hi]} entries, no row/null
+        # counts) still prunes correctly but can't serve
+        # q_metadata_only_agg — upgrade it in place
+        import json as _json
+
+        with open(mpath) as fh:
+            entries = _json.load(fh)["files"].values()
+        fresh = any("rows" not in e for e in entries)
+    if fresh:
+        write_stats_manifest_nd(spark, path, ["l_partkey", "l_suppkey"])
+    return path
+
+
 @query(
     "q_zorder_stats",
     oracle=f"""
@@ -536,18 +585,8 @@ def q_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer arithmetic both engines); the row-level BETWEEN
     stays in the plan, so straddling files read whole stay exact and
     the oracle is the plain filtered aggregate over raw lineitem."""
-    import os
-
-    from lakehouse_app_spark.sources.layout import (
-        corpus_scalar,
-        derived_table,
-        layout_path,
-    )
-    from lakehouse_app_spark.sources.sinks import (
-        read_stats_pruned_nd,
-        write_stats_manifest_nd,
-        zorder_key,
-    )
+    from lakehouse_app_spark.sources.layout import corpus_scalar
+    from lakehouse_app_spark.sources.sinks import read_stats_pruned_nd
 
     t = load_tables(spark, sf_dir)
     pk_hi_dom, sk_hi_dom = corpus_scalar(
@@ -562,26 +601,7 @@ def q_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pk_lo, pk_hi = (pk_hi_dom + 1) // 8, (pk_hi_dom + 1) // 4 - 1
     sk_lo, sk_hi = (sk_hi_dom + 1) // 8, (sk_hi_dom + 1) // 4 - 1
-    # interleave width follows the corpus domain, never a silent cap:
-    # at the fixed ZBITS=16 any key above 2^16 (TPC-H sf≳3) would drop
-    # its high bits and degrade the Morton clustering (advice r13);
-    # the domain max is already in hand via the corpus scalar
-    zbits = max(ZBITS, int(max(pk_hi_dom, sk_hi_dom)).bit_length())
-    derived_table(
-        spark,
-        "li_zorder16",
-        sf_dir,
-        lambda: t.lineitem.select(
-            "l_partkey",
-            "l_suppkey",
-            "l_returnflag",
-            "l_extendedprice",
-            zorder_key("l_partkey", "l_suppkey", bits=zbits).alias("zval"),
-        ).repartitionByRange(16, "zval"),
-    )
-    path = layout_path("li_zorder16", sf_dir)
-    if not os.path.exists(os.path.join(path, "_stats_nd.json")):
-        write_stats_manifest_nd(spark, path, ["l_partkey", "l_suppkey"])
+    path = _ensure_zorder16(spark, sf_dir, pk_hi_dom, sk_hi_dom)
     pruned = read_stats_pruned_nd(
         spark,
         path,
@@ -601,6 +621,84 @@ def q_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / 10000.0
             ).alias("sum_price"),
         )
+    )
+
+
+@query(
+    "q_metadata_only_agg",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(l_partkey) AS BIGINT) AS pk_min,
+           CAST(max(l_partkey) AS BIGINT) AS pk_max,
+           CAST(count(*) - count(l_partkey) AS BIGINT) AS pk_nulls,
+           CAST(min(l_suppkey) AS BIGINT) AS sk_min,
+           CAST(max(l_suppkey) AS BIGINT) AS sk_max,
+           CAST(count(*) - count(l_suppkey) AS BIGINT) AS sk_nulls
+    FROM lineitem
+    """,
+)
+def q_metadata_only_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-ONLY aggregation — Iceberg answers `SELECT count(*)`
+    (and column min/max/null-count bounds) from its manifests without
+    opening one data file, because every file's statistics were paid
+    for once at write time; this key does exactly that against the
+    ``li_zorder16`` layout's ``_stats_nd.json``: total rows = Σ
+    per-file record_count, global min/max = min/max over per-file
+    bounds, null totals = Σ per-file null_value_counts. The Spark
+    plan aggregates O(files) manifest rows — NO scan of the layout's
+    parquet appears anywhere in it
+    (tests/test_plan_shapes.py::test_metadata_only_agg_opens_no_data_files)
+    — while the oracle computes the same numbers the hard way from
+    the raw table, so the manifest's exactness (not just its
+    conservativeness, which the pruning keys witness) is what's
+    hash-checked. At 100 TB this is the difference between a
+    sub-second catalog answer and a full-table scan for the most
+    common query in any warehouse: `count(*)`."""
+    from lakehouse_app_spark.sources.layout import corpus_scalar
+
+    t = load_tables(spark, sf_dir)
+    pk_hi_dom, sk_hi_dom = corpus_scalar(
+        spark,
+        sf_dir,
+        "zorder_domain_max",
+        lambda: tuple(
+            t.lineitem.agg(
+                F.max("l_partkey").alias("p"), F.max("l_suppkey").alias("s")
+            ).collect()[0]
+        ),
+    )
+    path = _ensure_zorder16(spark, sf_dir, pk_hi_dom, sk_hi_dom)
+
+    import json
+    import os
+
+    with open(os.path.join(path, "_stats_nd.json")) as fh:
+        stats = json.load(fh)
+    entries = [
+        (
+            e["rows"],
+            e["stats"]["l_partkey"][0],
+            e["stats"]["l_partkey"][1],
+            e["stats"]["l_partkey"][2],
+            e["stats"]["l_suppkey"][0],
+            e["stats"]["l_suppkey"][1],
+            e["stats"]["l_suppkey"][2],
+        )
+        for e in stats["files"].values()
+    ]
+    mdf = spark.createDataFrame(
+        entries,
+        "rows long, pk_lo long, pk_hi long, pk_n long, "
+        "sk_lo long, sk_hi long, sk_n long",
+    )
+    return mdf.agg(
+        F.sum("rows").alias("n_rows"),
+        F.min("pk_lo").alias("pk_min"),
+        F.max("pk_hi").alias("pk_max"),
+        F.sum("pk_n").alias("pk_nulls"),
+        F.min("sk_lo").alias("sk_min"),
+        F.max("sk_hi").alias("sk_max"),
+        F.sum("sk_n").alias("sk_nulls"),
     )
 
 
@@ -1896,6 +1994,93 @@ def q_merge_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return change_feed(spark, path, v0, v1, "doc_id", ["source", "n_chars"])
+
+
+def _mor_docs_lineage(spark: SparkSession, sf_dir: str) -> str:
+    """The shared merge-on-read lineage: v0 base (doc_id%10==9) →
+    v1 MOR DELETE (n_chars<100; deletion-vector commit, zero data
+    rewrite) → v2 MOR DELETE (n_chars>=400; chain of two DVs) →
+    v3 OPTIMIZE ([[apply_deletion_vectors]]: the chain materialized
+    copy-on-write). Serves [[q_merge_on_read]]; build-once
+    (cold-drive certified), like every lineage layout."""
+    from lakehouse_app_spark.sources.layout import lineage_table
+    from lakehouse_app_spark.sources.sinks import (
+        apply_deletion_vectors,
+        delete_where_mor,
+        write_snapshot,
+    )
+
+    def build(root: str) -> None:
+        t = load_tables(spark, sf_dir)
+        docs = t.documents.select("doc_id", "source", "n_chars")
+        write_snapshot(docs.where(F.col("doc_id") % 10 == 9), root, "base")
+        delete_where_mor(spark, root, F.col("n_chars") < 100, "doc_id")
+        delete_where_mor(spark, root, F.col("n_chars") >= 400, "doc_id")
+        apply_deletion_vectors(spark, root)
+
+    return lineage_table(spark, "mor_docs", sf_dir, build)
+
+
+@query(
+    "q_merge_on_read",
+    oracle="""
+    WITH batch AS (
+      SELECT doc_id, n_chars FROM documents WHERE doc_id % 10 = 9
+    ),
+    v1 AS (SELECT * FROM batch WHERE NOT (n_chars < 100)),
+    v2 AS (SELECT * FROM v1 WHERE NOT (n_chars >= 400))
+    SELECT 0 AS version, FALSE AS mor, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM batch
+    UNION ALL
+    SELECT 1, TRUE, CAST(count(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT)
+    FROM v1
+    UNION ALL
+    SELECT 2, TRUE, CAST(count(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT)
+    FROM v2
+    UNION ALL
+    SELECT 3, FALSE, CAST(count(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT)
+    FROM v2
+    """,
+)
+def q_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ deletes (Delta deletion vectors / Iceberg
+    equality deletes) — the write-path architecture COW can't give:
+    the [[_mor_docs_lineage]] layout commits v1 and v2 as
+    DELETION-VECTOR commits (manifest + O(deleted keys) sidecar,
+    the base data files untouched — at 100 TB a thousand-row delete
+    commits KB instead of rewriting terabytes), then v3 OPTIMIZE
+    materializes the chain. This key time-travel reads ALL FOUR
+    states: v1/v2 resolve through read_snapshot's broadcast
+    anti-join of the DV chain, v3 must equal v2 row-for-row (the
+    compaction-is-a-no-op-logically pin rides the hash since the
+    oracle computes both from the same CTE). The ``mor`` column is
+    read from each version's OWN manifest (base-reference present),
+    so the hash also fails if a rebuild silently committed COW where
+    MOR was promised. Physical pins live in tests/test_sources.py:
+    base files byte-identical across the DV commits, DV sidecar
+    tiny, and expire_snapshots' reachability rule keeps a live DV
+    chain's base until OPTIMIZE unpins it."""
+    from lakehouse_app_spark.sources.sinks import read_snapshot, snapshot_history
+
+    path = _mor_docs_lineage(spark, sf_dir)
+    mor_flags = {
+        m["version"]: m.get("base") is not None for m in snapshot_history(path)
+    }
+    frames = []
+    for ver in (0, 1, 2, 3):
+        frames.append(
+            read_snapshot(spark, path, ver).agg(
+                F.lit(ver).cast("int").alias("version"),
+                F.lit(mor_flags[ver]).alias("mor"),
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("total_chars"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out
 
 
 @query(

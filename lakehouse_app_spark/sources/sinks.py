@@ -193,6 +193,14 @@ def write_snapshot(
     return version
 
 
+def _read_manifest(path: str, version: int) -> dict:
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, f"_v{version}.json")) as fh:
+        return _json.loads(fh.read())
+
+
 def read_snapshot(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
@@ -200,9 +208,19 @@ def read_snapshot(
     one when ``version`` is None. Uncommitted ``v=*`` directories
     (no manifest) are invisible. The data format comes from the
     version's own manifest (pre-format manifests default to
-    parquet), so mixed-format histories read transparently."""
-    import json as _json
+    parquet), so mixed-format histories read transparently.
+
+    MERGE-ON-READ resolution: a version committed by
+    [[delete_where_mor]] carries no data directory — its manifest
+    references a ``base`` version plus a deletion-vector sidecar
+    (``dv=<n>/``, the deleted keys). The read walks the base chain
+    to the nearest materialized version, unions the chain's DVs, and
+    applies ONE broadcast anti-join — so every consumer built on
+    this function (time travel, [[change_feed]], [[restore_version]],
+    MERGE) sees identical semantics for COW and MOR commits."""
     import os as _os
+
+    from pyspark.sql import functions as F
 
     committed = sorted(
         int(f[2:-5])
@@ -215,9 +233,26 @@ def read_snapshot(
         version = committed[-1]
     if version not in committed:
         raise FileNotFoundError(f"version {version} not committed in {path}")
-    with open(_os.path.join(path, f"_v{version}.json")) as fh:
-        fmt = _json.loads(fh.read()).get("format", "parquet")
-    return spark.read.format(fmt).load(_os.path.join(path, f"v={version}"))
+    dv_dirs: list[str] = []
+    dv_key = None
+    man = _read_manifest(path, version)
+    v = version
+    while man.get("base") is not None:
+        dv_dirs.append(_os.path.join(path, f"dv={v}"))
+        if dv_key is None:
+            dv_key = man["dv_key"]
+        elif man["dv_key"] != dv_key:
+            raise ValueError(
+                f"mixed dv_key along base chain of v{version} in {path}"
+            )
+        v = man["base"]
+        man = _read_manifest(path, v)
+    fmt = man.get("format", "parquet")
+    df = spark.read.format(fmt).load(_os.path.join(path, f"v={v}"))
+    if dv_dirs:
+        dv = spark.read.parquet(*dv_dirs).select(dv_key).distinct()
+        df = df.join(F.broadcast(dv), on=dv_key, how="left_anti")
+    return df
 
 
 def expire_snapshots(
@@ -235,7 +270,13 @@ def expire_snapshots(
     manifest-less directory younger than the grace window may be an
     in-flight concurrent commit whose manifest hasn't landed yet
     (the same retention-vs-writer race Delta's VACUUM guards with its
-    default 7-day horizon). Returns the expired version numbers."""
+    default 7-day horizon). REACHABILITY RULE (Iceberg's): a version
+    referenced by a surviving version's merge-on-read base chain is
+    NOT expired even when it falls outside ``keep_last`` — deleting a
+    DV commit's base would break the live head; run
+    [[apply_deletion_vectors]] first to materialize the head, after
+    which the pinned ancestors expire normally. Returns the expired
+    version numbers."""
     import os as _os
     import shutil as _shutil
     import time as _time
@@ -245,11 +286,18 @@ def expire_snapshots(
         for f in _os.listdir(path)
         if f.startswith("_v") and f.endswith(".json")
     )
-    expired = committed[:-keep_last] if keep_last > 0 else committed
+    survivors = set(committed[-keep_last:]) if keep_last > 0 else set()
+    reachable: set[int] = set()
+    for v in survivors:
+        while v is not None and v not in reachable:
+            reachable.add(v)
+            v = _read_manifest(path, v).get("base")
+    expired = [v for v in committed if v not in reachable]
     for v in expired:
         _os.remove(_os.path.join(path, f"_v{v}.json"))
         _shutil.rmtree(_os.path.join(path, f"v={v}"), ignore_errors=True)
-    live = {f"v={v}" for v in committed[-keep_last:]} if keep_last > 0 else set()
+        _shutil.rmtree(_os.path.join(path, f"dv={v}"), ignore_errors=True)
+    live = {f"v={v}" for v in reachable}
     now = _time.time()
     for d in _os.listdir(path):
         if d.startswith("v=") and d not in live:
@@ -297,6 +345,94 @@ def update_where(spark: SparkSession, path: str, condition, assignments: dict) -
     for col, expr in assignments.items():
         cur = cur.withColumn(col, F.when(condition, expr).otherwise(F.col(col)))
     return write_snapshot(cur, path, note="update")
+
+
+def delete_where_mor(
+    spark: SparkSession, path: str, condition, key_col: str, note: str = "delete_mor"
+) -> int:
+    """MERGE-ON-READ DELETE — Delta deletion vectors / Iceberg
+    equality deletes, the write-path alternative to
+    [[delete_where]]'s copy-on-write rewrite: the commit stores only
+    the DELETED KEYS as a deletion-vector sidecar (``dv=<n>/``) plus
+    a manifest that references the previous head as ``base``; no data
+    file is copied or rewritten. Write cost is O(deleted keys) — at
+    100 TB a thousand-row delete commits KB instead of rewriting
+    terabytes — and readers pay one broadcast anti-join
+    ([[read_snapshot]] resolves the chain) until
+    [[apply_deletion_vectors]] (OPTIMIZE's DV compaction) folds the
+    chain into a materialized version. The manifest-last protocol is
+    preserved: the DV parquet lands first, the manifest is the atomic
+    commit point, so a crashed MOR delete leaves an invisible
+    sidecar, never a readable half-commit. Matching is evaluated
+    against the RESOLVED current head, so re-deleting an
+    already-deleted key is a no-op, and ``key_col`` must identify
+    rows uniquely (the [[change_feed]] key contract)."""
+    import json as _json
+    import os as _os
+
+    committed = sorted(
+        int(f[2:-5])
+        for f in _os.listdir(path)
+        if f.startswith("_v") and f.endswith(".json")
+    )
+    if not committed:
+        raise FileNotFoundError(f"no committed snapshots under {path}")
+    head = committed[-1]
+    cur = read_snapshot(spark, path, head)
+    version = head + 1
+    keys = cur.where(condition).select(key_col).distinct()
+    keys.write.mode("errorifexists").parquet(
+        _os.path.join(path, f"dv={version}")
+    )
+    manifest = {
+        "version": version,
+        "note": note,
+        "rows": None,
+        "format": _read_manifest(path, head).get("format", "parquet"),
+        "base": head,
+        "dv_key": key_col,
+    }
+    with open(_os.path.join(path, f"_v{version}.json"), "w") as fh:
+        fh.write(_json.dumps(manifest))
+    return version
+
+
+def apply_deletion_vectors(
+    spark: SparkSession, path: str, note: str = "optimize_dv"
+) -> int:
+    """OPTIMIZE's deletion-vector compaction: materialize the current
+    head — base data minus the accumulated DV chain — as a normal
+    copy-on-write snapshot, so subsequent reads stop paying the
+    anti-join and [[expire_snapshots]] can finally reclaim the pinned
+    base (a DV chain keeps its base version REACHABLE, exactly
+    Iceberg's rule that expiry never deletes files referenced by a
+    live snapshot). No-op (returns the head unchanged) when the head
+    is already materialized. O(live rows) once, amortized across the
+    MOR deletes it folds — Delta's `REORG TABLE ... APPLY (PURGE)`."""
+    import os as _os
+
+    committed = sorted(
+        int(f[2:-5])
+        for f in _os.listdir(path)
+        if f.startswith("_v") and f.endswith(".json")
+    )
+    if not committed:
+        raise FileNotFoundError(f"no committed snapshots under {path}")
+    head = committed[-1]
+    man = _read_manifest(path, head)
+    if man.get("base") is None:
+        return head
+    # preserve the chain's storage format for the materialized copy
+    v = head
+    while man.get("base") is not None:
+        v = man["base"]
+        man = _read_manifest(path, v)
+    return write_snapshot(
+        read_snapshot(spark, path, head),
+        path,
+        note=note,
+        fmt=man.get("format", "parquet"),
+    )
 
 
 def merge_into(

@@ -1425,3 +1425,14 @@ def test_bloom_prune_skips_files(spark, sf_dir):
     assert wide >= len(spans) // 2, spans
     # row-level probe predicate survives (false positives stay exact)
     assert "doc_id" in plan, plan
+
+
+def test_metadata_only_agg_opens_no_data_files(spark, sf_dir):
+    """q_metadata_only_agg must be answered entirely from the
+    _stats_nd.json manifest: the executed plan aggregates O(files)
+    local metadata rows and contains NO file scan of the layout's
+    parquet (Iceberg's count(*)-from-manifests behavior)."""
+    df = QUERIES["q_metadata_only_agg"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan, plan
+    assert "InMemoryFileIndex" not in plan, plan

@@ -1339,3 +1339,116 @@ def test_bloom_manifest_prunes_without_false_negatives(spark, tmp_path):
         .collect()
     }
     assert len(kept) < files_total
+
+
+def test_mor_delete_is_zero_rewrite(spark, tmp_path):
+    """A merge-on-read DELETE must not touch the base data files:
+    the commit is a manifest + an O(deleted keys) DV sidecar, and
+    the resolved read equals the COW delete's content."""
+    import os
+
+    from lakehouse_app_spark.sources.sinks import (
+        delete_where_mor,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "mor")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    write_snapshot(df.repartition(4), path, "base")
+    base_dir = os.path.join(path, "v=0")
+    before = {
+        f: (os.path.getsize(os.path.join(base_dir, f)),
+            os.path.getmtime(os.path.join(base_dir, f)))
+        for f in os.listdir(base_dir)
+    }
+
+    v1 = delete_where_mor(spark, path, F.col("k") % 10 == 0, "k")
+    assert v1 == 1
+    after = {
+        f: (os.path.getsize(os.path.join(base_dir, f)),
+            os.path.getmtime(os.path.join(base_dir, f)))
+        for f in os.listdir(base_dir)
+    }
+    assert before == after  # base files byte-identical
+    assert not os.path.exists(os.path.join(path, "v=1"))  # no data copy
+    assert os.path.isdir(os.path.join(path, "dv=1"))
+
+    got = sorted(r["k"] for r in read_snapshot(spark, path).collect())
+    assert got == [k for k in range(100) if k % 10 != 0]
+    # v0 stays readable, untouched
+    assert read_snapshot(spark, path, 0).count() == 100
+
+
+def test_mor_chain_optimize_and_change_feed(spark, tmp_path):
+    """A two-DV chain resolves per version; OPTIMIZE materializes the
+    head as a COW commit equal to it; change_feed reports a MOR
+    commit's rows as deletes at its own version."""
+    import os
+
+    from lakehouse_app_spark.sources.sinks import (
+        apply_deletion_vectors,
+        change_feed,
+        delete_where_mor,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "morchain")
+    df = spark.range(50).select(F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+    write_snapshot(df, path, "base")
+    delete_where_mor(spark, path, F.col("k") < 10, "k")
+    delete_where_mor(spark, path, F.col("k") >= 40, "k")
+
+    assert read_snapshot(spark, path, 1).count() == 40
+    got2 = sorted(r["k"] for r in read_snapshot(spark, path, 2).collect())
+    assert got2 == list(range(10, 40))
+
+    v3 = apply_deletion_vectors(spark, path)
+    assert v3 == 3
+    assert os.path.isdir(os.path.join(path, "v=3"))
+    got3 = sorted(r["k"] for r in read_snapshot(spark, path, 3).collect())
+    assert got3 == got2
+    # idempotent: a materialized head is a no-op
+    assert apply_deletion_vectors(spark, path) == 3
+
+    feed = change_feed(spark, path, 0, 2, "k", ["v"]).collect()
+    by_ver = {}
+    for r in feed:
+        assert r["change_type"] == "delete"
+        by_ver.setdefault(r["commit_version"], []).append(r["k"])
+    assert sorted(by_ver[1]) == list(range(10))
+    assert sorted(by_ver[2]) == list(range(40, 50))
+
+
+def test_expire_keeps_dv_base_until_optimize(spark, tmp_path):
+    """Iceberg's reachability rule: expire_snapshots must not delete
+    a version referenced by a live head's DV base chain — and after
+    OPTIMIZE unpins it, the same expire reclaims everything."""
+    import os
+
+    from lakehouse_app_spark.sources.sinks import (
+        apply_deletion_vectors,
+        delete_where_mor,
+        expire_snapshots,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "morexp")
+    df = spark.range(30).select(F.col("id").alias("k"))
+    write_snapshot(df, path, "base")
+    delete_where_mor(spark, path, F.col("k") < 5, "k")
+
+    expired = expire_snapshots(path, keep_last=1, orphan_grace_sec=0.0)
+    assert expired == []  # v0 is reachable from the live DV head v1
+    assert read_snapshot(spark, path).count() == 25  # head still whole
+
+    apply_deletion_vectors(spark, path)  # v2 materialized
+    expired = expire_snapshots(path, keep_last=1, orphan_grace_sec=1e9)
+    assert expired == [0, 1]
+    assert not os.path.exists(os.path.join(path, "v=0"))
+    assert not os.path.exists(os.path.join(path, "dv=1"))
+    assert read_snapshot(spark, path).count() == 25
