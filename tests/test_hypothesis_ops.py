@@ -490,3 +490,68 @@ def test_nd_stats_null_pruned_read_equals_full_filtered_read(
     )
     want_n = sorted(k for k, v in rows if v is None)
     assert got_n == want_n
+
+
+@given(
+    base=st.dictionaries(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=0, max_value=3),
+        min_size=1,
+        max_size=8,
+    ),
+    dels=st.lists(
+        st.tuples(
+            st.booleans(),  # True = merge-on-read, False = copy-on-write
+            st.sets(st.integers(min_value=0, max_value=9), max_size=3),
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+)
+@hyp_settings
+def test_mor_commits_are_cdf_invisible(spark, tmp_path_factory, base, dels):
+    """Deletion-vector commits must be semantically invisible: a
+    random sequence of deletes, each randomly committed merge-on-read
+    or copy-on-write, must produce the SAME change feed as the pure
+    per-commit dict diff (including empty/no-op deletes emitting
+    nothing), and OPTIMIZE must materialize the same head state."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_app_spark.sources.sinks import (
+        apply_deletion_vectors,
+        change_feed,
+        delete_where,
+        delete_where_mor,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path_factory.mktemp("morcdf"))
+    write_snapshot(
+        spark.createDataFrame(
+            [(k, v) for k, v in base.items()], "k long, payload long"
+        ),
+        path,
+        "base",
+    )
+    state = dict(base)
+    want = set()
+    for v, (mor, ks) in enumerate(dels, start=1):
+        cond = F.col("k").isin(list(ks)) if ks else F.lit(False)
+        if mor:
+            delete_where_mor(spark, path, cond, "k")
+        else:
+            delete_where(spark, path, cond)
+        for k in ks & state.keys():
+            want.add((k, state.pop(k), "delete", v))
+
+    feed = change_feed(spark, path, 0, len(dels), "k", ["payload"])
+    got = {
+        (r["k"], r["payload"], r["change_type"], r["commit_version"])
+        for r in feed.collect()
+    }
+    assert got == want
+
+    apply_deletion_vectors(spark, path)
+    head = {r["k"]: r["payload"] for r in read_snapshot(spark, path).collect()}
+    assert head == state
