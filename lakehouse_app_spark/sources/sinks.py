@@ -378,6 +378,14 @@ def delete_where_mor(
     if not committed:
         raise FileNotFoundError(f"no committed snapshots under {path}")
     head = committed[-1]
+    head_man = _read_manifest(path, head)
+    if head_man.get("base") is not None and head_man["dv_key"] != key_col:
+        # fail at COMMIT time, not at the next read: a mixed-key DV
+        # chain cannot be resolved by one anti-join
+        raise ValueError(
+            f"DV chain at {path} uses key {head_man['dv_key']!r}; "
+            f"run apply_deletion_vectors before deleting by {key_col!r}"
+        )
     cur = read_snapshot(spark, path, head)
     version = head + 1
     keys = cur.where(condition).select(key_col).distinct()

@@ -1452,3 +1452,25 @@ def test_expire_keeps_dv_base_until_optimize(spark, tmp_path):
     assert not os.path.exists(os.path.join(path, "v=0"))
     assert not os.path.exists(os.path.join(path, "dv=1"))
     assert read_snapshot(spark, path).count() == 25
+
+
+def test_mor_mixed_key_rejected_at_commit_time(spark, tmp_path):
+    """A second MOR delete keyed on a different column must fail at
+    COMMIT time (a mixed-key DV chain can't resolve in one
+    anti-join) — and OPTIMIZE clears the restriction."""
+    import pytest
+
+    from lakehouse_app_spark.sources.sinks import (
+        apply_deletion_vectors,
+        delete_where_mor,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "mormix")
+    df = spark.range(20).select(F.col("id").alias("k"), (F.col("id") % 3).alias("g"))
+    write_snapshot(df, path, "base")
+    delete_where_mor(spark, path, F.col("k") < 5, "k")
+    with pytest.raises(ValueError, match="dv_key|key"):
+        delete_where_mor(spark, path, F.col("g") == 0, "g")
+    apply_deletion_vectors(spark, path)
+    assert delete_where_mor(spark, path, F.col("g") == 0, "g") == 3
