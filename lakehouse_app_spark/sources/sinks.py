@@ -389,7 +389,10 @@ def delete_where_mor(
     cur = read_snapshot(spark, path, head)
     version = head + 1
     keys = cur.where(condition).select(key_col).distinct()
-    keys.write.mode("errorifexists").parquet(
+    # one part file always: a DV is O(deleted keys) by contract, and
+    # an empty delete must still land a schema-bearing file so the
+    # reader's parquet load never hits a data-less directory
+    keys.coalesce(1).write.mode("errorifexists").parquet(
         _os.path.join(path, f"dv={version}")
     )
     manifest = {
