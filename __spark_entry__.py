@@ -66,7 +66,7 @@ _SHOWCASE = [
     # (a) this round's NEW keys (r14)
     "q_merge_multi", "q_stream_late_data", "q_zorder_maintain",
     "q_null_prune", "q_bloom_prune", "q_merge_on_read",
-    "q_metadata_only_agg",
+    "q_metadata_only_agg", "q_snapshot_tag", "q_wap_publish",
     # (b) this round's changed paths
     "q_change_feed", "q_incremental_agg", "q_restore_version",
     "q_time_travel", "q_stream_change_apply", "q_zorder_roundtrip",
@@ -82,13 +82,13 @@ _SHOWCASE = [
     "q_ann_ivf_delta_probe", "q_ann_ivf_merge", "q_knn_classify",
     "q_ann_hyperplane", "q_stream_tumbling", "q_stream_sliding",
     "q_stream_session", "q_stream_user_state", "q_stream_dedup",
-    "q_stream_topk", "q_stream_join", "q_stream_join_outer",
-    "q_stream_foreach_sink",
+    "q_stream_topk", "q_stream_join",
 ]
 
 # Keys that would rotate in next if the driver over-samples past 50:
 # the oldest-green cycle continues through the r09/r10 windows.
 _NEXT_UP = [
+    "q_stream_join_outer", "q_stream_foreach_sink",
     "q_stream_static_join", "q_stream_state_timers",
     "q_stream_incremental_dedup", "q_stream_state_v2", "q_stream_vector_search", "q_stream_ivf_append",
     "q_stream_pruned_join", "q_stream_media_decode", "q_media_decode",

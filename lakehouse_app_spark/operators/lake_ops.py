@@ -2364,3 +2364,285 @@ def q_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return frames[0].unionAll(frames[1])
+
+
+# --------------------------------------------- named refs: tags / WAP
+#
+# Iceberg snapshot refs (tags + branches, sinks.py) witnessed on
+# build-once lineage layouts. Reference parity: the reference app
+# pins its serving index to whatever the Databricks endpoint last
+# published (`app/vector_search.py:24-27` — the endpoint IS a mutable
+# published ref); these keys implement the underlying mechanism —
+# immutable tags for reproducible reads, a mutable published branch
+# fed by write-audit-publish.
+
+
+def _refs_orders_lineage(spark: SparkSession, sf_dir: str) -> str:
+    """Tag-pinned retention lineage: v0 = orders slice
+    (o_orderkey%3==1) TAGGED ``train_v0`` → v1 COW DELETE
+    (o_orderkey%9==4) → v2 COW UPDATE ('P' rows +500.0) →
+    ``expire_snapshots(keep_last=1)``. Retention keeps v2 (the
+    window) and v0 (ONLY because the tag pins it — Iceberg ref
+    reachability); v1 is physically expired. Serves
+    [[q_snapshot_tag]]: the tag read works iff expiry honored the
+    pin."""
+    from lakehouse_app_spark.sources.layout import lineage_table
+    from lakehouse_app_spark.sources.sinks import (
+        create_tag,
+        delete_where,
+        expire_snapshots,
+        update_where,
+        write_snapshot,
+    )
+
+    def build(root: str) -> None:
+        t = load_tables(spark, sf_dir)
+        base = t.orders.where(F.col("o_orderkey") % 3 == 1).select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+        v0 = write_snapshot(base, root, "base")
+        create_tag(root, "train_v0", v0)
+        delete_where(spark, root, F.col("o_orderkey") % 9 == 4)
+        update_where(
+            spark,
+            root,
+            F.col("o_orderstatus") == "P",
+            {"o_totalprice": F.col("o_totalprice") + 500.0},
+        )
+        expired = expire_snapshots(root, keep_last=1)
+        if expired != [1]:  # the lineage's own retention invariant
+            raise RuntimeError(
+                f"refs lineage expected to expire exactly [1], got {expired}"
+            )
+
+    return lineage_table(spark, "refs_orders", sf_dir, build)
+
+
+@query(
+    "q_snapshot_tag",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 3 = 1
+    ),
+    head AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderstatus = 'P' THEN o_totalprice + 500.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM base WHERE o_orderkey % 9 != 4
+    ),
+    t AS (
+      SELECT o_orderstatus, count(*) AS n, sum(o_orderkey) AS ks,
+             max(o_totalprice) AS mx
+      FROM base GROUP BY o_orderstatus
+    ),
+    h AS (
+      SELECT o_orderstatus, count(*) AS n, sum(o_orderkey) AS ks,
+             max(o_totalprice) AS mx
+      FROM head GROUP BY o_orderstatus
+    )
+    SELECT t.o_orderstatus,
+           CAST(t.n AS BIGINT) AS n_tag,
+           CAST(h.n AS BIGINT) AS n_head,
+           CAST(t.ks AS BIGINT) AS keysum_tag,
+           CAST(h.ks AS BIGINT) AS keysum_head,
+           round(t.mx, 6) AS max_price_tag,
+           round(h.mx, 6) AS max_price_head
+    FROM t JOIN h ON t.o_orderstatus = h.o_orderstatus
+    """,
+)
+def q_snapshot_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible-training-run pin: an immutable TAG addresses the
+    exact snapshot a run trained on, and survives retention — Iceberg
+    `createTag` + `expireSnapshots` reachability over the refs map
+    (sinks.py create_tag/read_ref; the run manifest stores the tag
+    name, never a raw path). The [[_refs_orders_lineage]] layout
+    commits base → DELETE → UPDATE, tags v0, then expires with
+    ``keep_last=1``: v1 is physically gone, v0 survives ONLY via the
+    tag — so the tag-addressed read in this query is itself the
+    reachability witness (an unpinned v0 would raise
+    FileNotFoundError). The report joins per-status aggregates of the
+    tagged snapshot against the current head: the n/keysum columns
+    pin the DELETE's effect, max_price pins the UPDATE's, and the
+    oracle replays both transformations logically from the corpus.
+    At 100 TB tags are metadata rows — pinning costs no storage
+    beyond the snapshots retention would otherwise reclaim, exactly
+    the audit/repro story Iceberg refs exist for."""
+    from lakehouse_app_spark.sources.sinks import read_ref, read_snapshot
+
+    path = _refs_orders_lineage(spark, sf_dir)
+    tag = read_ref(spark, path, "train_v0")
+    head = read_snapshot(spark, path)  # latest committed = v2
+
+    def per_status(df: DataFrame, suffix: str) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).cast("long").alias(f"n_{suffix}"),
+            F.sum("o_orderkey").cast("long").alias(f"keysum_{suffix}"),
+            F.round(F.max("o_totalprice"), 6).alias(f"max_price_{suffix}"),
+        )
+
+    return per_status(tag, "tag").join(
+        per_status(head, "head"), "o_orderstatus"
+    )
+
+
+def _wap_orders_lineage(spark: SparkSession, sf_dir: str) -> str:
+    """Write-audit-publish lineage: v0 = published base (orders
+    %4==0, branch ``main`` → v0), v1 = STAGED clean append (base ∪
+    %4==1), v2 = STAGED dirty append (v1 ∪ %4==2 rows with
+    o_custkey NULLed when o_orderkey%8==2 — the DQ violation the
+    audit must catch). Staged commits are ordinary snapshot versions;
+    ``main`` is what readers resolve — Iceberg's WAP branch pattern.
+    [[q_wap_publish]] runs the audit + publish loop against this
+    layout."""
+    from lakehouse_app_spark.sources.layout import lineage_table
+    from lakehouse_app_spark.sources.sinks import (
+        create_branch,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    def build(root: str) -> None:
+        t = load_tables(spark, sf_dir)
+        cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+        base = t.orders.where(F.col("o_orderkey") % 4 == 0).select(*cols)
+        v0 = write_snapshot(base, root, "base")
+        create_branch(root, "main", v0)
+        good = t.orders.where(F.col("o_orderkey") % 4 == 1).select(*cols)
+        v1 = write_snapshot(
+            read_snapshot(spark, root, v0).unionByName(good),
+            root,
+            "stage_good",
+        )
+        bad = t.orders.where(F.col("o_orderkey") % 4 == 2).select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 8 == 2, F.lit(None))
+            .otherwise(F.col("o_custkey"))
+            .alias("o_custkey"),
+            "o_totalprice",
+        )
+        write_snapshot(
+            read_snapshot(spark, root, v1).unionByName(bad),
+            root,
+            "stage_bad",
+        )
+
+    return lineage_table(spark, "wap_orders", sf_dir, build)
+
+
+@query(
+    "q_wap_publish",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey % 4 = 0
+    ),
+    good AS (
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey % 4 = 1
+    ),
+    bad AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 8 = 2 THEN NULL
+                  ELSE o_custkey END AS o_custkey,
+             o_totalprice
+      FROM orders WHERE o_orderkey % 4 = 2
+    ),
+    v1 AS (SELECT * FROM base UNION ALL SELECT * FROM good),
+    v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM bad),
+    a1 AS (
+      SELECT count(*) AS n,
+             count(*) FILTER (WHERE o_custkey IS NULL
+                              OR o_totalprice < 0) AS viol
+      FROM v1
+    ),
+    a2 AS (
+      SELECT count(*) AS n,
+             count(*) FILTER (WHERE o_custkey IS NULL
+                              OR o_totalprice < 0) AS viol
+      FROM v2
+    )
+    SELECT 'good' AS stage, CAST(1 AS BIGINT) AS staged_version,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(viol AS BIGINT) AS n_violations,
+           viol = 0 AS audit_pass, viol = 0 AS published,
+           (SELECT CAST(n AS BIGINT) FROM a1) AS published_rows
+    FROM a1
+    UNION ALL
+    SELECT 'bad', CAST(2 AS BIGINT), CAST(n AS BIGINT),
+           CAST(viol AS BIGINT), viol = 0, viol = 0,
+           (SELECT CAST(n AS BIGINT) FROM a1)
+    FROM a2
+    """,
+)
+def q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish: staged commits become visible to readers
+    only after a data-quality audit passes and the published branch
+    fast-forwards — Iceberg's WAP branch pattern (sinks.py
+    create_branch/advance_branch/read_ref; the publish is a
+    METADATA-ONLY pointer move, which is the whole point — audit
+    failure costs zero rewrites, the staged version just never gets
+    published). Against the [[_wap_orders_lineage]] layout (v0
+    published base, v1 clean staged append, v2 dirty staged append)
+    the loop audits each staged snapshot against the table invariant
+    (no NULL o_custkey, no negative o_totalprice), publishes v1
+    (``main`` fast-forwards — idempotent across invocations, so a
+    re-run converges instead of double-publishing), REJECTS v2
+    (``main`` must not move), and finally counts rows through the
+    published ref — the read a downstream consumer actually does.
+    The oracle replays the staged contents, the audit verdicts, and
+    the published row count; the hash match proves the dirty batch
+    never leaked into the published view. At 100 TB the audit is one
+    aggregate over the staged snapshot and publish is O(1) metadata
+    — the shape Iceberg ships for exactly this workflow."""
+    from lakehouse_app_spark.sources.sinks import (
+        advance_branch,
+        read_ref,
+        read_snapshot,
+        resolve_ref,
+    )
+
+    path = _wap_orders_lineage(spark, sf_dir)
+    # ONE audit job for both staged versions: union with a stage tag,
+    # grouped aggregate (two separate .first() audits paid a second
+    # job's scheduling for the same scan work)
+    audit_rows = (
+        read_snapshot(spark, path, 1)
+        .select(F.lit(1).alias("_v"), "o_custkey", "o_totalprice")
+        .unionByName(
+            read_snapshot(spark, path, 2).select(
+                F.lit(2).alias("_v"), "o_custkey", "o_totalprice"
+            )
+        )
+        .groupBy("_v")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(
+                F.col("o_custkey").isNull() | (F.col("o_totalprice") < 0)
+            ).alias("viol"),
+        )
+        .collect()
+    )
+    by_ver = {int(r["_v"]): (int(r["n"]), int(r["viol"])) for r in audit_rows}
+    frames = []
+    audits = {}
+    for stage, ver in (("good", 1), ("bad", 2)):
+        n, viol = by_ver[ver]
+        audits[stage] = (ver, n, viol)
+        if viol == 0:
+            advance_branch(path, "main", ver)  # PUBLISH: metadata-only
+    published_version = resolve_ref(path, "main")
+    published_rows = read_ref(spark, path, "main").count()
+    for stage, (ver, n, viol) in audits.items():
+        frames.append(
+            spark.range(1).select(
+                F.lit(stage).alias("stage"),
+                F.lit(ver).cast("long").alias("staged_version"),
+                F.lit(n).cast("long").alias("n_rows"),
+                F.lit(viol).cast("long").alias("n_violations"),
+                F.lit(viol == 0).alias("audit_pass"),
+                F.lit(ver == published_version).alias("published"),
+                F.lit(published_rows).cast("long").alias("published_rows"),
+            )
+        )
+    return frames[0].unionAll(frames[1])

@@ -275,7 +275,11 @@ def expire_snapshots(
     NOT expired even when it falls outside ``keep_last`` — deleting a
     DV commit's base would break the live head; run
     [[apply_deletion_vectors]] first to materialize the head, after
-    which the pinned ancestors expire normally. Returns the expired
+    which the pinned ancestors expire normally. Named refs pin the
+    same way: a version a tag or branch points at (and ITS base
+    chain) survives until [[drop_ref]] releases it — Iceberg's
+    `expireSnapshots` reachability over the refs map, the guarantee
+    that makes a tag a durable training-run pin. Returns the expired
     version numbers."""
     import os as _os
     import shutil as _shutil
@@ -287,6 +291,8 @@ def expire_snapshots(
         if f.startswith("_v") and f.endswith(".json")
     )
     survivors = set(committed[-keep_last:]) if keep_last > 0 else set()
+    refs = _read_refs(path)
+    survivors |= set(refs["tags"].values()) | set(refs["branches"].values())
     reachable: set[int] = set()
     for v in survivors:
         while v is not None and v not in reachable:
@@ -324,6 +330,155 @@ def snapshot_history(path: str) -> list[dict]:
         with open(_os.path.join(path, f)) as fh:
             out.append(_json.loads(fh.read()))
     return out
+
+
+# ------------------------------------------------- named refs (tags/branches)
+#
+# Iceberg's snapshot refs (`refs` map in table metadata: tags pin a
+# snapshot immutably, branches are mutable heads) / Delta's
+# cherry-picked analog. One `_refs.json` beside the version manifests,
+# written atomically (write-then-rename, the manifest convention), so
+# a reader never observes a torn refs file. In-process read-modify-
+# write is serialized by a module lock; cross-process the last atomic
+# rename wins — same single-writer-per-table assumption as
+# write_snapshot's version claim.
+
+import threading as _threading
+
+_REFS_LOCK = _threading.Lock()
+
+
+def _read_refs(path: str) -> dict:
+    import json as _json
+    import os as _os
+
+    try:
+        with open(_os.path.join(path, "_refs.json")) as fh:
+            refs = _json.loads(fh.read())
+    except FileNotFoundError:
+        refs = {}
+    refs.setdefault("tags", {})
+    refs.setdefault("branches", {})
+    return refs
+
+
+def _write_refs(path: str, refs: dict) -> None:
+    import json as _json
+    import os as _os
+
+    _atomic_write_json(_os.path.join(path, "_refs.json"), _json.dumps(refs))
+
+
+def _committed_versions(path: str) -> list[int]:
+    import os as _os
+
+    return sorted(
+        int(f[2:-5])
+        for f in _os.listdir(path)
+        if f.startswith("_v") and f.endswith(".json")
+    )
+
+
+def create_tag(path: str, name: str, version: int | None = None) -> int:
+    """Pin ``name`` to a committed ``version`` (latest when None) —
+    Iceberg `createTag`. Tags are IMMUTABLE: re-tagging the same
+    version is an idempotent no-op, any other version raises. A
+    tagged version survives [[expire_snapshots]] regardless of
+    ``keep_last`` — the reproducible-training-run pin (a run
+    manifest that names a tag can always re-read its exact inputs)."""
+    with _REFS_LOCK:
+        committed = _committed_versions(path)
+        if version is None:
+            version = committed[-1]
+        if version not in committed:
+            raise ValueError(f"version {version} not committed in {path}")
+        refs = _read_refs(path)
+        prev = refs["tags"].get(name)
+        if prev is not None:
+            if prev != version:
+                raise ValueError(
+                    f"tag {name!r} already pins v{prev}; tags are immutable "
+                    f"(drop_ref first to retag)"
+                )
+            return version
+        refs["tags"][name] = version
+        _write_refs(path, refs)
+        return version
+
+
+def create_branch(path: str, name: str, version: int | None = None) -> int:
+    """Create mutable branch ``name`` at ``version`` (latest when
+    None) — Iceberg `createBranch`. Re-creating an existing branch
+    raises (use [[advance_branch]])."""
+    with _REFS_LOCK:
+        committed = _committed_versions(path)
+        if version is None:
+            version = committed[-1]
+        if version not in committed:
+            raise ValueError(f"version {version} not committed in {path}")
+        refs = _read_refs(path)
+        if name in refs["branches"]:
+            raise ValueError(f"branch {name!r} already exists")
+        refs["branches"][name] = version
+        _write_refs(path, refs)
+        return version
+
+
+def advance_branch(path: str, name: str, version: int) -> int:
+    """Fast-forward branch ``name`` to ``version`` — the PUBLISH act
+    of write-audit-publish: staged commits are invisible to readers
+    of the branch until this metadata-only pointer move. Versions are
+    linear here, so fast-forward = target ≥ current (equal is an
+    idempotent no-op); moving a branch backwards is a rollback, which
+    [[restore_version]] expresses as a new commit instead — history
+    is never rewritten."""
+    with _REFS_LOCK:
+        committed = _committed_versions(path)
+        if version not in committed:
+            raise ValueError(f"version {version} not committed in {path}")
+        refs = _read_refs(path)
+        cur = refs["branches"].get(name)
+        if cur is None:
+            raise KeyError(f"branch {name!r} does not exist in {path}")
+        if version < cur:
+            raise ValueError(
+                f"branch {name!r} is at v{cur}; cannot fast-forward "
+                f"backwards to v{version} (commit a RESTORE instead)"
+            )
+        if version != cur:
+            refs["branches"][name] = version
+            _write_refs(path, refs)
+        return version
+
+
+def drop_ref(path: str, name: str) -> None:
+    """Remove a tag or branch; its target becomes expirable again."""
+    with _REFS_LOCK:
+        refs = _read_refs(path)
+        if name in refs["tags"]:
+            del refs["tags"][name]
+        elif name in refs["branches"]:
+            del refs["branches"][name]
+        else:
+            raise KeyError(f"no ref {name!r} in {path}")
+        _write_refs(path, refs)
+
+
+def resolve_ref(path: str, name: str) -> int:
+    """Version a tag or branch points at (tags shadow branches on a
+    name collision, matching Iceberg's ref-name uniqueness rule)."""
+    refs = _read_refs(path)
+    if name in refs["tags"]:
+        return refs["tags"][name]
+    if name in refs["branches"]:
+        return refs["branches"][name]
+    raise KeyError(f"no ref {name!r} in {path}")
+
+
+def read_ref(spark: SparkSession, path: str, name: str) -> DataFrame:
+    """Time-travel read addressed by ref name — `VERSION AS OF` with
+    a stable label instead of a number."""
+    return read_snapshot(spark, path, resolve_ref(path, name))
 
 
 def delete_where(spark: SparkSession, path: str, condition) -> int:

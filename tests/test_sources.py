@@ -1474,3 +1474,125 @@ def test_mor_mixed_key_rejected_at_commit_time(spark, tmp_path):
         delete_where_mor(spark, path, F.col("g") == 0, "g")
     apply_deletion_vectors(spark, path)
     assert delete_where_mor(spark, path, F.col("g") == 0, "g") == 3
+
+
+def test_named_refs_tag_branch_semantics(spark, sf_dir, tmp_path):
+    """Iceberg-style refs: tags pin immutably (idempotent re-tag of
+    the same version, error on any other), branches fast-forward only
+    (backwards move and unknown targets raise), tags shadow branches
+    on name collision, and read_ref resolves through either kind."""
+    import pytest as _pytest
+
+    from lakehouse_app_spark.sources.sinks import (
+        advance_branch,
+        create_branch,
+        create_tag,
+        drop_ref,
+        read_ref,
+        resolve_ref,
+        write_snapshot,
+    )
+
+    t = load_tables(spark, sf_dir)
+    path = str(tmp_path / "tbl")
+    for n in (3, 5, 7):
+        write_snapshot(t.orders.limit(n), path, note=f"n={n}")
+
+    assert create_tag(path, "rel", 0) == 0
+    assert create_tag(path, "rel", 0) == 0  # idempotent same-version
+    with _pytest.raises(ValueError, match="immutable"):
+        create_tag(path, "rel", 1)
+    with _pytest.raises(ValueError, match="not committed"):
+        create_tag(path, "ghost", 42)
+
+    assert create_branch(path, "main") == 2  # default = latest
+    with _pytest.raises(ValueError, match="already exists"):
+        create_branch(path, "main", 0)
+    with _pytest.raises(KeyError):
+        advance_branch(path, "nope", 2)
+    with _pytest.raises(ValueError, match="backwards"):
+        advance_branch(path, "main", 1)
+    assert advance_branch(path, "main", 2) == 2  # no-op fast-forward
+
+    assert read_ref(spark, path, "rel").count() == 3
+    assert read_ref(spark, path, "main").count() == 7
+
+    # tag shadows branch on a name collision (Iceberg name-uniqueness)
+    create_branch(path, "rel", 2)
+    assert resolve_ref(path, "rel") == 0
+
+    drop_ref(path, "rel")  # drops the TAG first...
+    assert resolve_ref(path, "rel") == 2  # ...then the branch resolves
+    drop_ref(path, "rel")
+    with _pytest.raises(KeyError):
+        resolve_ref(path, "rel")
+
+
+def test_expire_snapshots_honors_ref_pins(spark, sf_dir, tmp_path):
+    """Refs participate in expireSnapshots reachability: a tagged (or
+    branch-pointed) version outside the keep_last window survives
+    with its files intact and stays readable; dropping the ref makes
+    it expirable again on the next sweep."""
+    import os
+
+    import pytest as _pytest
+
+    from lakehouse_app_spark.sources.sinks import (
+        create_branch,
+        create_tag,
+        drop_ref,
+        expire_snapshots,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    t = load_tables(spark, sf_dir)
+    path = str(tmp_path / "tbl")
+    for n in (3, 5, 7, 9, 11):
+        write_snapshot(t.orders.limit(n), path, note=f"n={n}")
+    create_tag(path, "pin0", 0)
+    create_branch(path, "dev", 1)
+
+    expired = expire_snapshots(path, keep_last=1)
+    assert expired == [2, 3]  # v0 tag-pinned, v1 branch-pinned, v4 window
+    assert read_snapshot(spark, path, 0).count() == 3
+    assert read_snapshot(spark, path, 1).count() == 5
+    assert os.path.exists(os.path.join(path, "v=0"))
+    with _pytest.raises(FileNotFoundError):
+        read_snapshot(spark, path, 2)
+
+    drop_ref(path, "pin0")
+    assert expire_snapshots(path, keep_last=1) == [0]
+    assert not os.path.exists(os.path.join(path, "v=0"))
+    # the branch pin still holds
+    assert read_snapshot(spark, path, 1).count() == 5
+
+
+def test_wap_branch_isolation(spark, sf_dir, tmp_path):
+    """Write-audit-publish: staged commits are invisible through the
+    published branch until an explicit fast-forward, and a rejected
+    stage never moves the branch — the reader-facing isolation that
+    makes audit failures free."""
+    from lakehouse_app_spark.sources.sinks import (
+        advance_branch,
+        create_branch,
+        read_ref,
+        resolve_ref,
+        write_snapshot,
+    )
+
+    t = load_tables(spark, sf_dir)
+    path = str(tmp_path / "tbl")
+    write_snapshot(t.orders.limit(4), path, note="base")
+    create_branch(path, "main", 0)
+
+    write_snapshot(t.orders.limit(6), path, note="staged")
+    assert read_ref(spark, path, "main").count() == 4  # stage invisible
+    advance_branch(path, "main", 1)  # audit passed -> publish
+    assert read_ref(spark, path, "main").count() == 6
+
+    write_snapshot(t.orders.limit(99), path, note="staged-bad")
+    # audit failed -> no advance; the branch (and its readers) never
+    # see the rejected stage even though it is the table's latest
+    assert resolve_ref(path, "main") == 1
+    assert read_ref(spark, path, "main").count() == 6
