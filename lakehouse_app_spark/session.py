@@ -49,6 +49,17 @@ RUNTIME_CONFS = {
     "spark.sql.shuffle.partitions": "8",
 }
 
+# Input-split sizing is a deployment profile, like shuffle width: the
+# 128 MB default is right for a many-file cluster corpus, but a
+# single-file local corpus larger than one split (the sf1 scale study:
+# lineitem 140 MB) scans as ~2 input tasks on 32 cores unless the
+# split size is lowered. Settable per deployment; results are
+# split-count-invariant (same AQE-invariance argument as shuffle
+# width).
+_MPB = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
+if _MPB:
+    RUNTIME_CONFS["spark.sql.files.maxPartitionBytes"] = _MPB
+
 
 def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
     """Set runtime-settable confs on an existing session (idempotent).
