@@ -734,8 +734,17 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderstatus").alias("y"),
         )
     )
-    joint = pairs.groupBy("feature_pair", "x", "y").agg(
-        F.count(F.lit(1)).alias("c")
+    # scoped_persist is load-bearing: joint feeds the cell-term join
+    # AND three marginal rollups AND both entropy arms — unpersisted,
+    # Spark re-derives the whole union-scan-aggregate subtree for
+    # EACH consumer (8 scans of the two fact tables observed in the
+    # r14 before-plan; guide §7.2 duplicated subtrees). Cached, the
+    # contingency table (|X|×|Y| cells) is computed once and every
+    # rollup reads KB from memory (2 scans total, one per union arm).
+    joint = scoped_persist(
+        pairs.groupBy("feature_pair", "x", "y").agg(
+            F.count(F.lit(1)).alias("c")
+        )
     )
     mx = joint.groupBy("feature_pair", "x").agg(F.sum("c").alias("cx"))
     my = joint.groupBy("feature_pair", "y").agg(F.sum("c").alias("cy"))

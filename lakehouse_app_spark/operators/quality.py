@@ -703,9 +703,10 @@ def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduces per category; the alpha = 0.05 critical value
     {KS_ALPHA_C} * sqrt((n_a + n_b) / (n_a * n_b)) flags drift. The
     comparison runs on the 6-dp-rounded doubles so the boolean is
-    cross-engine stable. Plan: one scan -> (category, value) hash
+    cross-engine stable. Plan: ONE scan -> (category, value) hash
     aggregate -> one window sort over DISTINCT values only (far
-    smaller than the fact table) -> aggregate-sized output. No
+    smaller than the fact table), whose single pass also produces
+    the per-category totals -> aggregate-sized output. No
     sampling, no collect; at 100 TB the only sort is per-category
     over distinct values, exactly how a warehouse computes exact
     CDFs."""
@@ -719,23 +720,30 @@ def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("split") == 0).alias("na"),
         F.count_if(F.col("split") == 1).alias("nb"),
     )
-    tot = vals.groupBy("category").agg(
-        F.sum("na").alias("ta"), F.sum("nb").alias("tb")
-    )
+    # per-category totals ta/tb ride the SAME Sort/Window pass as the
+    # running CDFs (whole-partition frame alongside the running frame
+    # — one Window node evaluates both specs): the old
+    # aggregate-and-broadcast-back form re-derived `vals` from a
+    # SECOND orders scan because the subtree feeds two consumers and
+    # Spark does not de-duplicate it (guide §7.2 duplicated subtrees;
+    # r14 optimization — 2 scans → 1, 4 Exchanges → 2, plan diff in
+    # plans/r14/q_drift_ks_{before,after}.txt)
     w = (
         Window.partitionBy("category")
         .orderBy("v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cdf = (
-        vals.join(F.broadcast(tot), "category")
-        .select(
-            "category",
-            "ta",
-            "tb",
-            F.sum("na").over(w).alias("ca"),
-            F.sum("nb").over(w).alias("cb"),
-        )
+    w_all = (
+        Window.partitionBy("category")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    cdf = vals.select(
+        "category",
+        F.sum("na").over(w_all).alias("ta"),
+        F.sum("nb").over(w_all).alias("tb"),
+        F.sum("na").over(w).alias("ca"),
+        F.sum("nb").over(w).alias("cb"),
     )
     ks = cdf.groupBy("category", "ta", "tb").agg(
         F.max(
@@ -848,9 +856,10 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one fact scan -> 5-row reference min/max broadcast ->
     (category, bin, split) hash aggregate (map-side combinable,
-    <= |categories| x {PSI_BINS} rows) -> per-category rollup joined
-    back partial-aggregate style ([[q_target_encode]]'s trick). At
-    100 TB: one scan, aggregate-sized everything after."""
+    <= |categories| x {PSI_BINS} rows) -> per-category totals as
+    whole-partition window sums over that same bin table. At
+    100 TB: two scans (min/max pass, bin pass — the reference-
+    anchored binning's floor), aggregate-sized everything after."""
     t = load_tables(spark, sf_dir)
     tagged = t.orders.select(
         F.col("o_orderpriority").alias("category"),
@@ -879,10 +888,25 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("split") == 1).alias("nb"),
         )
     )
-    tot = bc.groupBy("category").agg(
-        F.sum("na").alias("ta"),
-        F.sum("nb").alias("tb"),
-        F.count(F.lit(1)).alias("n_bins"),
+    # per-category totals over a whole-partition window frame on the
+    # bin table itself: the old aggregate-and-broadcast-back form
+    # re-derived `bc` (scan + reference-minmax broadcast + bin
+    # aggregate) from a SECOND pair of scans because the subtree
+    # feeds two consumers (guide §7.2 duplicated subtrees; r14
+    # optimization — 4 scans → 2, plan diff in
+    # plans/r14/q_drift_psi_{before,after}.txt). The unavoidable two
+    # passes are reference min/max then binning; everything after is
+    # a ≤|categories|×PSI_BINS-row window.
+    w_cat = Window.partitionBy("category").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    withtot = bc.select(
+        "category",
+        "na",
+        "nb",
+        F.sum("na").over(w_cat).alias("ta"),
+        F.sum("nb").over(w_cat).alias("tb"),
+        F.count(F.lit(1)).over(w_cat).alias("n_bins"),
     )
     sm = F.lit(PSI_SMOOTH)
     nbins_d = F.col("n_bins").cast("double")
@@ -892,7 +916,7 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     pb = (F.col("nb").cast("double") + sm) / (
         F.col("tb").cast("double") + sm * nbins_d
     )
-    terms = bc.join(F.broadcast(tot), "category").select(
+    terms = withtot.select(
         "category", "ta", "tb", "n_bins",
         ((pa - pb) * F.log(pa / pb)).alias("term"),
     )
