@@ -436,7 +436,14 @@ def q_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     over |keys| rows; on a cluster this runs as a cheap prelude to
     (or an observe() alongside) the real join."""
     t = load_tables(spark, sf_dir)
-    per_key = t.lineitem.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n"))
+    # persisted: per_key feeds the scalar stats aggregate AND the
+    # hot-key count — unpersisted, the fact scan + keyed aggregate
+    # ran twice (guide §7.2 duplicated subtrees, r14 optimization);
+    # the hot-key pass needs the average first, so two passes over
+    # per_key are inherent, but both now read the |keys|-sized cache
+    per_key = scoped_persist(
+        t.lineitem.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n"))
+    )
     stats = per_key.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.max("n").alias("max_rows"),

@@ -260,8 +260,9 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF scoring with top-3 terms per language: term frequency ×
     ln(N/df), summed per (lang, term), ranked per group.
 
-    Two hash aggregates (tf, df) + a broadcast of the tiny df table —
-    the inverted-index statistics pass of corpus analytics. The log
+    One hash aggregate (tf) whose term-partitioned COUNT window is
+    the df table — the inverted-index statistics pass of corpus
+    analytics in a single derivation of the tokenized subtree. The log
     argument is an exact integer ratio on both engines, so rounded
     scores match; ranking orders by the rounded score (§5.3 rule 2).
     N (corpus size) folds in as a broadcast single-row aggregate —
@@ -277,10 +278,17 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "lang", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # tf is unique per (doc_id, term) after its groupBy, so document
+    # frequency is COUNT(*) over a term-partitioned window on tf
+    # itself — the old groupBy("term").countDistinct re-derived the
+    # scan→tokenize→aggregate subtree a second time because tf feeds
+    # two consumers (guide §7.2 duplicated subtrees, r14
+    # optimization: 3 corpus scans → 2, the second being the
+    # count-only n_docs pass over pruned pages)
+    df_w = F.count(F.lit(1)).over(Window.partitionBy("term")).alias("df")
     n_docs = t.documents.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "term")
+        tf.select("doc_id", "lang", "term", "tf", df_w)
         .crossJoin(F.broadcast(n_docs))
         .groupBy("lang", "term", "n_docs", "df")
         .agg(

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakehouse_app_spark.registry import query
+from lakehouse_app_spark.runtime_cache import scoped_persist
 from lakehouse_app_spark.sources.tables import load_tables
 
 CHUNK = 120
@@ -214,8 +215,9 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate produces per-doc term frequencies for the query terms
     ONLY (the IN filter prunes before the shuffle, and the doc
     length rides through the explode so no N-row join comes back),
-    df and the corpus stats are one-row/tiny aggregates that
-    broadcast back,
+    document frequency is a COUNT(*) window over the (doc, term)-
+    unique tf rows themselves (no second derivation of the tf
+    subtree), the corpus stats are a one-row broadcast,
     and the final score is pure arithmetic + a top-20
     TakeOrderedAndProject. The expression tree mirrors the oracle's
     operand-for-operand so the doubles match bitwise."""
@@ -238,13 +240,20 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "dl", "w")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    # tf is unique per (doc_id, w) after its groupBy, so document
+    # frequency is COUNT(*) over a term-partitioned window on tf
+    # itself — the old separate groupBy("w") re-derived the whole
+    # scan→explode→aggregate subtree a second time because tf feeds
+    # two consumers (guide §7.2 duplicated subtrees, r14 optimization:
+    # 3 corpus scans → 2; the remaining two are the corpus-stats pass
+    # and the term-pruned tf pass, the floor for BM25)
+    df_w = F.count(F.lit(1)).over(Window.partitionBy("w")).alias("df")
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
     tf_norm = (F.col("tf") * (K1 + 1)) / (
         F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))
     )
     scored = (
-        tf.join(F.broadcast(df), "w")
+        tf.select("doc_id", "dl", "w", "tf", df_w)
         .join(F.broadcast(stats))
         .select("doc_id", (idf * tf_norm).alias("s"))
     )
@@ -470,7 +479,13 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     tk = F.split(F.lower(F.col("text")), " ")
     docs = t.documents.select(tk.alias("tk"))
-    uni = (
+    # persisted: uni feeds THREE consumers (w1 lookup, w2 lookup, the
+    # total) and bi feeds two (the total, the scored chain) —
+    # unpersisted, each consumer re-derived its whole
+    # scan→explode→aggregate subtree (5 corpus scans in one plan;
+    # guide §7.2 duplicated subtrees, r14 optimization: 5 scans → 2,
+    # one per n-gram arm). Both tables are (n-gram) vocabulary-sized.
+    uni = scoped_persist(
         docs.select(F.explode("tk").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c1"))
@@ -482,7 +497,7 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("tk", (i + 1).cast("int")).alias("w2"),
         ),
     )
-    bi = (
+    bi = scoped_persist(
         docs.where(F.size("tk") >= 2)
         .select(F.explode(pairs).alias("s"))
         .groupBy(F.col("s.w1").alias("w1"), F.col("s.w2").alias("w2"))

@@ -1135,21 +1135,48 @@ def change_feed(
         snap = read_snapshot(spark, path, v).select(
             F.col(key_col).alias("_k"), F.struct(*payload_cols).alias("_p")
         )
+        # a middle version plays BOTH roles — new at commit v, old at
+        # commit v+1. Fan the roles out scan-locally (explode of a
+        # 2-element literal array) instead of unioning the same
+        # version's scan twice: the union form physically re-read
+        # every middle version's files once per role (r14
+        # optimization, guide §2.4 — one scan per version, the role
+        # duplication happens after the read).
+        roles = []
         if v > v_from:
+            roles.append((v, "n"))
+        if v < v_to:
+            roles.append((v + 1, "o"))
+        if len(roles) == 1:  # endpoint version: direct projection
+            cv, role = roles[0]
             frames.append(
                 snap.select(
                     "_k",
-                    F.lit(v).alias("commit_version"),
-                    F.lit("n").alias("_role"),
+                    F.lit(cv).alias("commit_version"),
+                    F.lit(role).alias("_role"),
                     "_p",
                 )
             )
-        if v < v_to:
+        else:
             frames.append(
                 snap.select(
                     "_k",
-                    F.lit(v + 1).alias("commit_version"),
-                    F.lit("o").alias("_role"),
+                    F.explode(
+                        F.array(
+                            *[
+                                F.struct(
+                                    F.lit(cv).alias("commit_version"),
+                                    F.lit(role).alias("_role"),
+                                )
+                                for cv, role in roles
+                            ]
+                        )
+                    ).alias("_r"),
+                    "_p",
+                ).select(
+                    "_k",
+                    F.col("_r.commit_version").alias("commit_version"),
+                    F.col("_r._role").alias("_role"),
                     "_p",
                 )
             )
