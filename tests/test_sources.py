@@ -867,7 +867,13 @@ def test_compact_roundtrip_physical_file_counts(spark, sf_dir):
             if f.endswith(".parquet")
         ]
 
-    frag = parquet_files(os.path.join(root, "frag"))
+    # since r14 the fragmented landing is a build-once derived layout
+    # (the fixture); the compacted rewrite stays in the scratch tree
+    from lakehouse_app_spark.sources.layout import layout_path
+
+    frag_dir = layout_path("compact_frag", sf_dir)
+    assert frag_dir is not None, "fragmented layout must be committed"
+    frag = parquet_files(frag_dir)
     comp = parquet_files(os.path.join(root, "compacted"))
     n_days = len(
         {p.split("day=")[1].split("/")[0] for p in frag if "day=" in p}
