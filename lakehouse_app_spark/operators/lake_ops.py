@@ -1985,14 +1985,31 @@ def q_merge_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_snapshot,
     )
 
+    import os
+    import shutil
+
+    from lakehouse_app_spark.sources.layout import lineage_table
+
     t = load_tables(spark, sf_dir)
     docs = t.documents.select("doc_id", "source", "n_chars")
     base = docs.where(F.col("doc_id") % 10 == 5)
     src = base.where(
         (F.col("n_chars") < 100) | (F.col("n_chars") >= 400)
     ).unionByName(docs.where(F.col("doc_id") % 10 == 8))
-    path = scratch_commit_dir("merge_multi_")
-    v0 = write_snapshot(base, path, "base")
+    # the v0 base commit is the fixture (the standing table a MERGE
+    # targets); build-once layout, CLONED per invocation because the
+    # merge commits v1 onto it (the q_vacuum treatment, r14). The
+    # MERGE itself — the class's live write witness — still executes
+    # one real snapshot commit per invocation.
+    src_root = lineage_table(
+        spark,
+        "merge_multi_base",
+        sf_dir,
+        lambda root: write_snapshot(base, root, "base") and None,
+    )
+    path = os.path.join(scratch_commit_dir("merge_multi_"), "clone")
+    shutil.copytree(src_root, path)
+    v0 = 0
     v1 = merge_into(
         spark,
         path,

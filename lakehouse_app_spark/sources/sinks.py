@@ -193,6 +193,14 @@ def write_snapshot(
     return version
 
 
+# (realpath, resolved version, fmt, dv chain, dv key) -> analyzed
+# relation for read_snapshot. Committed version directories are
+# immutable, so the handle is content-stable; expiry/commit checks
+# stay live in read_snapshot (see its comment). Validated against
+# the calling session on every hit.
+_READ_HANDLES: dict = {}
+
+
 def _read_manifest(path: str, version: int) -> dict:
     import json as _json
     import os as _os
@@ -248,10 +256,26 @@ def read_snapshot(
         v = man["base"]
         man = _read_manifest(path, v)
     fmt = man.get("format", "parquet")
+    # Memoized relation handle (r14 optimization): a committed
+    # version's data directory is immutable, so re-running
+    # spark.read per call re-paid file listing + parquet footer
+    # schema inference for every time-travel read in every rep —
+    # the CDC/MOR keys read 3-5 versions of the same lineage per
+    # execution. Everything that can change — which versions are
+    # committed (expiry!), the manifest base chain — is still
+    # re-checked above on every call from the driver-side listing,
+    # so an expired version raises exactly as before; only the
+    # immutable relation is served from the memo, validated against
+    # the caller's session.
+    key = (_os.path.realpath(path), v, fmt, tuple(dv_dirs), dv_key)
+    hit = _READ_HANDLES.get(key)
+    if hit is not None and hit.sparkSession is spark:
+        return hit
     df = spark.read.format(fmt).load(_os.path.join(path, f"v={v}"))
     if dv_dirs:
         dv = spark.read.parquet(*dv_dirs).select(dv_key).distinct()
         df = df.join(F.broadcast(dv), on=dv_key, how="left_anti")
+    _READ_HANDLES[key] = df
     return df
 
 
