@@ -746,13 +746,23 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("c")
         )
     )
-    mx = joint.groupBy("feature_pair", "x").agg(F.sum("c").alias("cx"))
-    my = joint.groupBy("feature_pair", "y").agg(F.sum("c").alias("cy"))
-    tot = joint.groupBy("feature_pair").agg(F.sum("c").alias("n"))
-    jd = (
-        joint.join(F.broadcast(mx), ["feature_pair", "x"])
-        .join(F.broadcast(my), ["feature_pair", "y"])
-        .join(F.broadcast(tot), "feature_pair")
+    # marginals and totals as window sums over the cached cell table
+    # (three window specs over ≤|X|×|Y| rows) instead of three
+    # groupBy-and-broadcast-back rollups: each broadcast build was its
+    # own job against the cache, 27 jobs per execution at the floor —
+    # now the cell terms, both entropies (distinct marginal
+    # projections of the same windowed frame) and the final fuse are
+    # a handful of aggregate-sized jobs (r14 optimization)
+    from pyspark.sql import Window
+
+    jd = joint.select(
+        "feature_pair",
+        "x",
+        "y",
+        "c",
+        F.sum("c").over(Window.partitionBy("feature_pair", "x")).alias("cx"),
+        F.sum("c").over(Window.partitionBy("feature_pair", "y")).alias("cy"),
+        F.sum("c").over(Window.partitionBy("feature_pair")).alias("n"),
     )
     c_d, n_d = F.col("c").cast("double"), F.col("n").cast("double")
     mi = jd.groupBy("feature_pair", "n").agg(
@@ -766,16 +776,17 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_cells"),
     )
 
-    def _entropy(marg: DataFrame, cnt: str, out: str) -> DataFrame:
+    def _entropy(key: str, cnt: str, out: str) -> DataFrame:
         p = F.col(cnt).cast("double") / F.col("n").cast("double")
         return (
-            marg.join(F.broadcast(tot), "feature_pair")
+            jd.select("feature_pair", key, cnt, "n")
+            .distinct()
             .groupBy("feature_pair")
             .agg((-F.sum(p * F.log(p))).alias(out))
         )
 
-    hx = _entropy(mx, "cx", "h_x")
-    hy = _entropy(my, "cy", "h_y")
+    hx = _entropy("x", "cx", "h_x")
+    hy = _entropy("y", "cy", "h_y")
     return (
         mi.join(F.broadcast(hx), "feature_pair")
         .join(F.broadcast(hy), "feature_pair")

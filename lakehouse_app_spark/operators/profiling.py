@@ -408,17 +408,26 @@ def q_entropy_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .transform(scoped_persist)
     )
-    stot = sl.groupBy("source").agg(F.sum("n").alias("s_n"))
-    ltot = sl.groupBy("lang").agg(F.sum("n").alias("l_n"))
-    tot = sl.agg(F.sum("n").alias("t_n"))
+    # marginals/total as window sums over the cached (source, lang)
+    # table instead of three rollup-and-broadcast-back joins — each
+    # broadcast build was its own floor-priced job (the q_mutual_info
+    # treatment, r14). The global-total window runs on one partition,
+    # which is exactly right for a vocabulary-sized aggregate.
+    from pyspark.sql import Window
+
+    sl = sl.select(
+        "source",
+        "lang",
+        "n",
+        F.sum("n").over(Window.partitionBy("source")).alias("s_n"),
+        F.sum("n").over(Window.partitionBy("lang")).alias("l_n"),
+        F.sum("n").over(Window.partitionBy()).alias("t_n"),
+    )
     p = F.col("n") / F.col("s_n")
     q = F.col("l_n") / F.col("t_n")
     dec = "decimal(25,12)"
     return (
-        sl.join(stot, "source")
-        .join(F.broadcast(ltot), "lang")
-        .join(F.broadcast(tot))
-        .groupBy("source")
+        sl.groupBy("source")
         .agg(
             F.sum("n").alias("n_docs"),
             F.round(
