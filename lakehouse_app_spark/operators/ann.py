@@ -211,12 +211,19 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     audited per query by [[q_ann_recall]]; at 100 TB the probed scan
     is the partition-pruned layout read, and cost per labeling batch
     is n_probe/{N_CENTROIDS} of a corpus pass."""
+    from lakehouse_app_spark.runtime_cache import scoped_persist
+
     cents, assigned = ivf_index(spark, sf_dir, "ivf8", N_CENTROIDS, KM_ITERS)
     t = load_tables(spark, sf_dir)
-    qs = t.embeddings.where(F.col("vec_id") % 5 == 0).select(
-        F.col("vec_id").alias("qid"),
-        as_double_array("embedding").alias("qv"),
-        F.col("label").alias("true_label"),
+    # persisted: the query set feeds the centroid-ranking pass, the
+    # scoring join (qv) and the vote audit (true_label) — three
+    # separate embeddings scans when unpersisted (guide §7.2, r14)
+    qs = scoped_persist(
+        t.embeddings.where(F.col("vec_id") % 5 == 0).select(
+            F.col("vec_id").alias("qid"),
+            as_double_array("embedding").alias("qv"),
+            F.col("label").alias("true_label"),
+        )
     )
     wq = Window.partitionBy("qid")
     probed = (
