@@ -517,11 +517,20 @@ def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = subv.join(F.broadcast(subc), "j").select(
         "vec_id", "j", "cid", dist.alias("dist")
     )
-    w = Window.partitionBy("vec_id", "j").orderBy("dist", "cid")
-    best = d.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    # argmin as min(struct(dist, cid)) — lexicographic struct order IS
+    # the oracle's ORDER BY dist, cid — instead of a row_number
+    # window: the hash aggregate partial-combines map-side (each
+    # (vec, subspace)'s 16 candidate rows collapse before the
+    # exchange, 16× fewer shuffled rows) and needs no sort, where the
+    # window form shuffled and SORTED every candidate row (r14
+    # optimization, guide §2.3 aggregate-before-shuffle; plan diff in
+    # plans/r14/q_pq_quantize_{before,after}.txt)
+    best = d.groupBy("vec_id", "j").agg(
+        F.min(F.struct("dist", "cid")).alias("b")
+    )
     return best.groupBy("vec_id").agg(
-        F.sum(F.expr("shiftleft(cid, CAST(4 * j AS INT))")).cast("long").alias("pq_code"),
-        F.sum(F.col("dist").cast("decimal(25,6)")).cast("double").alias("recon_err"),
+        F.sum(F.expr("shiftleft(b.cid, CAST(4 * j AS INT))")).cast("long").alias("pq_code"),
+        F.sum(F.col("b.dist").cast("decimal(25,6)")).cast("double").alias("recon_err"),
     )
 
 
