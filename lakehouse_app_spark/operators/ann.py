@@ -517,20 +517,24 @@ def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = subv.join(F.broadcast(subc), "j").select(
         "vec_id", "j", "cid", dist.alias("dist")
     )
-    # argmin as min(struct(dist, cid)) — lexicographic struct order IS
-    # the oracle's ORDER BY dist, cid — instead of a row_number
-    # window: the hash aggregate partial-combines map-side (each
-    # (vec, subspace)'s 16 candidate rows collapse before the
-    # exchange, 16× fewer shuffled rows) and needs no sort, where the
-    # window form shuffled and SORTED every candidate row (r14
-    # optimization, guide §2.3 aggregate-before-shuffle; plan diff in
-    # plans/r14/q_pq_quantize_{before,after}.txt)
-    best = d.groupBy("vec_id", "j").agg(
-        F.min(F.struct("dist", "cid")).alias("b")
-    )
+    # argmin as min over ONE orderable LONG — enc = round(dist·1e6)·16
+    # + cid. dist is already 6-dp-rounded and non-negative (squared
+    # L2) and cid < {PQ_K}=16, so long order over enc IS the oracle's
+    # ORDER BY dist, cid; the decode is exact because dist·1e6 is an
+    # integer value ≪ 2^53 after the 6-dp round. The r14 min(struct)
+    # form partial-combined map-side but planned as SortAggregate —
+    # Catalyst's hash-aggregate buffer cannot hold a struct, so each
+    # partition still sorted its candidate rows. A LONG min buffer is
+    # hash-aggregable: the plan is HashAggregate→Exchange→
+    # HashAggregate with no sort anywhere (guide §2.3
+    # aggregate-before-shuffle; plan diff in
+    # plans/r15/q_pq_quantize_{before,after}.txt)
+    enc = F.round(F.col("dist") * 1e6).cast("long") * 16 + F.col("cid")
+    best = d.groupBy("vec_id", "j").agg(F.min(enc).alias("e"))
+    b_dist = F.shiftright(F.col("e"), 4).cast("double") / 1e6
     return best.groupBy("vec_id").agg(
-        F.sum(F.expr("shiftleft(b.cid, CAST(4 * j AS INT))")).cast("long").alias("pq_code"),
-        F.sum(F.col("b.dist").cast("decimal(25,6)")).cast("double").alias("recon_err"),
+        F.sum(F.expr("shiftleft(e & 15, CAST(4 * j AS INT))")).cast("long").alias("pq_code"),
+        F.sum(b_dist.cast("decimal(25,6)")).cast("double").alias("recon_err"),
     )
 
 

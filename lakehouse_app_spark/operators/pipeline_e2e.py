@@ -18,13 +18,13 @@ just the stages — is hash-checked.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from lakehouse_app_spark.operators.corpus_prep import q_corpus_gate
-from lakehouse_app_spark.operators.dedup import rep_docs, spread
+from lakehouse_app_spark.operators.corpus_prep import q_corpus_gate  # noqa: F401 — oracle composition
+from lakehouse_app_spark.operators.dedup import spread
 from lakehouse_app_spark.operators.dedup_ext import q_dedup_incremental
-from lakehouse_app_spark.operators.quality import q_quality_classifier
+from lakehouse_app_spark.operators.quality import q_quality_classifier  # noqa: F401 — oracle composition
 from lakehouse_app_spark.registry import ORACLES, query
 from lakehouse_app_spark.sources.tables import load_tables
 
@@ -70,33 +70,64 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole preprocessing pipeline, one plan: rule gate ∩
     linear-classifier filter ∩ exact-dedup representatives, then the
     md5-deterministic 80/10/10 split and the per-split doc/token
-    balance a dataset release reports. Every stage is the SAME
-    operator a user runs standalone — composition is three
-    doc_id-keyed joins (the gate and classifier sides reduce to
-    doc_id lists, so nothing document-sized crosses a shuffle
-    twice), and Catalyst plans the whole chain as one DAG. At 100 TB
-    the stages run in this composed form for a one-shot build, or
-    stage-by-stage with stored intermediates when different teams
-    own different tiers — same operators either way."""
-    t = load_tables(spark, sf_dir)
-    gate_keep = q_corpus_gate(spark, sf_dir).where("keep").select("doc_id")
-    clf_keep = (
-        q_quality_classifier(spark, sf_dir).where("keep").select("doc_id")
+    balance a dataset release reports.
+
+    Composition is at the EXPRESSION level (r15 optimization, guide
+    §7.2): all three stage decisions are functions of one document
+    row — the gate predicate is ``gate_features``' own expression
+    tree (the identical tree q_corpus_gate plans), the classifier
+    logit folds the broadcast weight TABLE into the equivalent
+    closed-form weight EXPRESSION over the same hashed features
+    (wt(fid) = (fid·A) mod M − S is exactly the table's generating
+    rule, so Σwt is bit-identical to the join form), and the
+    exact-dedup representative is min(doc_id) per fingerprint — a
+    window over the same xxhash64 fingerprint rep_docs aggregates.
+    One corpus scan and one narrow shuffle (8-byte fingerprint keys +
+    3 scalars) replace the joined form's four scans and three
+    doc_id-keyed shuffles; nothing document-sized crosses any
+    exchange. The stages remain independently-oracled operators, and
+    the composed ORACLE still nests their registry SQL — the hash
+    match proves the fused plan ≡ the stage composition. At 100 TB
+    the same fusion is what a one-shot build wants; teams owning
+    tiers separately run the standalone operators with stored
+    intermediates."""
+    from lakehouse_app_spark.operators.corpus_prep import (
+        _FP_SPARK,
+        gate_features,
     )
-    reps = rep_docs(spread(t.documents)).select("doc_id")
+    from lakehouse_app_spark.operators.quality import (
+        _QC_A,
+        _QC_D,
+        _QC_M,
+        _QC_SCALE,
+    )
+
+    t = load_tables(spark, sf_dir)
+    cols, ok = gate_features("doc_id")
+    tok_fp = _FP_SPARK.format(w="tk")
+    clf_raw = F.expr(
+        f"aggregate(array_distinct(split(lower(text), ' ')), "
+        f"CAST(0 AS BIGINT), (acc, tk) -> acc + "
+        f"(((({tok_fp}) % {_QC_D}) * {_QC_A}) % {_QC_M} - {_QC_SCALE}))"
+    )
+    fp = F.array_join(
+        F.array_sort(F.array_distinct(F.split(F.col("text"), " "))), " "
+    )
+    base = spread(t.documents).select(
+        *cols,
+        F.xxhash64(fp).alias("fph"),
+        (clf_raw > 0).alias("clf_keep"),
+    )
+    rep = F.min("doc_id").over(Window.partitionBy("fph"))
     hex8 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
     u = (F.conv(hex8, 16, 10).cast("double") + 1) / F.lit(4294967297.0)
     split = (
         F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
     )
     kept = (
-        t.documents.join(gate_keep, "doc_id")
-        .join(clf_keep, "doc_id")
-        .join(reps, "doc_id")
-        .select(
-            split.alias("split"),
-            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
-        )
+        base.withColumn("rep_id", rep)
+        .where(ok & F.col("clf_keep") & (F.col("doc_id") == F.col("rep_id")))
+        .select(split.alias("split"), F.col("n_tokens").alias("n_tok"))
     )
     return kept.groupBy("split").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -97,6 +97,14 @@ def prepared_plan(
     scoped_before = len(_SCOPED)
     df = builder(spark, sf_dir)
     if before is not None and _jobs_scheduled(spark) == before:
+        # plans bound to other (stopped) sessions can never hit again
+        # from this caller; drop them so a long-lived process that
+        # cycles sessions holds one session's plans, not every
+        # session's ever (advice/verdict r14 memo-growth item)
+        stale = [k for k in _PLANS if k[0] != key[0]]
+        for k in stale:
+            _PLANS.pop(k, None)
+            _PLAN_SCOPED.pop(k, None)
         _PLANS[key] = df
         _PLAN_SCOPED[key] = list(_SCOPED[scoped_before:])
     return df

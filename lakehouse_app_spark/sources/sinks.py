@@ -193,12 +193,20 @@ def write_snapshot(
     return version
 
 
-# (realpath, resolved version, fmt, dv chain, dv key) -> analyzed
-# relation for read_snapshot. Committed version directories are
-# immutable, so the handle is content-stable; expiry/commit checks
-# stay live in read_snapshot (see its comment). Validated against
-# the calling session on every hit.
+# (realpath, resolved version, manifest identity, fmt, dv chain,
+# dv key) -> analyzed relation for read_snapshot. Committed version
+# directories are immutable, so the handle is content-stable;
+# expiry/commit checks stay live in read_snapshot (see its comment).
+# Validated against the calling session on every hit. The manifest's
+# (st_ino, st_mtime_ns) rides in the key so a lineage wiped and
+# re-committed at the same path misses the memo instead of being
+# served a stale file listing (advice r14). LRU-bounded: scratch
+# CLONES (q_vacuum/q_merge_multi mkdtemp trees) insert a fresh key
+# per invocation, so an unbounded dict pinned dead JVM plans for the
+# whole session (advice r14); past the bound, dead-session entries
+# are swept first, then the least-recently-used live ones.
 _READ_HANDLES: dict = {}
+_READ_HANDLES_MAX = 128
 
 
 def _read_manifest(path: str, version: int) -> dict:
@@ -267,15 +275,31 @@ def read_snapshot(
     # so an expired version raises exactly as before; only the
     # immutable relation is served from the memo, validated against
     # the caller's session.
-    key = (_os.path.realpath(path), v, fmt, tuple(dv_dirs), dv_key)
+    st = _os.stat(_os.path.join(path, f"_v{v}.json"))
+    key = (
+        _os.path.realpath(path), v, st.st_ino, st.st_mtime_ns, fmt,
+        tuple(dv_dirs), dv_key,
+    )
     hit = _READ_HANDLES.get(key)
     if hit is not None and hit.sparkSession is spark:
+        # refresh recency (dict preserves insertion order = LRU order)
+        _READ_HANDLES.pop(key)
+        _READ_HANDLES[key] = hit
         return hit
     df = spark.read.format(fmt).load(_os.path.join(path, f"v={v}"))
     if dv_dirs:
         dv = spark.read.parquet(*dv_dirs).select(dv_key).distinct()
         df = df.join(F.broadcast(dv), on=dv_key, how="left_anti")
     _READ_HANDLES[key] = df
+    if len(_READ_HANDLES) > _READ_HANDLES_MAX:
+        stale = [
+            k for k, h in _READ_HANDLES.items()
+            if h.sparkSession is not spark
+        ]
+        for k in stale:
+            _READ_HANDLES.pop(k, None)
+        while len(_READ_HANDLES) > _READ_HANDLES_MAX:
+            _READ_HANDLES.pop(next(iter(_READ_HANDLES)))
     return df
 
 

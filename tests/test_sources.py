@@ -358,6 +358,36 @@ def test_snapshot_format_switch_parity(spark, sf_dir, tmp_path):
     assert [h["format"] for h in snapshot_history(path)] == ["parquet", "orc"]
 
 
+def test_read_handle_memo_bounded_and_invalidated(spark, sf_dir, tmp_path):
+    """The read_snapshot relation memo (r14 optimization) must stay
+    BOUNDED under scratch-clone churn (advice r15: every q_vacuum-
+    style mkdtemp clone inserts a fresh key) and must MISS when a
+    lineage is wiped and re-committed at the same path (the manifest
+    stat token), instead of serving a stale file listing."""
+    import shutil
+
+    from lakehouse_app_spark.sources import sinks
+    from lakehouse_app_spark.sources.sinks import read_snapshot, write_snapshot
+
+    t = load_tables(spark, sf_dir)
+    small = t.nation.select("n_nationkey", "n_name").limit(5)
+
+    # -- invalidation: recreate a lineage at the SAME path
+    path = str(tmp_path / "recreated_tbl")
+    write_snapshot(small, path, "first life")
+    assert read_snapshot(spark, path).count() == 5
+    shutil.rmtree(path)
+    write_snapshot(small.limit(3), path, "second life")
+    assert read_snapshot(spark, path).count() == 3  # not the stale 5
+
+    # -- bound: many distinct scratch paths never grow the memo past cap
+    for i in range(sinks._READ_HANDLES_MAX + 20):
+        p = str(tmp_path / f"churn_{i}")
+        write_snapshot(small.limit(1), p, "churn")
+        read_snapshot(spark, p)
+    assert len(sinks._READ_HANDLES) <= sinks._READ_HANDLES_MAX
+
+
 def test_copy_on_write_delete_update_and_dq_gate(spark, sf_dir, tmp_path):
     """DELETE/UPDATE as copy-on-write snapshot commits (old versions
     remain for time travel) and the write-time DQ gate aborting a bad

@@ -1,9 +1,9 @@
-"""Dump .explain("formatted") for queries() keys to plans/r14/.
+"""Dump .explain("formatted") for queries() keys to plans/r15/.
 
 Usage: python tools_dump_plans.py [--suffix before|after] q_a q_b ...
        python tools_dump_plans.py --suffix before --all
 
-Writes plans/r14/<key>_<suffix>.txt. Uses the bench session config
+Writes plans/r15/<key>_<suffix>.txt. Uses the bench session config
 (get_spark local[32], sf0.1) so the plans match what the bench runs.
 """
 
@@ -15,7 +15,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import lakehouse_app_spark as eng
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plans", "r14")
+OUT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plans", "r15")
 
 
 def main() -> None:
