@@ -167,7 +167,10 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     )
-    return run_to_memory(enriched, "stream_static", output_mode="append")
+    return run_to_memory(
+        enriched, "stream_static", output_mode="append",
+        final_no_data_batch=False,
+    )
 
 
 @query(

@@ -81,7 +81,7 @@ def _checkpoint_root() -> str | None:
 
 def run_to_memory(
     df: DataFrame, name_prefix: str, output_mode: str = "complete",
-    partitions: int = 2,
+    partitions: int = 2, final_no_data_batch: bool = True,
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow) into
     a memory sink; return the result table.
@@ -96,11 +96,28 @@ def run_to_memory(
     per-key work runs in Arrow-fed pandas workers, so parallelism
     across partitions pays for the extra stores (measured 2→16
     partitions: 3.1s → 1.2s on the sf0.1 replay).
-    """
+
+    ``final_no_data_batch=False`` scopes
+    ``spark.sql.streaming.noDataMicroBatches.enabled=false`` around
+    the replay, skipping the trailing watermark-advance batch — one
+    whole micro-batch cycle of per-partition state-store open/commit
+    for a bounded run whose output it cannot change. OPT-IN PER KEY,
+    only where the r14 interleaved content A/B (AB_NODATA_r14.json)
+    proved the result invariant: a key whose final emission rides ON
+    the trailing batch (q_stream_state_timers' timer expiry,
+    q_stream_late_data's append-mode flush) must keep the default.
+    The conf is session-global while the replay runs, restored in the
+    same finally as the partition width — safe for the engine's
+    sequential one-query-at-a-time replays, the same scoping contract
+    partitions already uses."""
     spark = df.sparkSession
     name = f"{name_prefix}_{next(_counter)}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    scoped = {"spark.sql.shuffle.partitions": str(partitions)}
+    if not final_no_data_batch:
+        scoped["spark.sql.streaming.noDataMicroBatches.enabled"] = "false"
+    prev = {k: spark.conf.get(k, None) for k in scoped}
+    for k, v in scoped.items():
+        spark.conf.set(k, v)
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_", dir=_checkpoint_root())
     try:
         q = (
@@ -113,7 +130,11 @@ def run_to_memory(
         )
         q.awaitTermination()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        for k, old in prev.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
         # the replay ran to completion and the result lives in the
         # memory sink — the checkpoint's WAL/state tree is dead
         # weight in the RAM-backed scratch dir; reclaim it
@@ -158,7 +179,7 @@ def tumbling_agg(events: DataFrame) -> DataFrame:
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windows × event_type (stream == batch check)."""
     agg = tumbling_agg(events_stream(spark, sf_dir))
-    return _flatten_window(run_to_memory(agg, "tumbling"))
+    return _flatten_window(run_to_memory(agg, "tumbling", final_no_data_batch=False))
 
 
 @query(
@@ -187,7 +208,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    return _flatten_window(run_to_memory(agg, "sliding"))
+    return _flatten_window(run_to_memory(agg, "sliding", final_no_data_batch=False))
 
 
 @query(
@@ -227,7 +248,7 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partitions=8 from the r9 interleaved A/B {2,4,8,16}: session
     # state merges parallelize across stores (0.97 s vs 1.15 s at the
     # JVM-state default of 2); 16 regresses (store-init overhead).
-    out = run_to_memory(agg, "session", partitions=8)
+    out = run_to_memory(agg, "session", partitions=8, final_no_data_batch=False)
     return out.select(
         "user_id",
         F.col("session_window.start").cast("timestamp_ntz").alias("session_start"),
@@ -307,7 +328,8 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # state store is written once per distinct key, and that write
     # volume parallelizes (1.19 s vs 1.44 s at 2); 16 regresses.
     out = run_to_memory(
-        keyed, "stream_dedup", output_mode="append", partitions=8
+        keyed, "stream_dedup", output_mode="append", partitions=8,
+        final_no_data_batch=False,
     )
     return out.select(
         "user_id", "event_type", F.col("minute").cast("timestamp_ntz").alias("minute")
@@ -351,9 +373,18 @@ def q_stream_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # few-key aggregate state wants few state stores (run_to_memory's
     # partitions=2 rationale) — this sink bypasses run_to_memory, so
-    # pin the state partition count the same way
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    # pin the state partition count the same way; the trailing
+    # no-data batch is skipped too (run_to_memory's opt-in contract:
+    # COMPLETE mode appends the full snapshot every batch and the
+    # read-back takes the max batch_id, so the extra snapshot cannot
+    # change the result — AB_NODATA_r14 content-verified)
+    scoped = {
+        "spark.sql.shuffle.partitions": "2",
+        "spark.sql.streaming.noDataMicroBatches.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k, None) for k in scoped}
+    for k, v in scoped.items():
+        spark.conf.set(k, v)
     ckpt = tempfile.mkdtemp(prefix="ckpt_foreach_", dir=_checkpoint_root())
     try:
         q = (
@@ -365,7 +396,11 @@ def q_stream_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        for k, old in prev.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
         shutil.rmtree(ckpt, ignore_errors=True)
     rb = spark.read.parquet(out_dir)
     final = rb.join(
@@ -429,7 +464,8 @@ def q_stream_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on the contended round-7 driver host; 8 is within 0.3 s of the
     # idle best and strictly fastest under load.
     return run_to_memory(
-        stateful, "user_state", output_mode="update", partitions=8
+        stateful, "user_state", output_mode="update", partitions=8,
+        final_no_data_batch=False,
     )
 
 
@@ -466,7 +502,7 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_value").desc(), F.col("user_id"))
         .limit(10)
     )
-    return run_to_memory(ranked, "topk", output_mode="complete")
+    return run_to_memory(ranked, "topk", output_mode="complete", final_no_data_batch=False)
 
 
 # NOTE: Spark 4's transformWithStateInPandas (the
@@ -630,6 +666,10 @@ def _interval_join_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") <= F.col("p_ts")),
         "leftOuter",
     )
+    # final_no_data_batch stays TRUE here: the shared replay also
+    # serves q_stream_join_outer, whose NULL-extended rows are emitted
+    # only when the trailing batch advances the watermark past the
+    # join window (content-verified divergence at sf0.1, r15)
     out = run_to_memory(joined, "interval_join", output_mode="append")
     _INTERVAL_SINKS[key] = out
     return out
@@ -760,7 +800,7 @@ def q_stream_state_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # TWS-scoped store confs + run-to-completion via run_tws (defined
     # below with q_stream_state_timers, the other TWS query)
-    return run_tws(spark, stateful, "state_v2", partitions=16)
+    return run_tws(spark, stateful, "state_v2", partitions=16, final_no_data_batch=False)
 
 
 # ------------------------------------------- streaming vector search
@@ -913,7 +953,7 @@ def q_stream_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hits")
         )
     )
-    out = run_to_memory(top, "stream_vs", output_mode="complete")
+    out = run_to_memory(top, "stream_vs", output_mode="complete", final_no_data_batch=False)
     return out.select("qid", F.explode("hits").alias("h")).select(
         "qid", F.col("h.v").alias("vec_id"), F.col("h.s").alias("sim")
     )
@@ -1070,8 +1110,16 @@ def run_ivf_segment_append(
         ).select("vec_id", "emb", "cid")
         assigned.write.mode("append").partitionBy("cid").parquet(seg_dir)
 
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    # stateless per-batch assignment: the trailing no-data batch can
+    # write nothing (foreachBatch is not even invoked for it) — skip
+    # its whole store-cycle (run_to_memory's opt-in contract)
+    scoped = {
+        "spark.sql.shuffle.partitions": "2",
+        "spark.sql.streaming.noDataMicroBatches.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k, None) for k in scoped}
+    for k, v in scoped.items():
+        spark.conf.set(k, v)
     ckpt = tempfile.mkdtemp(prefix="ckpt_ivf_append_", dir=_checkpoint_root())
     try:
         q = (
@@ -1083,7 +1131,11 @@ def run_ivf_segment_append(
         )
         q.awaitTermination()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        for k, old in prev.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(seg_dir)
 
@@ -1203,7 +1255,7 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["new_id", "corpus_id"])
         .select("new_id", "corpus_id", F.round(est, 6).alias("est_jaccard"))
     )
-    return run_to_memory(joined, "stream_inc_dedup", output_mode="append")
+    return run_to_memory(joined, "stream_inc_dedup", output_mode="append", final_no_data_batch=False)
 
 
 # ------------------------------------------- streaming media decode
@@ -1237,7 +1289,8 @@ def q_stream_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(schema).parquet(path)
     return run_to_memory(
-        decode_wav_features(stream), "media_decode", output_mode="append"
+        decode_wav_features(stream), "media_decode", output_mode="append",
+        final_no_data_batch=False,
     )
 
 
@@ -1639,9 +1692,16 @@ def q_stream_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # few-key month aggregates want few shuffle partitions (the
     # foreachBatch body runs under session confs, the
-    # q_stream_foreach_sink treatment)
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    # q_stream_foreach_sink treatment); stateless enrich — the
+    # trailing no-data batch writes nothing, skip it (run_to_memory's
+    # opt-in contract)
+    scoped = {
+        "spark.sql.shuffle.partitions": "4",
+        "spark.sql.streaming.noDataMicroBatches.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k, None) for k in scoped}
+    for k, v in scoped.items():
+        spark.conf.set(k, v)
     ckpt = tempfile.mkdtemp(prefix="ckpt_pruned_join_", dir=_checkpoint_root())
     try:
         q = (
@@ -1653,7 +1713,11 @@ def q_stream_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        for k, old in prev.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(out_dir).select(
         "ship_month", "n_new", "new_qty", "n_base", "base_qty"
@@ -1661,7 +1725,8 @@ def q_stream_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_tws(
-    spark: SparkSession, keyed: DataFrame, name: str, partitions: int = 16
+    spark: SparkSession, keyed: DataFrame, name: str, partitions: int = 16,
+    final_no_data_batch: bool = True,
 ) -> DataFrame:
     """Run a transformWithStateInPandas stream to completion under the
     TWS-scoped store confs, restored after: RocksDB is REQUIRED by the
@@ -1683,7 +1748,8 @@ def run_tws(
         spark.conf.set(k, v)
     try:
         return run_to_memory(
-            keyed, name, output_mode="update", partitions=partitions
+            keyed, name, output_mode="update", partitions=partitions,
+            final_no_data_batch=final_no_data_batch,
         )
     finally:
         for k, old in prev.items():
@@ -1768,7 +1834,7 @@ def q_stream_change_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dn).alias("dn"),
         F.sum(sign * to_i(F.col("o_totalprice"))).alias("ds"),
     )
-    out = run_to_memory(dagg, "cdf_apply", output_mode="complete")
+    out = run_to_memory(dagg, "cdf_apply", output_mode="complete", final_no_data_batch=False)
     merged = mv0.join(out, "o_custkey", "left").select(
         "o_custkey",
         (F.col("n0") + F.coalesce(F.col("dn"), F.lit(0))).alias("n_orders"),

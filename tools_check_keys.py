@@ -7,7 +7,10 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession
+import os
 import duckdb, pandas as pd
+
+SF = os.environ.get("CK_SF_DIR", "/root/testdata/sf0.01")
 
 spark = SparkSession.builder.master("local[8]").appName("key-check").getOrCreate()
 
@@ -19,7 +22,7 @@ con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     con.execute(
-        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('/root/testdata/sf0.01/{t}.parquet')"
+        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
     )
 
 
@@ -41,7 +44,7 @@ for name in sys.argv[1:]:
         print(f"  {name}: NOT REGISTERED")
         fails.append(name)
         continue
-    spdf = q[name](spark, "/root/testdata/sf0.01").toPandas()
+    spdf = q[name](spark, SF).toPandas()
     if name in o:
         dpdf = con.execute(o[name]).fetchdf()
         a, b = norm(spdf), norm(dpdf)
