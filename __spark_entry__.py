@@ -43,60 +43,56 @@ def entry(spark: SparkSession) -> DataFrame:
 # (a) new keys, (b) changed plans, (c) the keys the driver has
 # re-sampled least recently, so the whole surface accumulates FRESH
 # driver-green coverage instead of re-checking a fixed showcase.
-# Round-14 window: (a) the NEW keys — q_merge_multi (full
-# multi-clause MERGE INTO as one commit, output = its change feed),
-# q_stream_late_data (watermark late-data drop as a driver-witnessed
-# exact key, staged three-file replay), q_zorder_maintain
-# (incremental re-cluster on append: pruned reads across the
-# pre-fold and post-fold states), q_null_prune (null-count/row-count
-# manifest skipping for IS NOT NULL), q_bloom_prune (per-file bloom
-# sidecar skipping for point lookups on a non-clustered column);
-# (b) every plan this round
-# touched — the CDC family now reads the shared build-once lineage
-# layouts instead of re-committing per invocation (q_change_feed,
-# q_incremental_agg, q_restore_version, q_time_travel,
-# q_stream_change_apply), q_zorder_roundtrip derives its interleave
-# width from the corpus domain and writes the extended null-count
-# manifest, q_stats_prune's sidecar write went atomic, q_upsert's
-# sibling contract is now the full MERGE, q_vacuum/q_schema_evolution
-# are the adjacent snapshot/manifest consumers; (c) the LEAST-
-# recently-driver-sampled keys: the r08 window continuation (corpus
-# prep + ANN lifecycle), then the r09 streaming battery.
+# Round-15 window (optimization round — no new keys): (a/b) every
+# plan this round touched — q_corpus_pipeline (stage joins fused to
+# one-scan expression composition), q_pq_quantize (argmin as a
+# hash-aggregable long min), q_kmv_distinct (pair algebra as array
+# expressions over one sketch row per source), q_ann_brp_lsh
+# (MLlib's private hash tables replaced by deterministic seeded
+# projections — EXACT-oracle for the first time, closing the last
+# declared rows-only gap), and the 15 streaming keys whose bounded
+# replays now skip the trailing no-data micro-batch, plus the
+# interval-join pair kept on the trailing batch (q_stream_join_outer
+# is the divergence witness that forced the opt-in design); (c) the
+# LEAST-recently-driver-sampled keys (last sampled ≤ r10): the
+# dedup/media/pipeline tier, then analytics/sketches, then the
+# TPC-H tail.
 _SHOWCASE = [
-    # (a) this round's NEW keys (r14)
-    "q_merge_multi", "q_stream_late_data", "q_zorder_maintain",
-    "q_null_prune", "q_bloom_prune", "q_merge_on_read",
-    "q_metadata_only_agg", "q_snapshot_tag", "q_wap_publish",
-    # (b) this round's changed paths
-    "q_change_feed", "q_incremental_agg", "q_restore_version",
-    "q_time_travel", "q_stream_change_apply", "q_zorder_roundtrip",
-    "q_stats_prune", "q_upsert", "q_vacuum", "q_schema_evolution",
-    # (c) least-recently-sampled, oldest first: the r08 window
-    # (corpus prep + ANN lifecycle), then the r09 streaming battery
-    "q_corpus_gate", "q_perplexity", "q_span_corrupt", "q_fim_transform",
-    "q_train_split", "q_pack_batches", "q_mix_weights",
-    "q_url_dedup", "q_pii_redact", "q_dataset_card",
-    "q_contamination", "q_chunk_dedup", "q_dedup_spans",
-    "q_semdedup", "q_ann_brp_lsh", "q_ann_ivf", "q_ann_recall",
-    "q_retrieval_ndcg", "q_ann_ivfpq", "q_ann_ivf_append",
-    "q_ann_ivf_delta_probe", "q_ann_ivf_merge", "q_knn_classify",
-    "q_ann_hyperplane", "q_stream_tumbling", "q_stream_sliding",
-    "q_stream_session", "q_stream_user_state", "q_stream_dedup",
-    "q_stream_topk", "q_stream_join",
+    # (a/b) this round's changed plans
+    "q_corpus_pipeline", "q_pq_quantize", "q_kmv_distinct",
+    "q_ann_brp_lsh",
+    # the no-data-batch streaming keys + the kept-on join pair
+    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
+    "q_stream_dedup", "q_stream_user_state", "q_stream_topk",
+    "q_stream_state_v2", "q_stream_vector_search",
+    "q_stream_incremental_dedup", "q_stream_media_decode",
+    "q_stream_change_apply", "q_stream_static_join",
+    "q_stream_foreach_sink", "q_stream_ivf_append",
+    "q_stream_pruned_join", "q_stream_join", "q_stream_join_outer",
+    # (c) least-recently-sampled (≤ r10), oldest classes first
+    "q_dedup_report", "q_dedup_keep_best", "q_dedup_keep_latest",
+    "q_ingest_pipeline", "q_media_decode", "q_media_decode_image",
+    "q_audio_features", "q_media_frames", "q_mmr_diversify",
+    "q_bloom_membership", "q_drift_ks", "q_drift_psi",
+    "q_mutual_info", "q_freq_pairs", "q_gopher_repetition",
+    "q_ngram_jaccard", "q_recursive_hierarchy",
+    "q_tpch_q17", "q_tpch_q18", "q_tpch_q21", "q_tpch_q22",
+    "q_join_interval_bucket", "q_profile_table", "q_hll_distinct",
+    "q_scd2_lookup", "q_approx_quantiles_audit", "q_bootstrap_ci",
+    "q_sink_roundtrip", "q_subquery_scalar",
 ]
 
 # Keys that would rotate in next if the driver over-samples past 50:
-# the oldest-green cycle continues through the r09/r10 windows.
+# the rest of the ≤ r10 least-sampled backlog, oldest classes first.
 _NEXT_UP = [
-    "q_stream_join_outer", "q_stream_foreach_sink",
-    "q_stream_static_join", "q_stream_state_timers",
-    "q_stream_incremental_dedup", "q_stream_state_v2", "q_stream_vector_search", "q_stream_ivf_append",
-    "q_stream_pruned_join", "q_stream_media_decode", "q_media_decode",
-    "q_media_decode_image", "q_audio_features", "q_ingest_pipeline",
-    "q_corpus_pipeline", "q_dedup_incremental", "q_dedup_from_layout",
-    "q_winnow_fingerprint", "q_minhash_sig", "q_dedup_minhash",
-    "q_dedup_simhash", "q_neardup_lsh", "q_dedup_clusters",
-    "q_dedup_keep_best", "q_dedup_report",
+    "q_knn_join", "q_neardup_embed", "q_embed_quantize",
+    "q_context_pack", "q_multimodal_bytes", "q_vocab_coverage",
+    "q_text_stats", "q_fuzzy_match", "q_sample_hash",
+    "q_sample_weighted", "q_domain_cap", "q_dpo_pairs",
+    "q_anomaly_mad", "q_anomaly_zscore", "q_ab_test",
+    "q_cohens_kappa", "q_corr_matrix", "q_histogram",
+    "q_target_encode", "q_ewma", "q_twa", "q_funnel",
+    "q_attribution", "q_cohort_retention", "q_sequence_gaps",
 ]
 
 

@@ -43,34 +43,103 @@ TOP_K = 5
 _IVF_CHAIN, _IVF_CENTS, _IVF_ASG = lloyd_sql(N_CENTROIDS, KM_ITERS)
 
 
-@query("q_ann_brp_lsh")  # rows-only: MLlib hash-table internals
-def q_ann_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN via MLlib BucketedRandomProjectionLSH
-    (seed-pinned): cosine ≈ Euclidean distance on L2-normalized
-    vectors, so nearest-by-Euclidean on the unit sphere is
-    nearest-by-cosine. The bucketed variant of the IVF scale path:
-    random-projection buckets replace cluster assignment when no
-    write-side layout exists.
-    """
-    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
-    from pyspark.ml.functions import array_to_vector
+BRP_TABLES = 4          # hash tables (MLlib numHashTables analog)
+BRP_BUCKET_LEN = 0.5    # bucket width over the unit-sphere projection
 
+
+@query(
+    "q_ann_brp_lsh",
+    oracle=f"""
+    WITH d AS (
+      SELECT vec_id AS j, CAST(embedding AS DOUBLE[]) AS dv
+      FROM embeddings WHERE vec_id < {BRP_TABLES}
+    ),
+    b AS (
+      SELECT e.vec_id, d.j,
+             CAST(floor(round(list_cosine_similarity(
+                    CAST(e.embedding AS DOUBLE[]), d.dv), 6)
+                  / {BRP_BUCKET_LEN}) AS BIGINT) AS v
+      FROM embeddings e, d
+    ),
+    kb AS (SELECT j, v FROM b WHERE vec_id = 0),
+    cand AS (
+      SELECT DISTINCT b.vec_id
+      FROM b JOIN kb ON b.j = kb.j AND b.v = kb.v
+    ),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id = 0)
+    SELECT c.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        q.qv), 6) AS sim
+    FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id, q
+    ORDER BY sim DESC, c.vec_id
+    LIMIT 5
+    """,
+)
+def q_ann_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed random-projection LSH ANN — the same family MLlib's
+    BucketedRandomProjectionLSH implements (scalar projections
+    quantized into buckets of width {BRP_BUCKET_LEN}, one equi-join
+    per hash table, exact rerank of the candidate union), hand-rolled
+    with DETERMINISTIC seeded directions so the whole query is
+    exact-oracle (r15, verdict item 8 — the MLlib variant's hash
+    tables are library-private, which kept this key rows-only for 8
+    rounds). Directions are the first {BRP_TABLES} corpus vectors
+    (the established convention: the corpus is zero-centered, so they
+    are usable random directions BOTH engines can rebuild).
+
+    Geometry: on L2-normalized vectors the projection dot IS the
+    cosine, so bucket_j(v) = floor(round(cos(v, d_j), 6) /
+    {BRP_BUCKET_LEN}) — and nearest-by-Euclidean on the unit sphere
+    is nearest-by-cosine, so the exact rerank ranks by cosine
+    directly (euclid² = 2 − 2·cos). Candidates = vectors sharing ANY
+    table's bucket with the query (MLlib's single-probe OR
+    semantics); only candidates pay the exact similarity. The
+    bucketed variant of the IVF scale path: random-projection buckets
+    replace cluster assignment when no write-side layout exists."""
     t = load_tables(spark, sf_dir)
-    vecs = t.embeddings.select(
-        "vec_id",
-        array_to_vector(as_double_array("embedding")).alias("raw"),
+    dirs = t.embeddings.where(F.col("vec_id") < BRP_TABLES).select(
+        F.col("vec_id").cast("int").alias("j"),
+        as_double_array("embedding").alias("dv"),
     )
-    unit = Normalizer(inputCol="raw", outputCol="features", p=2.0).transform(vecs)
-    model = BucketedRandomProjectionLSH(
-        inputCol="features", outputCol="hashes", bucketLength=0.5,
-        numHashTables=4, seed=42,
-    ).fit(unit)
-    key = unit.where(F.col("vec_id") == 0).first()["features"]
-    hits = model.approxNearestNeighbors(unit, key, 5, distCol="euclid_dist")
-    # euclid² = 2 - 2·cos on unit vectors → recover cosine similarity
-    return hits.select(
-        "vec_id",
-        F.round(1 - (F.col("euclid_dist") ** 2) / 2, 6).alias("sim"),
+    packed = dirs.agg(
+        F.array_sort(F.collect_list(F.struct("j", "dv"))).alias("ds")
+    )
+    bucket_arr = F.transform(
+        F.col("ds"),
+        lambda s: F.floor(
+            F.round(cosine_sim(F.col("emb"), s["dv"]), 6)
+            / F.lit(BRP_BUCKET_LEN)
+        ),
+    )
+    buckets = (
+        t.embeddings.select(
+            "vec_id", as_double_array("embedding").alias("emb")
+        )
+        .join(F.broadcast(packed))
+        .select("vec_id", F.posexplode(bucket_arr).alias("j", "v"))
+    )
+    kb = buckets.where(F.col("vec_id") == 0).select("j", "v")
+    cand = (
+        buckets.join(F.broadcast(kb), ["j", "v"])
+        .select("vec_id")
+        .distinct()
+    )
+    qv = _query_vec(t)
+    return (
+        cand.join(
+            t.embeddings.select(
+                "vec_id", as_double_array("embedding").alias("emb")
+            ),
+            "vec_id",
+        )
+        .join(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(cosine_sim(F.col("emb"), F.col("qv")), 6).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(TOP_K)
     )
 
 
