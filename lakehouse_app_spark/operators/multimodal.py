@@ -561,26 +561,73 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Vectorized fan-out (guide §4.2, r15): the pre-r15 form looped
+        # per payload per frame in Python — ~80k iterations of
+        # sample_frames + np.frombuffer + .sum() at sf0.1 dominated the
+        # key. All payloads here are ≥ 35 bytes (the n_chars filter),
+        # so every row yields EXACTLY the sampler's 4 offsets
+        # j·max((len−32)//3, 1); one concatenated uint8 buffer + a
+        # (rows, 4, 32) gather computes every first_byte/checksum in
+        # three numpy ops. The codec integration point is preserved
+        # bit-for-bit: _image_codec() is consulted per batch — absent
+        # (this environment), frame_dims' fallback is the constant
+        # (32, 1) for every frame, exactly what the per-frame calls
+        # returned; present, the per-frame frame_dims path runs
+        # unchanged (tests stub the codec through it). Rows shorter
+        # than 35 bytes (impossible after the filter, kept for safety)
+        # take the original per-row sampler.
         for pdf in batches:
-            out = {
-                "media_id": [],
-                "frame_idx": [],
-                "first_byte": [],
-                "checksum": [],
-                "frame_w": [],
-                "frame_h": [],
-            }
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                for j, fr in enumerate(sample_frames(bytes(payload), 4, 32)):
-                    a = np.frombuffer(fr, dtype=np.uint8)
-                    w, h = frame_dims(fr)  # codec when installed, else len×1
-                    out["media_id"].append(mid)
-                    out["frame_idx"].append(j)
-                    out["first_byte"].append(int(a[0]))
-                    out["checksum"].append(int(a.sum()))
-                    out["frame_w"].append(w)
-                    out["frame_h"].append(h)
-            yield pd.DataFrame(out)
+            n = len(pdf)
+            if n == 0:
+                continue
+            payloads = [bytes(p) for p in pdf["payload"]]
+            lens = np.fromiter(
+                (len(p) for p in payloads), dtype=np.int64, count=n
+            )
+            if int(lens.min()) < 35:  # defensive: sampler edge cases
+                out = {
+                    "media_id": [], "frame_idx": [], "first_byte": [],
+                    "checksum": [], "frame_w": [], "frame_h": [],
+                }
+                for mid, payload in zip(pdf["media_id"], payloads):
+                    for j, fr in enumerate(sample_frames(payload, 4, 32)):
+                        a = np.frombuffer(fr, dtype=np.uint8)
+                        w, h = frame_dims(fr)
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(j)
+                        out["first_byte"].append(int(a[0]))
+                        out["checksum"].append(int(a.sum()))
+                        out["frame_w"].append(w)
+                        out["frame_h"].append(h)
+                yield pd.DataFrame(out)
+                continue
+            big = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            base = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            step = np.maximum((lens - 32) // 3, 1)
+            offs = base[:, None] + step[:, None] * np.arange(4)[None, :]
+            fr = big[offs[:, :, None] + np.arange(32)[None, None, :]]
+            if _image_codec() is None:
+                w = np.full(4 * n, 32, dtype=np.int32)
+                h = np.ones(4 * n, dtype=np.int32)
+            else:
+                rel = offs - base[:, None]
+                dims = [
+                    frame_dims(payloads[i][rel[i, j]: rel[i, j] + 32])
+                    for i in range(n)
+                    for j in range(4)
+                ]
+                w = np.array([d[0] for d in dims], dtype=np.int32)
+                h = np.array([d[1] for d in dims], dtype=np.int32)
+            yield pd.DataFrame(
+                {
+                    "media_id": np.repeat(pdf["media_id"].to_numpy(), 4),
+                    "frame_idx": np.tile(np.arange(4, dtype=np.int32), n),
+                    "first_byte": fr[:, :, 0].astype(np.int32).ravel(),
+                    "checksum": fr.astype(np.int64).sum(axis=2).ravel(),
+                    "frame_w": w,
+                    "frame_h": h,
+                }
+            )
 
     return media.select("media_id", "payload").mapInPandas(
         frames,
